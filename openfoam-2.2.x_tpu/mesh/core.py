@@ -1,0 +1,412 @@
+"""Unstructured finite-volume mesh: topology, geometry, device tables.
+
+The reference's central data structure is the face-addressed unstructured
+mesh: flat owner/neighbour arrays over faces, with boundary patches as
+contiguous face ranges (reference: src/OpenFOAM/meshes/primitiveMesh/,
+src/finiteVolume/fvMesh/). This module rebuilds it TPU-first:
+
+- Host side (`PolyMesh`): NumPy f64 topology + geometry derived with the
+  reference's exact algorithms (face-centre/area via fan triangulation,
+  cell-centre/volume via pyramid decomposition — reference:
+  src/OpenFOAM/meshes/primitiveMesh/primitiveMeshFaceCentresAndAreas.C,
+  primitiveMeshCellCentresAndVols.C), plus surface-interpolation data
+  (weights, deltaCoeffs, non-orthogonality correction — reference:
+  src/finiteVolume/interpolation/surfaceInterpolation/surfaceInterpolation.C).
+
+- Device side (`FvMesh`): a jnp pytree of flat arrays PLUS per-cell
+  gather tables (cell->face, cell->neighbour-cell, padded to the max
+  face count). Every FV operator then reduces to dense gathers +
+  small-axis sums — no scatters on the hot path, which is the key
+  TPU-native design decision (scatter-add is slow on TPU; gathers
+  pipeline well through VMEM).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.precision import label_np, scalar_np
+
+# ---------------------------------------------------------------------------
+# Patches
+# ---------------------------------------------------------------------------
+
+# Geometric/constraint patch types understood by the framework
+# (reference: src/OpenFOAM/meshes/polyMesh/polyPatches/).
+PATCH_TYPES = (
+    "patch",
+    "wall",
+    "empty",
+    "symmetryPlane",
+    "symmetry",
+    "cyclic",
+    "wedge",
+    "processor",
+    "mappedWall",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Patch:
+    """A boundary patch = contiguous face range [start, start+size)."""
+
+    name: str
+    type: str
+    start: int
+    size: int
+    # for cyclic patches: name of the coupled partner
+    neighbour_patch: Optional[str] = None
+
+    @property
+    def slice(self) -> slice:
+        return slice(self.start, self.start + self.size)
+
+
+# ---------------------------------------------------------------------------
+# Geometry kernels (host, NumPy f64)
+# ---------------------------------------------------------------------------
+
+
+def face_centres_areas(
+    points: np.ndarray, face_pts: np.ndarray, face_npts: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Face centres and area vectors by fan triangulation about the
+    point-average centre (the reference's algorithm, exact for planar
+    and consistent for warped faces)."""
+    n_faces, max_pts = face_pts.shape
+    idx = np.arange(max_pts)
+    valid = idx[None, :] < face_npts[:, None]  # [nF, maxPts]
+    fpts = np.clip(face_pts, 0, None)
+    fp = np.where(valid[:, :, None], points[fpts], 0.0)
+    c_est = fp.sum(axis=1) / face_npts[:, None]
+
+    nxt = (idx[None, :] + 1) % np.maximum(face_npts[:, None], 1)
+    p_i = np.where(valid[:, :, None], points[fpts], 0.0)
+    p_n = np.where(valid[:, :, None], points[np.take_along_axis(fpts, nxt, axis=1)], 0.0)
+
+    tri_n = np.cross(p_n - p_i, c_est[:, None, :] - p_i)  # 2x triangle normal
+    tri_a = np.linalg.norm(tri_n, axis=2)
+    tri_c = p_i + p_n + c_est[:, None, :]  # 3x triangle centroid
+    tri_n = np.where(valid[:, :, None], tri_n, 0.0)
+    tri_a = np.where(valid, tri_a, 0.0)
+
+    sum_n = tri_n.sum(axis=1)
+    sum_a = tri_a.sum(axis=1)
+    sum_ac = (tri_a[:, :, None] * tri_c).sum(axis=1)
+
+    small = sum_a < 1e-30
+    ctr = np.where(small[:, None], c_est, sum_ac / np.maximum(sum_a, 1e-300)[:, None] / 3.0)
+    area = 0.5 * sum_n
+    # triangles degenerate for 3-point faces handled fine by the same formula
+    return ctr, area
+
+
+def cell_centres_volumes(
+    owner: np.ndarray,
+    neighbour: np.ndarray,
+    n_cells: int,
+    cf: np.ndarray,
+    sf: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Cell centres/volumes by pyramid decomposition about the estimated
+    centre (average of face centres), as in the reference."""
+    n_ifaces = neighbour.shape[0]
+    # estimated centre: average of face centres over each cell's faces
+    c_est = np.zeros((n_cells, 3))
+    n_cf = np.zeros(n_cells)
+    np.add.at(c_est, owner, cf)
+    np.add.at(n_cf, owner, 1.0)
+    np.add.at(c_est, neighbour, cf[:n_ifaces])
+    np.add.at(n_cf, neighbour, 1.0)
+    c_est /= n_cf[:, None]
+
+    vol = np.zeros(n_cells)
+    ctr = np.zeros((n_cells, 3))
+
+    def accum(cells, sign, cf_, sf_):
+        pyr3vol = sign * np.einsum("fi,fi->f", sf_, cf_ - c_est[cells])
+        pc = 0.75 * cf_ + 0.25 * c_est[cells]
+        np.add.at(vol, cells, pyr3vol)
+        np.add.at(ctr, cells, pyr3vol[:, None] * pc)
+
+    accum(owner, 1.0, cf, sf)
+    accum(neighbour, -1.0, cf[:n_ifaces], sf[:n_ifaces])
+
+    ctr = np.where(np.abs(vol)[:, None] > 1e-300, ctr / vol[:, None], c_est)
+    vol = vol / 3.0
+    return ctr, vol
+
+
+# ---------------------------------------------------------------------------
+# Host mesh
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PolyMesh:
+    """Host-side mesh: topology + derived geometry (NumPy, float64)."""
+
+    points: np.ndarray          # [nPts, 3]
+    face_pts: np.ndarray        # [nF, maxPts] padded with -1
+    face_npts: np.ndarray       # [nF]
+    owner: np.ndarray           # [nF]
+    neighbour: np.ndarray       # [nIf]
+    patches: List[Patch]
+
+    # derived (filled by update_geometry)
+    cf: np.ndarray = None       # face centres [nF,3]
+    sf: np.ndarray = None       # face area vectors [nF,3]
+    mag_sf: np.ndarray = None   # [nF]
+    c: np.ndarray = None        # cell centres [nC,3]
+    v: np.ndarray = None        # cell volumes [nC]
+    weights: np.ndarray = None  # interpolation weights [nF] (boundary = 1)
+    delta_coeffs: np.ndarray = None       # [nF]
+    non_orth_delta_coeffs: np.ndarray = None  # [nF]
+    correction_vecs: np.ndarray = None    # [nF,3] non-orthogonality correction
+
+    def __post_init__(self):
+        self.owner = np.asarray(self.owner, dtype=np.int64)
+        self.neighbour = np.asarray(self.neighbour, dtype=np.int64)
+        if self.cf is None:
+            self.update_geometry()
+
+    # -- sizes --------------------------------------------------------------
+    @property
+    def n_points(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def n_faces(self) -> int:
+        return self.owner.shape[0]
+
+    @property
+    def n_internal_faces(self) -> int:
+        return self.neighbour.shape[0]
+
+    @property
+    def n_boundary_faces(self) -> int:
+        return self.n_faces - self.n_internal_faces
+
+    @property
+    def n_cells(self) -> int:
+        m = int(self.owner.max()) if self.owner.size else -1
+        if self.neighbour.size:
+            m = max(m, int(self.neighbour.max()))
+        return m + 1
+
+    def patch(self, name: str) -> Patch:
+        for p in self.patches:
+            if p.name == name:
+                return p
+        raise KeyError(f"no patch named {name!r}")
+
+    # -- geometry -----------------------------------------------------------
+    def update_geometry(self) -> None:
+        self.cf, self.sf = face_centres_areas(self.points, self.face_pts, self.face_npts)
+        self.mag_sf = np.linalg.norm(self.sf, axis=1)
+        self.c, self.v = cell_centres_volumes(
+            self.owner, self.neighbour, self.n_cells, self.cf, self.sf
+        )
+        self._update_interpolation()
+
+    def _update_interpolation(self) -> None:
+        nif = self.n_internal_faces
+        own, nei = self.owner[:nif], self.neighbour
+        sf, cf = self.sf[:nif], self.cf[:nif]
+
+        sfd_own = np.abs(np.einsum("fi,fi->f", sf, cf - self.c[own]))
+        sfd_nei = np.abs(np.einsum("fi,fi->f", sf, self.c[nei] - cf))
+        w = np.ones(self.n_faces)
+        w[:nif] = sfd_nei / np.maximum(sfd_own + sfd_nei, 1e-300)
+        self.weights = w
+
+        delta = np.empty((self.n_faces, 3))
+        delta[:nif] = self.c[nei] - self.c[own]
+        bsl = slice(nif, self.n_faces)
+        delta[bsl] = self.cf[bsl] - self.c[self.owner[bsl]]
+        mag_delta = np.linalg.norm(delta, axis=1)
+        self.delta_coeffs = 1.0 / np.maximum(mag_delta, 1e-300)
+
+        nhat = self.sf / np.maximum(self.mag_sf, 1e-300)[:, None]
+        sn = np.einsum("fi,fi->f", nhat, delta)
+        self.non_orth_delta_coeffs = 1.0 / np.maximum(sn, 0.05 * mag_delta)
+        self.correction_vecs = nhat - delta * self.non_orth_delta_coeffs[:, None]
+        # empty patches get zero correction (no flux through them anyway)
+
+    # -- cell->face adjacency (gather tables) --------------------------------
+    def cell_tables(self) -> Dict[str, np.ndarray]:
+        """Build padded per-cell gather tables.
+
+        Returns arrays of shape [nC, K] with K = max faces/cell:
+          cface       face index (pad -> 0)
+          csign       +1 cell is owner / -1 neighbour / 0 pad
+          cnbr        adjacent cell across internal face (pad/boundary -> 0)
+          cnbr_valid  1.0 for internal faces, else 0.0
+          cbnd        1.0 for boundary faces, else 0.0
+          cface_i     face index clamped to internal range (for upper/lower gathers)
+        """
+        nC, nF, nIf = self.n_cells, self.n_faces, self.n_internal_faces
+        counts = np.zeros(nC, dtype=np.int64)
+        np.add.at(counts, self.owner, 1)
+        np.add.at(counts, self.neighbour, 1)
+        K = int(counts.max())
+
+        cface = np.zeros((nC, K), dtype=np.int64)
+        csign = np.zeros((nC, K))
+        cnbr = np.zeros((nC, K), dtype=np.int64)
+        cnbr_valid = np.zeros((nC, K))
+        cbnd = np.zeros((nC, K))
+
+        own_counts = np.bincount(self.owner, minlength=nC)
+
+        def slots(cells):
+            """Rank of each entry within its cell group (vectorized)."""
+            order = np.argsort(cells, kind="stable")
+            sorted_cells = cells[order]
+            group_start = np.zeros(nC, dtype=np.int64)
+            cnts = np.bincount(sorted_cells, minlength=nC)
+            group_start[1:] = np.cumsum(cnts)[:-1]
+            rank = np.arange(cells.shape[0]) - group_start[sorted_cells]
+            inv = np.empty_like(order)
+            inv[order] = rank
+            return inv
+
+        # owner side: slots 0..own_counts-1
+        faces = np.arange(nF)
+        k_o = slots(self.owner)
+        cface[self.owner, k_o] = faces
+        csign[self.owner, k_o] = 1.0
+        cnbr[self.owner[:nIf], k_o[:nIf]] = self.neighbour
+        cnbr_valid[self.owner[:nIf], k_o[:nIf]] = 1.0
+        cbnd[self.owner[nIf:], k_o[nIf:]] = 1.0
+
+        # neighbour side: slots continue after the owner-side count
+        k_n = own_counts[self.neighbour] + slots(self.neighbour)
+        ifaces = np.arange(nIf)
+        cface[self.neighbour, k_n] = ifaces
+        csign[self.neighbour, k_n] = -1.0
+        cnbr[self.neighbour, k_n] = self.owner[:nIf]
+        cnbr_valid[self.neighbour, k_n] = 1.0
+
+        cface_i = np.minimum(cface, max(nIf - 1, 0))
+        return dict(
+            cface=cface,
+            csign=csign,
+            cnbr=cnbr,
+            cnbr_valid=cnbr_valid,
+            cbnd=cbnd,
+            cface_i=cface_i,
+            max_faces=K,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Device mesh (jnp pytree)
+# ---------------------------------------------------------------------------
+
+
+def _pytree_dataclass(cls):
+    import jax
+
+    fields = [f.name for f in dataclasses.fields(cls)]
+    meta = [f.name for f in dataclasses.fields(cls) if f.metadata.get("static")]
+    data = [n for n in fields if n not in meta]
+    return jax.tree_util.register_dataclass(cls, data_fields=data, meta_fields=meta)
+
+
+def _static(**kw):
+    return dataclasses.field(metadata={"static": True}, **kw)
+
+
+@_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class FvMesh:
+    """Device-side FV mesh: flat geometry arrays + gather tables.
+
+    All float arrays use the framework scalar dtype (f32 by default);
+    indices are int32. Static metadata (sizes, patches) lives in the
+    pytree aux data so jit treats it as compile-time constant.
+    """
+
+    # geometry
+    sf: Any            # [nF,3] face area vectors
+    mag_sf: Any        # [nF]
+    cf: Any            # [nF,3] face centres
+    c: Any             # [nC,3] cell centres
+    v: Any             # [nC] volumes
+    weights: Any       # [nF] linear interpolation weights (owner side)
+    delta_coeffs: Any  # [nF]
+    non_orth_delta_coeffs: Any  # [nF]
+    correction_vecs: Any        # [nF,3]
+    owner: Any         # [nF] int32
+    neighbour: Any     # [nIf] int32
+
+    # gather tables [nC, K]
+    cface: Any
+    csign: Any
+    cnbr: Any
+    cnbr_valid: Any
+    cbnd: Any
+    cface_i: Any
+
+    # static metadata
+    n_cells: int = _static()
+    n_faces: int = _static()
+    n_internal_faces: int = _static()
+    max_faces: int = _static()
+    patches: Tuple[Patch, ...] = _static()
+
+    @property
+    def n_boundary_faces(self) -> int:
+        return self.n_faces - self.n_internal_faces
+
+    def patch(self, name: str) -> Patch:
+        for p in self.patches:
+            if p.name == name:
+                return p
+        raise KeyError(f"no patch named {name!r}")
+
+    def boundary_owner(self):
+        """Owner cells of all boundary faces, [nBf] int32."""
+        return self.owner[self.n_internal_faces :]
+
+
+def to_device(mesh: PolyMesh) -> FvMesh:
+    import jax.numpy as jnp
+
+    sdt = scalar_np()
+    tabs = mesh.cell_tables()
+
+    def farr(a):
+        return jnp.asarray(np.asarray(a, dtype=sdt))
+
+    def iarr(a):
+        return jnp.asarray(np.asarray(a, dtype=label_np))
+
+    return FvMesh(
+        sf=farr(mesh.sf),
+        mag_sf=farr(mesh.mag_sf),
+        cf=farr(mesh.cf),
+        c=farr(mesh.c),
+        v=farr(mesh.v),
+        weights=farr(mesh.weights),
+        delta_coeffs=farr(mesh.delta_coeffs),
+        non_orth_delta_coeffs=farr(mesh.non_orth_delta_coeffs),
+        correction_vecs=farr(mesh.correction_vecs),
+        owner=iarr(mesh.owner),
+        neighbour=iarr(mesh.neighbour),
+        cface=iarr(tabs["cface"]),
+        csign=farr(tabs["csign"]),
+        cnbr=iarr(tabs["cnbr"]),
+        cnbr_valid=farr(tabs["cnbr_valid"]),
+        cbnd=farr(tabs["cbnd"]),
+        cface_i=iarr(tabs["cface_i"]),
+        n_cells=mesh.n_cells,
+        n_faces=mesh.n_faces,
+        n_internal_faces=mesh.n_internal_faces,
+        max_faces=int(tabs["max_faces"]),
+        patches=tuple(mesh.patches),
+    )
