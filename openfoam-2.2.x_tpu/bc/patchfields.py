@@ -1,0 +1,332 @@
+"""Boundary conditions (fvPatchFields) in data-driven mixed form.
+
+The reference implements ~90 BC types as a class hierarchy
+(reference: src/finiteVolume/fields/fvPatchFields/). Nearly all reduce
+to the reference's own `mixed` base: a per-face triple
+(refValue, refGrad, valueFraction) with
+
+    faceValue = f*refValue + (1-f)*(psi_c + refGrad/deltaCoeff)
+
+from which ALL matrix coefficients follow:
+
+    vf     = vic*psi_c + vbc          (value coefficients)
+    snGrad = dc*(vf - psi_c)
+           = gic*psi_c + gbc,  gic = dc*(vic-1), gbc = dc*vbc
+
+so each BC kind only supplies value_coeffs(); gradient coefficients and
+evaluation are derived. Derived physics BCs (inletOutlet, totalPressure,
+wall functions, ...) become update() rules that recompute the triple
+from solver state each step — the TPU-native replacement for virtual
+updateCoeffs().
+
+All functions are jit-traceable; `kind` is static so dispatch costs
+nothing at runtime.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _pytree_dataclass(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    meta = [f.name for f in dataclasses.fields(cls) if f.metadata.get("static")]
+    data = [n for n in fields if n not in meta]
+    return jax.tree_util.register_dataclass(cls, data_fields=data, meta_fields=meta)
+
+
+def _static(**kw):
+    return dataclasses.field(metadata={"static": True}, **kw)
+
+
+@_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class PatchField:
+    """Per-patch BC state. Arrays are per-face on the patch:
+    [n] or [n,3] matching the field rank (or scalars, broadcast)."""
+
+    ref_value: Any = 0.0
+    ref_grad: Any = 0.0
+    vfrac: Any = 1.0           # valueFraction f in [0,1]
+    kind: str = _static(default="calculated")
+    # free-form static options (e.g. inletValue source, pressure name)
+    opts: Tuple[Tuple[str, Any], ...] = _static(default=())
+
+    def opt(self, key, default=None):
+        for k, v in self.opts:
+            if k == key:
+                return v
+        return default
+
+    def replace(self, **kw) -> "PatchField":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Geometry helpers
+# ---------------------------------------------------------------------------
+
+
+def _patch_delta(mesh, patch):
+    """deltaCoeffs on the patch, shaped for broadcasting."""
+    return mesh.delta_coeffs[patch.slice]
+
+
+def _patch_normals(mesh, patch):
+    sl = patch.slice
+    return mesh.sf[sl] / jnp.maximum(mesh.mag_sf[sl], 1e-30)[:, None]
+
+
+def _patch_internal(mesh, patch, data):
+    """Internal (owner cell) values at the patch faces."""
+    cells = mesh.owner[patch.slice]
+    return data[cells]
+
+
+def _bcast(x, like):
+    """Broadcast BC data (possibly python scalar) against face values."""
+    x = jnp.asarray(x, dtype=like.dtype)
+    if x.ndim == like.ndim and x.shape == like.shape:
+        return x
+    return jnp.broadcast_to(x, like.shape)
+
+
+def _col(x, like):
+    """Broadcast a per-face scalar [n] against [n,3] values if needed."""
+    x = jnp.asarray(x, dtype=like.dtype)
+    if like.ndim == 2 and x.ndim == 1:
+        return x[:, None]
+    return x
+
+
+# ---------------------------------------------------------------------------
+# value_coeffs per kind: (vic, vbc) with vf = vic*psi_c + vbc
+# ---------------------------------------------------------------------------
+
+
+def _vc_mixed(bc, mesh, patch, vi):
+    dc = _col(_patch_delta(mesh, patch), vi)
+    f = _col(_bcast(bc.vfrac, vi[..., 0] if vi.ndim == 2 else vi), vi)
+    rv = _bcast(bc.ref_value, vi)
+    rg = _bcast(bc.ref_grad, vi)
+    vic = 1.0 - f
+    vbc = f * rv + (1.0 - f) * rg / dc
+    return vic, vbc
+
+
+def _vc_fixed_value(bc, mesh, patch, vi):
+    rv = _bcast(bc.ref_value, vi)
+    return jnp.zeros_like(vi), rv
+
+
+def _vc_zero_gradient(bc, mesh, patch, vi):
+    return jnp.ones_like(vi), jnp.zeros_like(vi)
+
+
+def _vc_fixed_gradient(bc, mesh, patch, vi):
+    dc = _col(_patch_delta(mesh, patch), vi)
+    rg = _bcast(bc.ref_grad, vi)
+    return jnp.ones_like(vi), rg / dc
+
+
+def _vc_calculated(bc, mesh, patch, vi):
+    rv = _bcast(bc.ref_value, vi)
+    return jnp.zeros_like(vi), rv
+
+
+def _vc_symmetry(bc, mesh, patch, vi):
+    if vi.ndim == 1:  # scalar: zero gradient
+        return jnp.ones_like(vi), jnp.zeros_like(vi)
+    n = _patch_normals(mesh, patch).astype(vi.dtype)
+    # exact: vf = vi - n (n.vi); implicit diag part (1 - n_c^2), rest explicit
+    vic = 1.0 - n * n
+    vf = vi - n * jnp.sum(n * vi, axis=1, keepdims=True)
+    vbc = vf - vic * vi
+    return vic, vbc
+
+
+_VALUE_COEFFS: Dict[str, Callable] = {
+    "mixed": _vc_mixed,
+    "fixedValue": _vc_fixed_value,
+    "zeroGradient": _vc_zero_gradient,
+    "fixedGradient": _vc_fixed_gradient,
+    "calculated": _vc_calculated,
+    "empty": _vc_zero_gradient,
+    "symmetryPlane": _vc_symmetry,
+    "symmetry": _vc_symmetry,
+    "slip": _vc_symmetry,
+    "noSlip": _vc_fixed_value,
+    "inletOutlet": _vc_mixed,
+    "outletInlet": _vc_mixed,
+    "totalPressure": _vc_mixed,
+    "pressureInletOutletVelocity": _vc_mixed,
+    "flowRateInletVelocity": _vc_fixed_value,
+    "surfaceNormalFixedValue": _vc_fixed_value,
+    "freestream": _vc_mixed,
+    "movingWallVelocity": _vc_fixed_value,
+    "turbulentIntensityKineticEnergyInlet": _vc_mixed,
+    "turbulentMixingLengthDissipationRateInlet": _vc_mixed,
+    "turbulentMixingLengthFrequencyInlet": _vc_mixed,
+    # wall functions: value coefficients are fixed-value-like on nut,
+    # zero-gradient-like on k; handled via their update() rules.
+    "nutkWallFunction": _vc_calculated,
+    "nutUWallFunction": _vc_calculated,
+    "kqRWallFunction": _vc_zero_gradient,
+    "epsilonWallFunction": _vc_fixed_value,
+    "omegaWallFunction": _vc_fixed_value,
+    "kLowReWallFunction": _vc_fixed_value,
+}
+
+
+def value_coeffs(bc: PatchField, mesh, patch, internal) -> Tuple[Any, Any]:
+    vi = _patch_internal(mesh, patch, internal)
+    return _VALUE_COEFFS[bc.kind](bc, mesh, patch, vi)
+
+
+def grad_coeffs(bc: PatchField, mesh, patch, internal) -> Tuple[Any, Any]:
+    vi = _patch_internal(mesh, patch, internal)
+    vic, vbc = _VALUE_COEFFS[bc.kind](bc, mesh, patch, vi)
+    dc = _col(_patch_delta(mesh, patch), vi)
+    return dc * (vic - 1.0), dc * vbc
+
+
+def evaluate(bc: PatchField, mesh, patch, internal) -> Any:
+    vi = _patch_internal(mesh, patch, internal)
+    vic, vbc = _VALUE_COEFFS[bc.kind](bc, mesh, patch, vi)
+    return vic * vi + vbc
+
+
+def is_value_bc(bc: PatchField) -> bool:
+    return bc.kind in ("fixedValue", "noSlip", "calculated")
+
+
+# ---------------------------------------------------------------------------
+# update rules for derived BCs (lagged re-evaluation of the mixed triple)
+# ---------------------------------------------------------------------------
+
+
+def _up_inlet_outlet(bc, mesh, patch, internal, *, phi=None, **ctx):
+    """zeroGradient on outflow, fixedValue(inletValue) on inflow
+    (reference: fvPatchFields/derived/inletOutlet/)."""
+    if phi is None:
+        return bc
+    phib = phi[patch.slice]
+    f = jnp.where(phib < 0.0, 1.0, 0.0)
+    return bc.replace(vfrac=f)
+
+
+def _up_outlet_inlet(bc, mesh, patch, internal, *, phi=None, **ctx):
+    if phi is None:
+        return bc
+    phib = phi[patch.slice]
+    f = jnp.where(phib > 0.0, 1.0, 0.0)
+    return bc.replace(vfrac=f)
+
+
+def _up_total_pressure(bc, mesh, patch, internal, *, phi=None, U=None, **ctx):
+    """p = p0 - 0.5|U|^2 on inflow, zeroGradient on outflow
+    (incompressible form; reference: derived/totalPressure/)."""
+    if phi is None or U is None:
+        return bc
+    phib = phi[patch.slice]
+    p0 = bc.opt("p0", 0.0)
+    cells = mesh.owner[patch.slice]
+    Ub = U[cells]
+    magU2 = jnp.sum(Ub * Ub, axis=1)
+    pval = p0 - 0.5 * magU2
+    f = jnp.where(phib < 0.0, 1.0, 0.0)
+    return bc.replace(ref_value=pval, vfrac=f)
+
+
+def _up_pressure_io_velocity(bc, mesh, patch, internal, *, phi=None, **ctx):
+    """On outflow zeroGradient; on inflow the normal component is set
+    from the flux (reference: derived/pressureInletOutletVelocity/)."""
+    if phi is None:
+        return bc
+    phib = phi[patch.slice]
+    n = _patch_normals(mesh, patch)
+    magSf = mesh.mag_sf[patch.slice]
+    Un = (phib / jnp.maximum(magSf, 1e-30))[:, None] * n
+    f = jnp.where(phib < 0.0, 1.0, 0.0)[:, None]
+    return bc.replace(ref_value=Un, vfrac=f)
+
+
+def _up_freestream(bc, mesh, patch, internal, *, phi=None, **ctx):
+    return _up_inlet_outlet(bc, mesh, patch, internal, phi=phi, **ctx)
+
+
+_UPDATE: Dict[str, Callable] = {
+    "inletOutlet": _up_inlet_outlet,
+    "outletInlet": _up_outlet_inlet,
+    "totalPressure": _up_total_pressure,
+    "pressureInletOutletVelocity": _up_pressure_io_velocity,
+    "freestream": _up_freestream,
+}
+
+
+def update(bc: PatchField, mesh, patch, internal, **ctx) -> PatchField:
+    fn = _UPDATE.get(bc.kind)
+    return fn(bc, mesh, patch, internal, **ctx) if fn else bc
+
+
+def register_update(kind: str, fn: Callable) -> None:
+    """Extension point for model libraries (e.g. wall functions)."""
+    _UPDATE[kind] = fn
+
+
+def register_value_coeffs(kind: str, fn: Callable) -> None:
+    _VALUE_COEFFS[kind] = fn
+
+
+# ---------------------------------------------------------------------------
+# Constructors
+# ---------------------------------------------------------------------------
+
+
+def fixed_value(value, **opts) -> PatchField:
+    return PatchField(ref_value=value, vfrac=1.0, kind="fixedValue",
+                      opts=tuple(opts.items()))
+
+
+def zero_gradient(**opts) -> PatchField:
+    return PatchField(ref_value=0.0, ref_grad=0.0, vfrac=0.0,
+                      kind="zeroGradient", opts=tuple(opts.items()))
+
+
+def fixed_gradient(grad, **opts) -> PatchField:
+    return PatchField(ref_grad=grad, vfrac=0.0, kind="fixedGradient",
+                      opts=tuple(opts.items()))
+
+
+def mixed(ref_value, ref_grad, vfrac, **opts) -> PatchField:
+    return PatchField(ref_value=ref_value, ref_grad=ref_grad, vfrac=vfrac,
+                      kind="mixed", opts=tuple(opts.items()))
+
+
+def make(kind: str, **kw) -> PatchField:
+    opts = {k: v for k, v in kw.items()
+            if k not in ("ref_value", "ref_grad", "vfrac")}
+    return PatchField(
+        ref_value=kw.get("ref_value", 0.0),
+        ref_grad=kw.get("ref_grad", 0.0),
+        vfrac=kw.get("vfrac", 1.0 if kind in ("fixedValue", "noSlip") else 0.0),
+        kind=kind,
+        opts=tuple(opts.items()),
+    )
+
+
+def default_bcs(mesh, rank: int) -> Tuple[PatchField, ...]:
+    """zeroGradient everywhere except constraint patches get their type."""
+    out = []
+    for p in mesh.patches:
+        if p.type == "empty":
+            out.append(PatchField(kind="empty", vfrac=0.0))
+        elif p.type in ("symmetryPlane", "symmetry"):
+            out.append(PatchField(kind=p.type, vfrac=0.0))
+        else:
+            out.append(zero_gradient())
+    return tuple(out)

@@ -341,6 +341,7 @@ class FvMesh:
     delta_coeffs: Any  # [nF]
     non_orth_delta_coeffs: Any  # [nF]
     correction_vecs: Any        # [nF,3]
+    face_active: Any   # [nF] 1.0 everywhere except empty-patch faces
     owner: Any         # [nF] int32
     neighbour: Any     # [nIf] int32
 
@@ -380,6 +381,11 @@ def to_device(mesh: PolyMesh) -> FvMesh:
     sdt = scalar_np()
     tabs = mesh.cell_tables()
 
+    face_active = np.ones(mesh.n_faces, dtype=sdt)
+    for p in mesh.patches:
+        if p.type == "empty":
+            face_active[p.slice] = 0.0
+
     def farr(a):
         return jnp.asarray(np.asarray(a, dtype=sdt))
 
@@ -396,6 +402,7 @@ def to_device(mesh: PolyMesh) -> FvMesh:
         delta_coeffs=farr(mesh.delta_coeffs),
         non_orth_delta_coeffs=farr(mesh.non_orth_delta_coeffs),
         correction_vecs=farr(mesh.correction_vecs),
+        face_active=jnp.asarray(face_active),
         owner=iarr(mesh.owner),
         neighbour=iarr(mesh.neighbour),
         cface=iarr(tabs["cface"]),

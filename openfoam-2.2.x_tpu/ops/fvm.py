@@ -1,0 +1,202 @@
+"""fvm — implicit finite-volume operators (return FvMatrix).
+
+Rebuild of reference: src/finiteVolume/finiteVolume/fvm/ plus the
+scheme implementations (EulerDdtScheme, gaussConvectionScheme,
+gaussLaplacianScheme — reference:
+src/finiteVolume/finiteVolume/ddtSchemes/EulerDdtScheme/,
+convectionSchemes/gaussConvectionScheme/,
+laplacianSchemes/gaussLaplacianScheme/).
+
+Matrix row convention: see ops/matrix.py. Off-diagonal coefficients are
+derived exactly as the reference's assembly + negSumDiag:
+
+  convection (face flux phi, owner weight w):
+      upper = phi*(1-w); lower = -phi*w
+      diag[own] += phi*w;  diag[nei] -= phi*(1-w)
+  diffusion (coef = gamma_f |Sf| deltaCoeff):
+      upper = lower = coef;  diag[own] -= coef; diag[nei] -= coef
+      (note: that sign pair makes fvm.laplacian the NEGATIVE-definite
+       operator, as in the reference; equations use -fvm.laplacian or
+       rely on the operator algebra)
+
+Boundary faces fold the BC linearisation vf = vic*psi_c + vbc,
+snGrad = gic*psi_c + gbc into internalCoeffs (ic, added to the diag at
+solve time) and boundaryCoeffs (bc, added to the source).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+from ..bc import patchfields as pf
+from ..core.dimensions import DimensionSet, dimTime, dimVolume
+from ..core.fields import VolField
+from . import fvc, surface
+from .matrix import FvMatrix, zero_matrix
+
+
+def _ncmp(field: VolField) -> int:
+    return 1 if field.data.ndim == 1 else field.data.shape[1]
+
+
+def _colv(x, field_data):
+    return x[:, None] if field_data.ndim == 2 else x
+
+
+def ddt(mesh, field: VolField, old_data: Any, rdt: Any) -> FvMatrix:
+    """Euler implicit d/dt (reference: EulerDdtScheme::fvmDdt):
+    diag = V/dt, source = V/dt * psi_old."""
+    m = zero_matrix(mesh, _ncmp(field), dims=field.dims * dimVolume / dimTime)
+    vdt = mesh.v * rdt
+    return m.replace_fields(
+        diag=vdt,
+        source=_colv(vdt, field.data) * old_data,
+    )
+
+
+def ddt_steady(mesh, field: VolField) -> FvMatrix:
+    """steadyState ddt: zero contribution."""
+    return zero_matrix(mesh, _ncmp(field), dims=field.dims * dimVolume / dimTime)
+
+
+def div(
+    mesh,
+    phi: Any,
+    field: VolField,
+    weights: Optional[Any] = None,
+    phi_dims: Optional[DimensionSet] = None,
+) -> FvMatrix:
+    """Implicit Gauss convection div(phi, psi)
+    (reference: gaussConvectionScheme::fvmDiv). `weights` are owner-side
+    interpolation weights on internal faces (from ops.schemes; default
+    linear)."""
+    from ..core.dimensions import dimFlux
+
+    nif = mesh.n_internal_faces
+    w = mesh.weights[:nif] if weights is None else weights
+    phi_i = phi[:nif]
+    act = mesh.face_active
+
+    lower = -phi_i * w
+    upper = phi_i * (1.0 - w)
+    # negSumDiag in gather form: diag[own] -= lower ; diag[nei] -= upper
+    own_side = jnp.where(mesh.csign > 0, lower[mesh.cface_i], upper[mesh.cface_i])
+    diag = -jnp.sum(own_side * mesh.cnbr_valid, axis=1)
+
+    # boundary: term phi_b * (vic*psi_c + vbc)
+    ics, bcs = [], []
+    for p, bc in zip(mesh.patches, field.bcs):
+        phib = (phi * act)[p.slice]
+        vic, vbc = pf.value_coeffs(bc, mesh, p, field.data)
+        phib_c = _colv(phib, field.data)
+        ics.append(phib_c * vic)
+        bcs.append(-phib_c * vbc)
+    ic = jnp.concatenate(ics, axis=0)
+    bcc = jnp.concatenate(bcs, axis=0)
+
+    dims = (phi_dims or dimFlux) * field.dims
+    nc = _ncmp(field)
+    src = jnp.zeros((mesh.n_cells,) if nc == 1 else (mesh.n_cells, nc), diag.dtype)
+    return FvMatrix(
+        diag=diag, lower=lower, upper=upper, source=src, ic=ic, bc=bcc,
+        dims=dims, symmetric=False,
+    )
+
+
+def laplacian(
+    mesh,
+    gamma_f: Any,
+    field: VolField,
+    corrected: bool = True,
+    gamma_dims: Optional[DimensionSet] = None,
+) -> FvMatrix:
+    """Implicit Gauss Laplacian laplacian(gamma, psi)
+    (reference: gaussLaplacianScheme::fvmLaplacian). gamma_f is a face
+    field [nF] (interpolate cell gamma first) or a scalar.
+
+    corrected=True adds the explicit non-orthogonality correction to the
+    source (reference: correctedSnGrad deferred correction)."""
+    from ..core.dimensions import dimless
+
+    nif = mesh.n_internal_faces
+    act = mesh.face_active
+    gamma_f = jnp.broadcast_to(jnp.asarray(gamma_f, mesh.v.dtype), (mesh.n_faces,))
+    dc = mesh.non_orth_delta_coeffs if corrected else mesh.delta_coeffs
+    coef = gamma_f * mesh.mag_sf * act * dc
+    coef_i = coef[:nif]
+
+    upper = coef_i
+    lower = coef_i
+    diag = -jnp.sum(coef_i[mesh.cface_i] * mesh.cnbr_valid, axis=1)
+
+    nc = _ncmp(field)
+    src = jnp.zeros((mesh.n_cells,) if nc == 1 else (mesh.n_cells, nc), diag.dtype)
+    if corrected:
+        # explicit correction: op += sum_f gamma |Sf| (k . grad_f psi)
+        g = fvc.grad(mesh, field)
+        gf = surface.interpolate_internal(mesh, g)
+        gamsf_i = (gamma_f * mesh.mag_sf * act)[:nif]
+        if field.data.ndim == 1:
+            corr_f = gamsf_i * jnp.sum(mesh.correction_vecs[:nif] * gf, axis=1)
+        else:
+            corr_f = gamsf_i[:, None] * jnp.sum(
+                mesh.correction_vecs[:nif, :, None] * gf, axis=1
+            )
+        # pad to full faces (boundary correction handled via BC coeffs)
+        if corr_f.ndim == 2:
+            corr_full = jnp.zeros((mesh.n_faces, corr_f.shape[1]), corr_f.dtype)
+        else:
+            corr_full = jnp.zeros((mesh.n_faces,), corr_f.dtype)
+        corr_full = corr_full.at[:nif].set(corr_f)
+        corr_cell = surface.surface_sum(mesh, corr_full)
+        # operator value includes +corr -> RHS gets -(-corr)? row form:
+        # implicit(psi) + corr = RHS  =>  source -= corr ... but fvm terms
+        # conventionally sit on the LHS with the matrix representing the
+        # full operator, so the explicit part moves to the source with a
+        # MINUS sign relative to the implicit part:
+        src = src - corr_cell
+
+    gb = gamma_f * mesh.mag_sf * act
+    ics, bcs = [], []
+    for p, bc in zip(mesh.patches, field.bcs):
+        gic, gbc = pf.grad_coeffs(bc, mesh, p, field.data)
+        gbp = _colv(gb[p.slice], field.data)
+        ics.append(gbp * gic)
+        bcs.append(-gbp * gbc)
+    ic = jnp.concatenate(ics, axis=0)
+    bcc = jnp.concatenate(bcs, axis=0)
+
+    gdims = gamma_dims if gamma_dims is not None else dimless
+    from ..core.dimensions import dimLength
+
+    dims = gdims * field.dims * dimLength
+    return FvMatrix(
+        diag=diag, lower=lower, upper=upper, source=src, ic=ic, bc=bcc,
+        dims=dims, symmetric=True,
+    )
+
+
+def Sp(mesh, sp: Any, field: VolField) -> FvMatrix:
+    """Implicit source sp*psi (reference: fvm::Sp): diag += V*sp."""
+    m = zero_matrix(mesh, _ncmp(field), dims=field.dims * dimVolume / dimTime)
+    return m.replace_fields(diag=mesh.v * sp)
+
+
+def SuSp(mesh, susp: Any, field: VolField) -> FvMatrix:
+    """Implicit/explicit split source (reference: fvm::SuSp): the
+    positive part goes on the diagonal (stabilising), the negative part
+    is explicit."""
+    m = zero_matrix(mesh, _ncmp(field), dims=field.dims * dimVolume / dimTime)
+    diag = mesh.v * jnp.maximum(susp, 0.0)
+    src = -mesh.v * jnp.minimum(susp, 0.0) * field.data
+    return m.replace_fields(diag=diag, source=src)
+
+
+def Su(mesh, su: Any, field: VolField) -> FvMatrix:
+    """Explicit source inside the operator (reference: fvm::Su):
+    source -= V*su (the term appears on the LHS)."""
+    m = zero_matrix(mesh, _ncmp(field), dims=field.dims * dimVolume / dimTime)
+    v = _colv(mesh.v, field.data)
+    return m.replace_fields(source=-v * su)

@@ -1,0 +1,217 @@
+"""FvMatrix: the LDU-addressed implicit FV system as a jnp pytree.
+
+Rebuild of the reference's fvMatrix/lduMatrix pair
+(reference: src/finiteVolume/fvMatrices/fvMatrix/fvMatrix.H,
+src/OpenFOAM/matrices/lduMatrix/lduMatrix/lduMatrix.H): diagonal,
+per-internal-face upper/lower coefficients, source, plus per-boundary-
+face coupling coefficients (internalCoeffs -> diag, boundaryCoeffs ->
+source).
+
+Row convention (matching the reference's Amul):
+    diag_eff[c]*psi[c] + sum_f off(f)*psi[nbr(f)] = source_eff[c]
+with off(f) = upper[f] when c owns f, lower[f] otherwise;
+    diag_eff = diag + sum_bfaces ic,   source_eff = source + sum_bfaces bc.
+
+For vector equations the matrix is segregated (reference: fvMatrix
+solves component-by-component): diag/upper/lower are scalar, source and
+boundary coefficients carry one column per component.
+
+The matrix-vector product is gather-based (see ops/surface.py) — the
+single hottest kernel in the framework.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dimensions import DimensionSet, dimless
+from . import surface
+
+
+def _pytree_dataclass(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    meta = [f.name for f in dataclasses.fields(cls) if f.metadata.get("static")]
+    data = [n for n in fields if n not in meta]
+    return jax.tree_util.register_dataclass(cls, data_fields=data, meta_fields=meta)
+
+
+def _static(**kw):
+    return dataclasses.field(metadata={"static": True}, **kw)
+
+
+@_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class FvMatrix:
+    diag: Any       # [nC]
+    lower: Any      # [nIf]
+    upper: Any      # [nIf]
+    source: Any     # [nC] or [nC,C]
+    ic: Any         # internalCoeffs  [nBf] or [nBf,C] (adds to diag)
+    bc: Any         # boundaryCoeffs  [nBf] or [nBf,C] (adds to source)
+    dims: DimensionSet = _static(default=dimless)   # of source (= op * volume)
+    symmetric: bool = _static(default=True)
+
+    def replace_fields(self, **kw) -> "FvMatrix":
+        return dataclasses.replace(self, **kw)
+
+    # ---- algebra -----------------------------------------------------------
+    def __add__(self, other: "FvMatrix") -> "FvMatrix":
+        if isinstance(other, FvMatrix):
+            d = self.dims + other.dims  # raises on mismatch
+            return FvMatrix(
+                diag=self.diag + other.diag,
+                lower=self.lower + other.lower,
+                upper=self.upper + other.upper,
+                source=self.source + other.source,
+                ic=self.ic + other.ic,
+                bc=self.bc + other.bc,
+                dims=d,
+                symmetric=self.symmetric and other.symmetric,
+            )
+        return NotImplemented
+
+    def __neg__(self) -> "FvMatrix":
+        return FvMatrix(
+            diag=-self.diag, lower=-self.lower, upper=-self.upper,
+            source=-self.source, ic=-self.ic, bc=-self.bc,
+            dims=self.dims, symmetric=self.symmetric,
+        )
+
+    def __sub__(self, other: "FvMatrix") -> "FvMatrix":
+        if isinstance(other, FvMatrix):
+            return self + (-other)
+        return NotImplemented
+
+    def add_source(self, vol_source: Any, mesh=None) -> "FvMatrix":
+        """RHS += V * field  (the `fvm == fvc_field` operator; the
+        explicit field is per-volume, reference: fvMatrix operator==)."""
+        v = mesh.v
+        if vol_source.ndim == 2:
+            v = v[:, None]
+        return dataclasses.replace(self, source=self.source + v * vol_source)
+
+    # ---- effective system ---------------------------------------------------
+    def diag_eff(self, mesh, cmpt: Optional[int] = None) -> Any:
+        ic = self.ic
+        if ic.ndim == 2:
+            ic = ic[:, cmpt] if cmpt is not None else ic
+        if ic.ndim == 2:
+            return self.diag[:, None] + surface.boundary_sum(mesh, ic)
+        return self.diag + surface.boundary_sum(mesh, ic)
+
+    def source_eff(self, mesh, cmpt: Optional[int] = None) -> Any:
+        bc = self.bc
+        src = self.source
+        if bc.ndim == 2 and cmpt is not None:
+            bc = bc[:, cmpt]
+            src = src[:, cmpt]
+        return src + surface.boundary_sum(mesh, bc)
+
+    def off_coeffs(self, mesh) -> Any:
+        """Per-cell off-diagonal coefficients [nC,K]: upper where the
+        cell owns the face, lower otherwise; zero on boundary/pad."""
+        up = self.upper[mesh.cface_i]
+        lo = self.lower[mesh.cface_i]
+        return jnp.where(mesh.csign > 0, up, lo) * mesh.cnbr_valid
+
+    def amul(self, mesh, psi: Any, diag_eff: Optional[Any] = None) -> Any:
+        """A @ psi for a scalar psi [nC] (the hot SpMV)."""
+        if diag_eff is None:
+            diag_eff = self.diag_eff(mesh)
+        off = self.off_coeffs(mesh)
+        return diag_eff * psi + jnp.sum(off * psi[mesh.cnbr], axis=1)
+
+    def row_sum(self, mesh, diag_eff: Optional[Any] = None) -> Any:
+        """sumA: diag + sum of off-diagonals per row (for the reference's
+        residual normalisation, lduMatrix::sumA)."""
+        if diag_eff is None:
+            diag_eff = self.diag_eff(mesh)
+        return diag_eff + jnp.sum(self.off_coeffs(mesh), axis=1)
+
+    # ---- PISO/SIMPLE operator splits ----------------------------------------
+    def A(self, mesh) -> Any:
+        """Central coefficient / volume (reference: fvMatrix::A)."""
+        d = self.diag_eff(mesh)
+        if d.ndim == 2:
+            return d / mesh.v[:, None]
+        return d / mesh.v
+
+    def H(self, mesh, psi: Any) -> Any:
+        """(source - offdiag*psi) / V (reference: fvMatrix::H)."""
+        off = self.off_coeffs(mesh)
+        if psi.ndim == 2:
+            npsi = psi[mesh.cnbr]  # [nC,K,3]
+            offpsi = jnp.sum(off[:, :, None] * npsi, axis=1)
+            return (self.source_eff(mesh) - offpsi) / mesh.v[:, None]
+        offpsi = jnp.sum(off * psi[mesh.cnbr], axis=1)
+        return (self.source_eff(mesh) - offpsi) / mesh.v
+
+    def flux(self, mesh, psi: Any) -> Any:
+        """Consistent face flux of the implicit operator
+        (reference: fvMatrix::flux — used as pEqn.flux()).
+        Internal faces: upper*psi_nei - lower*psi_own (owner->neighbour
+        positive); boundary: ic*psi_c - bc."""
+        nif = mesh.n_internal_faces
+        f_int = self.upper * psi[mesh.neighbour] - self.lower * psi[mesh.owner[:nif]]
+        bcells = mesh.owner[nif:]
+        ic, bc = self.ic, self.bc
+        f_bnd = ic * psi[bcells] - bc
+        return jnp.concatenate([f_int, f_bnd], axis=0)
+
+    # ---- constraints ---------------------------------------------------------
+    def set_reference(self, cell: int, value: float) -> "FvMatrix":
+        """Pin the solution level in one cell (reference:
+        fvMatrix::setReference — needed when the matrix has a null
+        space, e.g. all-Neumann pressure)."""
+        d = self.diag[cell]
+        return dataclasses.replace(
+            self,
+            source=self.source.at[cell].add(d * value),
+            diag=self.diag.at[cell].add(d),
+        )
+
+    def relax(self, mesh, alpha: float, psi: Any) -> "FvMatrix":
+        """Under-relaxation (reference: fvMatrix::relax): floor the
+        diagonal by the off-diagonal magnitude sum, divide by alpha, and
+        compensate the source with the current solution."""
+        sum_off = jnp.sum(jnp.abs(self.off_coeffs(mesh)), axis=1)
+        ic_mag = self.ic if self.ic.ndim == 1 else jnp.max(jnp.abs(self.ic), axis=1)
+        sum_off = sum_off + surface.boundary_sum(mesh, jnp.abs(ic_mag))
+        d0 = self.diag
+        d1 = jnp.maximum(jnp.abs(d0), sum_off) * jnp.sign(d0 + 1e-300)
+        d1 = d1 / alpha
+        dd = d1 - d0
+        if psi.ndim == 2:
+            src = self.source + dd[:, None] * psi
+        else:
+            src = self.source + dd * psi
+        return dataclasses.replace(self, diag=d1, source=src)
+
+    def residual(self, mesh, psi: Any, cmpt: Optional[int] = None) -> Any:
+        d = self.diag_eff(mesh, cmpt)
+        b = self.source_eff(mesh, cmpt)
+        p = psi if psi.ndim == 1 else psi[:, cmpt]
+        return b - self.amul(mesh, p, d)
+
+
+def zero_matrix(mesh, n_cmpts: int = 1, dims: DimensionSet = dimless) -> FvMatrix:
+    dt = mesh.v.dtype
+    shape_c = (mesh.n_cells,) if n_cmpts == 1 else (mesh.n_cells, n_cmpts)
+    shape_b = (
+        (mesh.n_boundary_faces,)
+        if n_cmpts == 1
+        else (mesh.n_boundary_faces, n_cmpts)
+    )
+    return FvMatrix(
+        diag=jnp.zeros(mesh.n_cells, dt),
+        lower=jnp.zeros(mesh.n_internal_faces, dt),
+        upper=jnp.zeros(mesh.n_internal_faces, dt),
+        source=jnp.zeros(shape_c, dt),
+        ic=jnp.zeros(shape_b, dt),
+        bc=jnp.zeros(shape_b, dt),
+        dims=dims,
+    )

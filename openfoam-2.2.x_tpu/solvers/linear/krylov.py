@@ -1,0 +1,220 @@
+"""Krylov / smoother linear solvers over the LDU gather-form matrix.
+
+Rebuild of reference: src/OpenFOAM/matrices/lduMatrix/solvers/{PCG,PBiCG,
+smoothSolver}/. Iteration structure, residual definition and
+normalisation follow the reference exactly so the printed
+"Solving for p, Initial residual = ..." lines are comparable:
+
+    normFactor = gSum(|Apsi - pA| + |b - pA|) + SMALL,  pA = sumA*avg(psi)
+    residual   = gSum(|b - Apsi|) / normFactor
+
+TPU-design deviations (SURVEY.md §7 decision 4): the sequential
+DIC/DILU preconditioners have no parallel twin, so the preconditioner
+menu is diagonal (Jacobi) and truncated-Neumann "polynomial" (each
+order costs one extra gather-SpMV but runs at full VPU throughput).
+Gauss-Seidel smoothing is replaced by damped Jacobi. Convergence is to
+the same tolerances; iteration counts differ (documented).
+
+All solves run inside jax.lax.while_loop — one XLA compilation, zero
+host round-trips per iteration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class SolverPerf(NamedTuple):
+    initial_residual: Any
+    final_residual: Any
+    n_iterations: Any
+
+
+def _small(dtype) -> float:
+    return 1e-20 if dtype == jnp.float64 else 1e-12
+
+
+def _sum(x):
+    return jnp.sum(x)
+
+
+def _norm_factor(amul, psi, b, row_sum):
+    Apsi = amul(psi)
+    pA = row_sum * jnp.mean(psi)
+    nf = _sum(jnp.abs(Apsi - pA)) + _sum(jnp.abs(b - pA)) + _small(psi.dtype)
+    return Apsi, nf
+
+
+def make_preconditioner(kind: str, diag, amul_off=None, order: int = 2):
+    """kind: 'diagonal' | 'none' | 'polynomial' (truncated Neumann
+    series M^-1 ~ sum_k (-D^-1 N)^k D^-1)."""
+    rdiag = 1.0 / diag
+    if kind in ("none",):
+        return lambda r: r
+    if kind in ("diagonal", "Jacobi", "DIC", "DILU", "FDIC"):
+        # DIC/DILU mapped to diagonal (see module docstring)
+        return lambda r: r * rdiag
+    if kind == "polynomial":
+        def prec(r):
+            z = r * rdiag
+            x = z
+            for _ in range(order):
+                # x <- z - D^-1 N x
+                x = z - amul_off(x) * rdiag
+            return x
+        return prec
+    raise ValueError(f"unknown preconditioner {kind!r}")
+
+
+def pcg(
+    amul,
+    psi0,
+    b,
+    diag,
+    *,
+    tol: float,
+    rel_tol: float,
+    max_iter: int,
+    precond: str = "diagonal",
+    amul_off=None,
+    row_sum=None,
+):
+    """Preconditioned conjugate gradient (reference: PCG.C)."""
+    prec = make_preconditioner(precond, diag, amul_off)
+    Apsi, norm = _norm_factor(amul, psi0, b, row_sum)
+    r0 = b - Apsi
+    res0 = _sum(jnp.abs(r0)) / norm
+    dt = psi0.dtype
+    tiny = jnp.asarray(_small(dt), dt)
+
+    def cond(state):
+        psi, r, p, wArA, it, res = state
+        return (it < max_iter) & (res > tol) & (res > rel_tol * res0)
+
+    def body(state):
+        psi, r, p, wArA_old, it, res = state
+        z = prec(r)
+        wArA = jnp.vdot(r, z)
+        beta = jnp.where(it == 0, 0.0, wArA / jnp.where(wArA_old == 0, tiny, wArA_old))
+        p = z + beta * p
+        q = amul(p)
+        pq = jnp.vdot(p, q)
+        alpha = wArA / jnp.where(pq == 0, tiny, pq)
+        psi = psi + alpha * p
+        r = r - alpha * q
+        res = _sum(jnp.abs(r)) / norm
+        return psi, r, p, wArA, it + 1, res
+
+    init = (psi0, r0, jnp.zeros_like(psi0), jnp.zeros((), dt), jnp.zeros((), jnp.int32), res0)
+    psi, r, p, wArA, it, res = jax.lax.while_loop(cond, body, init)
+    return psi, SolverPerf(res0, res, it)
+
+
+def bicgstab(
+    amul,
+    psi0,
+    b,
+    diag,
+    *,
+    tol: float,
+    rel_tol: float,
+    max_iter: int,
+    precond: str = "diagonal",
+    amul_off=None,
+    row_sum=None,
+):
+    """Preconditioned BiCGStab for asymmetric matrices (the reference
+    ships plain PBiCG — reference: PBiCG.C; BiCGStab is the standard
+    robust upgrade and dispatches from both keywords)."""
+    prec = make_preconditioner(precond, diag, amul_off)
+    Apsi, norm = _norm_factor(amul, psi0, b, row_sum)
+    r0 = b - Apsi
+    res0 = _sum(jnp.abs(r0)) / norm
+    rhat = r0
+    dt = psi0.dtype
+    tiny = jnp.asarray(_small(dt), dt)
+    zero = jnp.zeros_like(psi0)
+
+    def cond(state):
+        psi, r, p, v, rho, alpha, omega, it, res = state
+        return (it < max_iter) & (res > tol) & (res > rel_tol * res0)
+
+    def body(state):
+        psi, r, p, v, rho_old, alpha, omega, it, res = state
+        rho = jnp.vdot(rhat, r)
+        beta = (rho / jnp.where(rho_old == 0, tiny, rho_old)) * (
+            alpha / jnp.where(omega == 0, tiny, omega)
+        )
+        beta = jnp.where(it == 0, 0.0, beta)
+        p = r + beta * (p - omega * v)
+        phat = prec(p)
+        v = amul(phat)
+        rhv = jnp.vdot(rhat, v)
+        alpha = rho / jnp.where(rhv == 0, tiny, rhv)
+        s = r - alpha * v
+        shat = prec(s)
+        t = amul(shat)
+        tt = jnp.vdot(t, t)
+        omega = jnp.vdot(t, s) / jnp.where(tt == 0, tiny, tt)
+        psi = psi + alpha * phat + omega * shat
+        r = s - omega * t
+        res = _sum(jnp.abs(r)) / norm
+        return psi, r, p, v, rho, alpha, omega, it + 1, res
+
+    one = jnp.ones((), dt)
+    init = (psi0, r0, zero, zero, one, one, one, jnp.zeros((), jnp.int32), res0)
+    out = jax.lax.while_loop(cond, body, init)
+    psi, r = out[0], out[1]
+    return psi, SolverPerf(res0, out[-1], out[-2])
+
+
+def smooth_solver(
+    amul,
+    psi0,
+    b,
+    diag,
+    *,
+    tol: float,
+    rel_tol: float,
+    max_iter: int,
+    n_sweeps: int = 1,
+    omega: float = 0.9,
+    row_sum=None,
+    **_,
+):
+    """smoothSolver with damped-Jacobi sweeps (reference:
+    smoothSolver.C + GaussSeidelSmoother — GS replaced by weighted
+    Jacobi, the parallel-equivalent smoother)."""
+    Apsi, norm = _norm_factor(amul, psi0, b, row_sum)
+    r0 = b - Apsi
+    res0 = _sum(jnp.abs(r0)) / norm
+    rdiag = omega / diag
+
+    def cond(state):
+        psi, it, res = state
+        return (it < max_iter) & (res > tol) & (res > rel_tol * res0)
+
+    def body(state):
+        psi, it, res = state
+        for _ in range(n_sweeps):
+            r = b - amul(psi)
+            psi = psi + r * rdiag
+        res = _sum(jnp.abs(b - amul(psi))) / norm
+        return psi, it + 1, res
+
+    init = (psi0, jnp.zeros((), jnp.int32), res0)
+    psi, it, res = jax.lax.while_loop(cond, body, init)
+    return psi, SolverPerf(res0, res, it)
+
+
+def diagonal_solver(amul, psi0, b, diag, **kw):
+    """Exact solve for diagonal matrices (reference: diagonalSolver.C
+    — used for explicit transport)."""
+    psi = b / diag
+    z = jnp.zeros((), psi0.dtype)
+    return psi, SolverPerf(z, z, jnp.zeros((), jnp.int32))
