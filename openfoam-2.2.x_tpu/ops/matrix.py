@@ -134,19 +134,27 @@ class FvMatrix:
 
     # ---- PISO/SIMPLE operator splits ----------------------------------------
     def A(self, mesh) -> Any:
-        """Central coefficient / volume (reference: fvMatrix::A)."""
-        d = self.diag_eff(mesh)
-        if d.ndim == 2:
-            return d / mesh.v[:, None]
+        """Central coefficient / volume as a SCALAR field; for vector
+        matrices the boundary coefficients are component-averaged,
+        exactly as the reference (fvMatrix::A via D() with
+        cmptAv(internalCoeffs))."""
+        ic = self.ic if self.ic.ndim == 1 else jnp.mean(self.ic, axis=1)
+        d = self.diag + surface.boundary_sum(mesh, ic)
         return d / mesh.v
 
     def H(self, mesh, psi: Any) -> Any:
-        """(source - offdiag*psi) / V (reference: fvMatrix::H)."""
+        """(source_eff - offdiag*psi + (Dav - Dc)*psi) / V
+        (reference: fvMatrix::H) — the correction term keeps
+        psi == H()/A() exact at the segregated solution whenever the
+        boundary coefficients are component-symmetric."""
         off = self.off_coeffs(mesh)
         if psi.ndim == 2:
-            npsi = psi[mesh.cnbr]  # [nC,K,3]
+            npsi = psi[mesh.cnbr]  # [nC,K,C]
             offpsi = jnp.sum(off[:, :, None] * npsi, axis=1)
-            return (self.source_eff(mesh) - offpsi) / mesh.v[:, None]
+            d_c = surface.boundary_sum(mesh, self.ic)        # [nC,C]
+            d_av = jnp.mean(d_c, axis=1, keepdims=True)
+            corr = (d_av - d_c) * psi
+            return (self.source_eff(mesh) - offpsi + corr) / mesh.v[:, None]
         offpsi = jnp.sum(off * psi[mesh.cnbr], axis=1)
         return (self.source_eff(mesh) - offpsi) / mesh.v
 

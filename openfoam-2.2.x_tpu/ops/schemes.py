@@ -1,0 +1,114 @@
+"""Surface interpolation schemes: the linear/upwind/TVD-NVD limiter family.
+
+Rebuild of reference: src/finiteVolume/interpolation/surfaceInterpolation/
+{schemes,limitedSchemes}/ — limitedSurfaceInterpolationScheme computes a
+per-face blending factor (limiter) between central (CD) and upwind (UD)
+weights:
+
+    w_f = limiter*w_CD + (1-limiter)*w_UD
+
+with the TVD ratio r from the upwind-cell gradient
+(reference: limitedSchemes/LimitedScheme/NVDTVD.H):
+
+    r = 2*(d . grad_upwind)/(psi_N - psi_P) - 1,  d = C_N - C_P
+
+(for vectors, projected onto psi_N - psi_P). All schemes are pure face
+math — one gather over cells, fully fused by XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax.numpy as jnp
+
+from ..core.fields import VolField
+from . import fvc, surface
+
+# limiter functions: lam(r) -> blending factor (Sweby phi)
+_LIMITERS: Dict[str, Callable] = {
+    "vanLeer": lambda r: (r + jnp.abs(r)) / (1.0 + jnp.abs(r)),
+    "Minmod": lambda r: jnp.clip(r, 0.0, 1.0),
+    "SuperBee": lambda r: jnp.maximum(
+        jnp.clip(2.0 * r, 0.0, 1.0), jnp.clip(r, 0.0, 2.0)
+    ),
+    "vanAlbada": lambda r: jnp.where(r > 0, r * (r + 1.0) / (r * r + 1.0), 0.0),
+    "MUSCL": lambda r: jnp.maximum(
+        0.0, jnp.minimum(jnp.minimum(2.0 * r, 0.5 * (r + 1.0)), 2.0)
+    ),
+    "OSPRE": lambda r: jnp.where(
+        r > 0, 1.5 * r * (r + 1.0) / (r * r + r + 1.0), 0.0
+    ),
+    "QUICK": lambda r: jnp.clip((3.0 + r) / 4.0, 0.0, 2.0),
+    "UMIST": lambda r: jnp.maximum(
+        0.0,
+        jnp.minimum(
+            jnp.minimum(2.0 * r, 0.25 + 0.75 * r),
+            jnp.minimum(0.75 + 0.25 * r, 2.0),
+        ),
+    ),
+}
+
+
+def limited_linear(k: float) -> Callable:
+    two_by_k = 2.0 / max(k, 1e-6)
+    return lambda r: jnp.clip(two_by_k * r, 0.0, 1.0)
+
+
+def _tvd_r(mesh, phi_i: Any, field: VolField) -> Any:
+    """TVD ratio r on internal faces."""
+    nif = mesh.n_internal_faces
+    own = mesh.owner[:nif]
+    nei = mesh.neighbour
+    data = field.data
+    d = mesh.c[nei] - mesh.c[own]
+    g = fvc.grad(mesh, field)  # [nC,3] or [nC,3,3]
+    upwind_is_owner = phi_i >= 0
+    if data.ndim == 1:
+        gradf = data[nei] - data[own]
+        g_up = jnp.where(upwind_is_owner[:, None], g[own], g[nei])
+        ud = 2.0 * jnp.sum(d * g_up, axis=1)
+        r = ud / jnp.where(jnp.abs(gradf) > 1e-30, gradf,
+                           jnp.where(gradf >= 0, 1e-30, -1e-30)) - 1.0
+    else:
+        gradf = data[nei] - data[own]  # [nIf,3]
+        g_up = jnp.where(upwind_is_owner[:, None, None], g[own], g[nei])
+        dg = jnp.einsum("fi,fij->fj", d, g_up)  # [nIf,3]
+        num = 2.0 * jnp.sum(dg * gradf, axis=1)
+        den = jnp.sum(gradf * gradf, axis=1)
+        r = num / jnp.maximum(den, 1e-30) - 1.0
+    return r
+
+
+def weights(mesh, phi: Any, scheme: str, field: Optional[VolField] = None) -> Any:
+    """Owner-side interpolation weights on INTERNAL faces for the named
+    divScheme interpolation keyword."""
+    nif = mesh.n_internal_faces
+    phi_i = phi[:nif]
+    w_cd = mesh.weights[:nif]
+    w_ud = jnp.where(phi_i >= 0, 1.0, 0.0).astype(w_cd.dtype)
+
+    parts = scheme.split()
+    name = parts[0]
+    if name == "linear":
+        return w_cd
+    if name == "upwind":
+        return w_ud
+    if name == "midPoint":
+        return jnp.full_like(w_cd, 0.5)
+    if name == "limitedLinear":
+        k = float(parts[1]) if len(parts) > 1 else 1.0
+        lam_fn = limited_linear(k)
+    elif name in _LIMITERS:
+        lam_fn = _LIMITERS[name]
+    else:
+        raise ValueError(f"unknown interpolation scheme {scheme!r}")
+    if field is None:
+        raise ValueError(f"scheme {scheme!r} needs the transported field")
+    r = _tvd_r(mesh, phi_i, field)
+    lam = jnp.clip(lam_fn(r), 0.0, 2.0).astype(w_cd.dtype)
+    return lam * w_cd + (1.0 - lam) * w_ud
+
+
+def register_limiter(name: str, fn: Callable) -> None:
+    _LIMITERS[name] = fn

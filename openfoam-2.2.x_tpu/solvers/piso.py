@@ -1,0 +1,185 @@
+"""icoFoam / pisoFoam — transient incompressible PISO solvers.
+
+Rebuild of reference: applications/solvers/incompressible/icoFoam/
+(icoFoam.C + pEqn logic) and pisoFoam/ (adds a turbulence model).
+The whole time step — momentum predictor, PISO corrector loop with
+non-orthogonal correctors, flux reconstruction — traces into ONE XLA
+program; the Python loops below unroll at trace time (corrector counts
+are static config, as in fvSolution).
+
+Call stack mirror (SURVEY.md §3.1):
+    momentum:  UEqn = ddt(U) + div(phi,U) - laplacian(nu,U)
+               solve(UEqn == -grad(p))
+    corrector: rAU=1/A(U); HbyA=rAU*H(U); phiHbyA=Sf.interp(HbyA)
+               pEqn: laplacian(rAU,p) == div(phiHbyA); solve
+               phi = phiHbyA - pEqn.flux(); U = HbyA - rAU*grad(p)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..bc import patchfields as pf
+from ..core.dimensions import dimFlux, dimPressure, dimTime, dimViscosity
+from ..core.fields import VolField
+from ..ops import fvc, fvm, surface
+from . import linear
+
+
+class PisoConfig(NamedTuple):
+    nu: float
+    n_correctors: int = 2
+    n_non_orth: int = 0
+    momentum_predictor: bool = True
+    corrected: bool = False          # non-orthogonal laplacian correction
+    div_scheme: str = "linear"       # for div(phi, U)
+    p_ref_cell: int = 0
+    p_ref_value: float = 0.0
+    p_controls: Dict = None
+    u_controls: Dict = None
+    turbulence: Optional[Callable] = None   # (mesh, state) -> (nu_eff_face, new_model_state)
+
+
+def _default_controls():
+    return (
+        {"solver": "PCG", "preconditioner": "diagonal",
+         "tolerance": 1e-6, "relTol": 0.0, "maxIter": 1000},
+        {"solver": "smoothSolver", "tolerance": 1e-5, "relTol": 0.0,
+         "maxIter": 1000, "nSweeps": 2},
+    )
+
+
+def needs_reference(p: VolField, mesh) -> bool:
+    """Pressure needs a reference when no boundary fixes its value
+    (reference: setRefCell / findRefCell.C)."""
+    for patch, bc in zip(mesh.patches, p.bcs):
+        if pf.is_value_bc(bc) or bc.kind in ("mixed", "inletOutlet", "totalPressure"):
+            return False
+    return True
+
+
+def boundary_flux(mesh, U: VolField) -> Any:
+    """Sf . U_b on boundary faces (masked on empty patches)."""
+    ub = U.boundary_values(mesh)
+    nif = mesh.n_internal_faces
+    return jnp.sum(mesh.sf[nif:] * ub, axis=1) * mesh.face_active[nif:]
+
+
+def face_interp_cell(mesh, data: Any) -> Any:
+    """Interpolate per-cell scalar data to ALL faces with zero-gradient
+    boundary extrapolation (for rAU etc.)."""
+    vi = surface.interpolate_internal(mesh, data)
+    vb = data[mesh.owner[mesh.n_internal_faces:]]
+    return jnp.concatenate([vi, vb], axis=0)
+
+
+def div_weights(mesh, phi: Any, scheme: str, field: VolField = None) -> Any:
+    """Owner-side face weights on internal faces per divScheme keyword."""
+    from ..ops import schemes
+
+    return schemes.weights(mesh, phi, scheme, field)
+
+
+def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
+    """One PISO time step. state: {"U": VolField, "p": VolField,
+    "phi": [nF]}. Returns (new_state, diagnostics)."""
+    p_ctrl = cfg.p_controls or _default_controls()[0]
+    u_ctrl = cfg.u_controls or _default_controls()[1]
+
+    U: VolField = state["U"]
+    p: VolField = state["p"]
+    phi = state["phi"]
+    rdt = 1.0 / dt
+    diag: Dict[str, Any] = {}
+
+    # -- effective viscosity (laminar or turbulence model) -------------------
+    if cfg.turbulence is not None:
+        nu_face, _ = cfg.turbulence(mesh, state)
+    else:
+        nu_face = jnp.asarray(cfg.nu, mesh.v.dtype)
+
+    # -- momentum predictor ----------------------------------------------------
+    w_div = div_weights(mesh, phi, cfg.div_scheme, U)
+    UEqn = (
+        fvm.ddt(mesh, U, state.get("U0", U.data), rdt)
+        + fvm.div(mesh, phi, U, weights=w_div)
+        - fvm.laplacian(mesh, nu_face, U, corrected=cfg.corrected,
+                        gamma_dims=dimViscosity)
+    )
+    grad_p = fvc.grad(mesh, p)
+    if cfg.momentum_predictor:
+        Umat = UEqn.add_source(-grad_p, mesh)
+        Udata, uperf = linear.solve(mesh, Umat, U.data, u_ctrl)
+        U = U.with_data(Udata)
+        diag["Ux"] = uperf
+    else:
+        diag["Ux"] = None
+
+    # -- PISO corrector loop ----------------------------------------------------
+    rA = 1.0 / UEqn.A(mesh)
+    for corr in range(cfg.n_correctors):
+        HbyA = rA[:, None] * UEqn.H(mesh, U.data)
+        # phiHbyA: internal by interpolation, boundary from U's BC values
+        hf = surface.interpolate_internal(mesh, HbyA)
+        nif = mesh.n_internal_faces
+        phiHbyA_i = jnp.sum(mesh.sf[:nif] * hf, axis=1) * mesh.face_active[:nif]
+        phiHbyA_b = boundary_flux(mesh, U)
+        phiHbyA = jnp.concatenate([phiHbyA_i, phiHbyA_b], axis=0)
+
+        rAf = face_interp_cell(mesh, rA)
+        rAf_dims = dimTime
+
+        for nonorth in range(cfg.n_non_orth + 1):
+            pEqn = fvm.laplacian(
+                mesh, rAf, p, corrected=cfg.corrected and nonorth > 0,
+                gamma_dims=rAf_dims,
+            )
+            pEqn = pEqn.replace_fields(
+                source=pEqn.source + surface.surface_sum(mesh, phiHbyA)
+            )
+            if needs_reference(p, mesh):
+                pEqn = pEqn.set_reference(cfg.p_ref_cell, cfg.p_ref_value)
+            pdata, pperf = linear.solve(mesh, pEqn, p.data, p_ctrl)
+            p = p.with_data(pdata)
+            if corr == 0 and nonorth == 0:
+                diag["p_initial"] = pperf.initial_residual
+                diag["p_iters"] = pperf.n_iterations
+            diag["p_final"] = pperf.final_residual
+            if nonorth == cfg.n_non_orth:
+                phi = phiHbyA - pEqn.flux(mesh, p.data)
+
+        grad_p = fvc.grad(mesh, p)
+        U = U.with_data(HbyA - rA[:, None] * grad_p)
+        U = U.correct_boundary_conditions(mesh, phi=phi)
+
+    # -- diagnostics --------------------------------------------------------------
+    div_phi = surface.surface_sum(mesh, phi)  # absolute continuity error * V
+    diag["continuity"] = jnp.sum(jnp.abs(div_phi)) / jnp.sum(mesh.v)
+    # Courant number: 0.5 * sum|phi| / V * dt
+    sum_phi = jnp.sum(jnp.abs(phi)[mesh.cface] * jnp.abs(mesh.csign), axis=1)
+    diag["courant_max"] = 0.5 * jnp.max(sum_phi / mesh.v) * dt
+    diag["courant_mean"] = 0.5 * (jnp.sum(jnp.abs(phi) * mesh.face_active) /
+                                  jnp.sum(mesh.v)) * dt
+
+    new_state = dict(state)
+    new_state.update(U=U, p=p, phi=phi, U0=U.data)
+    return new_state, diag
+
+
+def make_step(mesh, cfg: PisoConfig):
+    """Returns a jitted (state, dt) -> (state, diag) PISO step."""
+
+    @jax.jit
+    def step(state, dt):
+        return piso_step(mesh, state, dt, cfg)
+
+    return step
+
+
+def initial_state(mesh, U: VolField, p: VolField) -> Dict:
+    phi = fvc.flux(mesh, U)
+    return {"U": U, "p": p, "phi": phi, "U0": U.data}
