@@ -31,9 +31,9 @@ def main():
     from foamtpu.solvers import piso
 
     mesh, state, cfg = make_cavity(N, p_solver={
-        "solver": os.environ.get("BENCH_PSOLVER", "PCG"),
+        "solver": os.environ.get("BENCH_PSOLVER", "GAMG"),
         "preconditioner": "polynomial",
-        "tolerance": 1e-6, "relTol": 0.0, "maxIter": 5000,
+        "tolerance": 1e-6, "relTol": 0.0, "maxIter": 1000,
     })
     n_cells = mesh.n_cells
     # CFL ~0.5 on the finer mesh

@@ -40,6 +40,13 @@ def make_cavity(n: int = 20, nu: float = 0.01,
     d = parse_string(CAVITY_BLOCKMESH.replace("{n}", str(n)))
     mesh = to_device(blockmesh.generate(d))
 
+    if p_solver and str(p_solver.get("solver")) == "GAMG" \
+            and "_gamg" not in p_solver:
+        from ..solvers.linear.gamg import GAMG
+
+        p_solver = dict(p_solver)
+        p_solver["_gamg"] = GAMG(mesh)
+
     ubcs, pbcs = [], []
     for patch in mesh.patches:
         if patch.type == "empty":

@@ -55,29 +55,27 @@ def solve(mesh, mat, psi: Any, controls: Dict) -> Tuple[Any, SolverPerf]:
 
         return amul
 
-    def amul_off(x):
-        return jnp.sum(off * x[mesh.cnbr], axis=1)
-
     if psi.ndim == 1:
         d = mat.diag_eff(mesh)
         b = mat.source_eff(mesh)
-        amul = make_amul(d)
-        row_sum = d + jnp.sum(off, axis=1)
-        new_psi, perf = fn(amul, psi, b, d, row_sum=row_sum,
-                           amul_off=amul_off, **kw)
-        return new_psi, perf
 
-    # segregated vector solve
-    cols = []
-    perf0 = None
-    for c in range(psi.shape[1]):
-        d = mat.diag_eff(mesh, c)
-        b = mat.source_eff(mesh, c)
+        def amul_off(x):
+            return jnp.sum(off * x[mesh.cnbr], axis=1)
+
         amul = make_amul(d)
         row_sum = d + jnp.sum(off, axis=1)
-        col, perf = fn(amul, psi[:, c], b, d, row_sum=row_sum,
-                       amul_off=amul_off, **kw)
-        cols.append(col)
-        if perf0 is None:
-            perf0 = perf
-    return jnp.stack(cols, axis=1), perf0
+        return fn(amul, psi, b, d, row_sum=row_sum, amul_off=amul_off, **kw)
+
+    # segregated vector solve, all components as one multi-RHS system
+    # (identical per-component math; 3x fewer sequential solves)
+    d = mat.diag_eff(mesh)        # [nC,C] (per-component boundary coeffs)
+    b = mat.source_eff(mesh)      # [nC,C]
+
+    def amul_v(x):
+        return d * x + jnp.sum(off[:, :, None] * x[mesh.cnbr], axis=1)
+
+    def amul_off_v(x):
+        return jnp.sum(off[:, :, None] * x[mesh.cnbr], axis=1)
+
+    row_sum = d + jnp.sum(off, axis=1)[:, None]
+    return fn(amul_v, psi, b, d, row_sum=row_sum, amul_off=amul_off_v, **kw)
