@@ -1,0 +1,121 @@
+"""BC factory: boundaryField dictionary entries -> PatchField.
+
+The dictionary-keyword dispatch replacing the reference's run-time
+selection tables (reference: fvPatchField::New +
+addToRunTimeSelectionTable in src/finiteVolume/fields/fvPatchFields/).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dictionary import FoamDict, Word
+from .patchfields import PatchField, make
+
+
+def parse_value(entry: Any, size: int, rank: int, dtype):
+    """Parse `uniform v` / `uniform (x y z)` / `nonuniform List<..> N (..)`."""
+    if entry is None:
+        return None
+    items = entry if isinstance(entry, list) else [entry]
+    mode = None
+    payload = None
+    for x in items:
+        if isinstance(x, (Word, str)) and str(x) in ("uniform", "nonuniform"):
+            mode = str(x)
+        elif isinstance(x, (int, float, np.ndarray)):
+            payload = x
+    if payload is None:
+        return None
+    arr = np.asarray(payload, dtype=np.float64)
+    if mode == "uniform" or arr.ndim == 0 or (rank == 1 and arr.ndim == 1):
+        if rank == 0:
+            return jnp.asarray(np.full(size, float(arr)), dtype)
+        return jnp.asarray(np.broadcast_to(arr.reshape(-1)[:3], (size, 3)), dtype)
+    return jnp.asarray(arr, dtype)
+
+
+# keyword aliases -> canonical kinds handled by patchfields
+_ALIASES = {
+    "noSlip": "fixedValue",
+    "slip": "slip",
+    "symmetry": "symmetry",
+    "symmetryPlane": "symmetryPlane",
+    "empty": "empty",
+    "zeroGradient": "zeroGradient",
+    "fixedValue": "fixedValue",
+    "fixedGradient": "fixedGradient",
+    "mixed": "mixed",
+    "calculated": "calculated",
+    "inletOutlet": "inletOutlet",
+    "outletInlet": "outletInlet",
+    "totalPressure": "totalPressure",
+    "pressureInletOutletVelocity": "pressureInletOutletVelocity",
+    "freestream": "freestream",
+    "freestreamPressure": "zeroGradient",
+    "movingWallVelocity": "fixedValue",
+    "kqRWallFunction": "kqRWallFunction",
+    "nutkWallFunction": "nutkWallFunction",
+    "nutUWallFunction": "nutUWallFunction",
+    "epsilonWallFunction": "epsilonWallFunction",
+    "omegaWallFunction": "omegaWallFunction",
+    "kLowReWallFunction": "kLowReWallFunction",
+    "turbulentIntensityKineticEnergyInlet": "turbulentIntensityKineticEnergyInlet",
+    "turbulentMixingLengthDissipationRateInlet": "turbulentMixingLengthDissipationRateInlet",
+    "turbulentMixingLengthFrequencyInlet": "turbulentMixingLengthFrequencyInlet",
+    "surfaceNormalFixedValue": "surfaceNormalFixedValue",
+    "flowRateInletVelocity": "flowRateInletVelocity",
+}
+
+
+def from_dict(spec: FoamDict, patch, rank: int, dtype) -> PatchField:
+    t = str(spec["type"])
+    kind = _ALIASES.get(t)
+    if kind is None:
+        # unknown derived BC: degrade to calculated with stored value
+        # (the genericPatchField strategy, reference: src/genericPatchFields/)
+        kind = "calculated" if "value" in spec else "zeroGradient"
+    size = patch.size
+
+    val = parse_value(spec.get("value"), size, rank, dtype)
+    grad = parse_value(spec.get("gradient"), size, rank, dtype)
+
+    kw = {}
+    if kind in ("fixedValue", "calculated", "nutkWallFunction", "nutUWallFunction",
+                "epsilonWallFunction", "omegaWallFunction", "kLowReWallFunction",
+                "surfaceNormalFixedValue", "flowRateInletVelocity"):
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 1.0
+    elif kind == "fixedGradient":
+        kw["ref_grad"] = grad if grad is not None else 0.0
+        kw["vfrac"] = 0.0
+    elif kind == "mixed":
+        rv = parse_value(spec.get("refValue"), size, rank, dtype)
+        rg = parse_value(spec.get("refGradient"), size, rank, dtype)
+        vf = parse_value(spec.get("valueFraction"), size, 0, dtype)
+        kw["ref_value"] = rv if rv is not None else 0.0
+        kw["ref_grad"] = rg if rg is not None else 0.0
+        kw["vfrac"] = vf if vf is not None else 1.0
+    elif kind in ("inletOutlet", "outletInlet"):
+        iv = parse_value(spec.get("inletValue" if kind == "inletOutlet"
+                                  else "outletValue"), size, rank, dtype)
+        kw["ref_value"] = iv if iv is not None else 0.0
+        kw["vfrac"] = 1.0
+    elif kind == "totalPressure":
+        p0 = parse_value(spec.get("p0"), size, 0, dtype)
+        kw["ref_value"] = p0 if p0 is not None else 0.0
+        kw["p0"] = float(np.asarray(p0).mean()) if p0 is not None else 0.0
+        kw["vfrac"] = 0.0
+    elif kind == "turbulentIntensityKineticEnergyInlet":
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 1.0
+        kw["intensity"] = float(spec.get("intensity", 0.05))
+    elif kind in ("turbulentMixingLengthDissipationRateInlet",
+                  "turbulentMixingLengthFrequencyInlet"):
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 1.0
+        kw["mixingLength"] = float(spec.get("mixingLength", 0.001))
+    return make(kind, **kw)

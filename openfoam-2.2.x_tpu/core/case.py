@@ -1,0 +1,145 @@
+"""Case: load an OpenFOAM case directory and run its application.
+
+The host-side orchestration layer replacing the reference's per-solver
+main() + objectRegistry (reference: applications/solvers/*/: setRootCase,
+createTime, createMesh, createFields). A Case owns:
+
+- system/: controlDict (Time), fvSchemes, fvSolution
+- constant/: polyMesh (read once, moved to device), *Properties dicts
+- <time>/: fields (read at start, written per write-control)
+
+`run_case(dir)` dispatches on the controlDict `application` keyword to
+the registered solver applications — the equivalent of the reference's
+one-binary-per-solver layout with run-time selection.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional
+
+from . import runtime
+from .dictionary import FoamDict, parse_file
+from ..io import fields as field_io
+from ..io import polymesh as mesh_io
+from ..mesh import to_device
+
+
+class Case:
+    def __init__(self, case_dir: str):
+        self.dir = os.path.abspath(case_dir)
+        self.control_dict = parse_file(self.sys_path("controlDict"))
+        self.fv_schemes = parse_file(self.sys_path("fvSchemes"))
+        self.fv_solution = parse_file(self.sys_path("fvSolution"))
+        self.time = runtime.Time(self.control_dict, self.dir)
+        self._mesh = None
+        self._poly = None
+
+    def sys_path(self, name: str) -> str:
+        return os.path.join(self.dir, "system", name)
+
+    def const_path(self, name: str) -> str:
+        return os.path.join(self.dir, "constant", name)
+
+    @property
+    def application(self) -> str:
+        return str(self.control_dict.get("application", "unknown"))
+
+    # -- mesh -----------------------------------------------------------------
+    @property
+    def poly_mesh(self):
+        if self._poly is None:
+            self._poly = mesh_io.read(self.const_path("polyMesh"))
+        return self._poly
+
+    @property
+    def mesh(self):
+        if self._mesh is None:
+            self._mesh = to_device(self.poly_mesh)
+        return self._mesh
+
+    # -- dictionaries -----------------------------------------------------------
+    def transport_properties(self) -> FoamDict:
+        return parse_file(self.const_path("transportProperties"))
+
+    def properties(self, name: str) -> FoamDict:
+        return parse_file(self.const_path(name))
+
+    # -- fields ---------------------------------------------------------------------
+    def read_field(self, name: str, time: Optional[str] = None):
+        t = time or runtime.time_name(self.time.start_time)
+        path = os.path.join(self.dir, t, name)
+        if not os.path.exists(path) and t == "0.0":
+            path = os.path.join(self.dir, "0", name)
+        return field_io.read_field(path, self.mesh, name=name)
+
+    def write_fields(self, fields, time_name: Optional[str] = None) -> None:
+        t = time_name or self.time.name
+        for f in fields:
+            field_io.write_field(f, self.mesh, self.dir, t)
+        self.time.register_write(t)
+
+    # -- solver controls ---------------------------------------------------------
+    def solver_controls(self, field_name: str) -> Dict:
+        solvers = self.fv_solution.subdict("solvers")
+        d = dict(solvers.match(field_name))
+        d = {str(k): v for k, v in d.items()}
+        # DIC/DILU/GaussSeidel are sequential: map to TPU-parallel
+        # equivalents (documented deviation, SURVEY.md §7 decision 4)
+        if str(d.get("preconditioner", "")) in ("DIC", "FDIC", "DILU"):
+            d["preconditioner"] = "diagonal"
+        if str(d.get("solver", "")) == "GAMG" and "_gamg" not in d:
+            from ..solvers.linear.gamg import GAMG
+
+            d["_gamg"] = GAMG(self.mesh)
+        return d
+
+    def pimple_controls(self, name: str = "PISO") -> FoamDict:
+        for key in (name, "PISO", "PIMPLE", "SIMPLE"):
+            if key in self.fv_solution:
+                return self.fv_solution.subdict(key)
+        return FoamDict()
+
+    def div_scheme(self, keyword: str) -> str:
+        div = self.fv_schemes.subdict("divSchemes")
+        try:
+            entry = div.match(keyword)
+        except KeyError:
+            entry = div["default"]
+        toks = entry if isinstance(entry, list) else [entry]
+        toks = [str(t) for t in toks]
+        # "Gauss <scheme> [coeff...]"
+        if toks and toks[0] == "Gauss":
+            toks = toks[1:]
+        return " ".join(toks) if toks else "linear"
+
+    def laplacian_corrected(self) -> bool:
+        lap = self.fv_schemes.subdict("laplacianSchemes")
+        entry = lap.get("default", ["Gauss", "linear", "corrected"])
+        toks = [str(t) for t in (entry if isinstance(entry, list) else [entry])]
+        return "corrected" in toks or "limited" in " ".join(toks)
+
+
+# ---------------------------------------------------------------------------
+# Application registry
+# ---------------------------------------------------------------------------
+
+_APPLICATIONS: Dict[str, Callable] = {}
+
+
+def register_application(name: str, fn: Callable) -> None:
+    _APPLICATIONS[name] = fn
+
+
+def run_case(case_dir: str, max_steps: Optional[int] = None) -> Case:
+    case = Case(case_dir)
+    app = case.application
+    # lazy-register bundled solvers
+    from ..solvers import apps as solver_apps  # noqa: F401
+
+    if app not in _APPLICATIONS:
+        raise ValueError(
+            f"unknown application {app!r}; available: {sorted(_APPLICATIONS)}"
+        )
+    _APPLICATIONS[app](case, max_steps=max_steps)
+    return case

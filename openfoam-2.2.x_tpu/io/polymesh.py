@@ -1,0 +1,187 @@
+"""constant/polyMesh reader/writer (OpenFOAM native mesh format).
+
+Reference: src/OpenFOAM/meshes/polyMesh/ I/O — the five files
+points/faces/owner/neighbour/boundary. ASCII (+.gz) supported; the big
+data blocks are parsed with dedicated fast paths (numpy fromstring),
+not the dictionary parser.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import re
+from typing import List, Tuple
+
+import numpy as np
+
+from ..core.dictionary import FoamDict, Word, parse_string, write_string
+from ..mesh.core import Patch, PolyMesh
+
+
+def _read_text(path: str) -> str:
+    if not os.path.exists(path) and os.path.exists(path + ".gz"):
+        path = path + ".gz"
+    if path.endswith(".gz"):
+        with gzip.open(path, "rt") as f:
+            return f.read()
+    with open(path) as f:
+        return f.read()
+
+
+def _strip_header(text: str) -> str:
+    """Remove comments and the FoamFile block, return the data part."""
+    text = re.sub(r"/\*.*?\*/", " ", text, flags=re.S)
+    text = re.sub(r"//[^\n]*", " ", text)
+    m = re.search(r"FoamFile\s*\{[^}]*\}", text, flags=re.S)
+    if m:
+        text = text[m.end():]
+    return text
+
+
+def _parse_scalar_list(text: str) -> np.ndarray:
+    """Parse `N ( v v v ... )` (flat numbers)."""
+    body = text[text.index("(") + 1 : text.rindex(")")]
+    return np.fromstring(body, sep=" ")
+
+
+def _parse_vector_list(text: str) -> np.ndarray:
+    body = text[text.index("(") + 1 : text.rindex(")")]
+    nums = np.fromstring(body.replace("(", " ").replace(")", " "), sep=" ")
+    return nums.reshape(-1, 3)
+
+
+def _parse_face_list(text: str) -> Tuple[np.ndarray, np.ndarray]:
+    """faces file: `N ( 4(a b c d) 3(a b c) ... )` -> padded array."""
+    start = text.index("(")
+    body = text[start + 1 : text.rindex(")")]
+    # tokens like `4(1 2 3 4)` possibly with whitespace/newlines inside
+    nums = np.fromstring(
+        body.replace("(", " ").replace(")", " "), sep=" "
+    ).astype(np.int64)
+    # walk: [npts, p0..pn-1, npts, ...]
+    faces = []
+    i = 0
+    total = nums.shape[0]
+    counts = []
+    idx = 0
+    while i < total:
+        n = int(nums[i])
+        counts.append(n)
+        faces.append(nums[i + 1 : i + 1 + n])
+        i += 1 + n
+    max_pts = max(counts) if counts else 3
+    out = np.full((len(faces), max_pts), -1, dtype=np.int64)
+    for fi, f in enumerate(faces):
+        out[fi, : f.shape[0]] = f
+    return out, np.asarray(counts, dtype=np.int64)
+
+
+def read(mesh_dir: str) -> PolyMesh:
+    """Read constant/polyMesh/{points,faces,owner,neighbour,boundary}."""
+    points = _parse_vector_list(_strip_header(_read_text(os.path.join(mesh_dir, "points"))))
+    face_pts, face_npts = _parse_face_list(_strip_header(_read_text(os.path.join(mesh_dir, "faces"))))
+    owner = _parse_scalar_list(_strip_header(_read_text(os.path.join(mesh_dir, "owner")))).astype(np.int64)
+    neighbour = _parse_scalar_list(_strip_header(_read_text(os.path.join(mesh_dir, "neighbour")))).astype(np.int64)
+
+    btxt = _strip_header(_read_text(os.path.join(mesh_dir, "boundary")))
+    bdict = parse_string(btxt)
+    patches: List[Patch] = []
+    # boundary file: N ( name { type ...; nFaces N; startFace N; } ... )
+    items = None
+    for v in bdict.values():
+        if isinstance(v, list):
+            items = v
+            break
+    if items is None:
+        # parse_string flattens `N ( ... )` via _simplify; if the list has
+        # a single name{...} group it may appear as entries directly
+        items = []
+        for k, v in bdict.items():
+            if isinstance(v, FoamDict):
+                items += [k, v]
+    i = 0
+    while i < len(items) - 1:
+        name = str(items[i])
+        spec = items[i + 1]
+        if isinstance(spec, FoamDict):
+            patches.append(
+                Patch(
+                    name=name,
+                    type=str(spec["type"]),
+                    start=int(spec["startFace"]),
+                    size=int(spec["nFaces"]),
+                    neighbour_patch=(
+                        str(spec["neighbourPatch"]) if "neighbourPatch" in spec else None
+                    ),
+                )
+            )
+            i += 2
+        else:
+            i += 1
+    return PolyMesh(
+        points=points,
+        face_pts=face_pts,
+        face_npts=face_npts,
+        owner=owner,
+        neighbour=neighbour,
+        patches=patches,
+    )
+
+
+def _fmt_big_scalar_list(a: np.ndarray, as_int=False) -> str:
+    if as_int:
+        body = "\n".join(str(int(x)) for x in a)
+    else:
+        body = "\n".join(repr(float(x)) for x in a)
+    return f"{a.shape[0]}\n(\n{body}\n)\n"
+
+
+def _fmt_big_vector_list(a: np.ndarray) -> str:
+    body = "\n".join(
+        "(" + " ".join(repr(float(x)) for x in row) + ")" for row in a
+    )
+    return f"{a.shape[0]}\n(\n{body}\n)\n"
+
+
+_FILE_HEADER = """FoamFile
+{{
+    version     2.0;
+    format      ascii;
+    class       {cls};
+    location    "constant/polyMesh";
+    object      {obj};
+}}
+"""
+
+
+def write(mesh: PolyMesh, mesh_dir: str) -> None:
+    os.makedirs(mesh_dir, exist_ok=True)
+
+    def emit(obj, cls, body):
+        with open(os.path.join(mesh_dir, obj), "w") as f:
+            f.write(_FILE_HEADER.format(cls=cls, obj=obj))
+            f.write(body)
+
+    emit("points", "vectorField", _fmt_big_vector_list(mesh.points))
+    lines = []
+    for f, n in zip(mesh.face_pts, mesh.face_npts):
+        lines.append(f"{int(n)}(" + " ".join(str(int(x)) for x in f[:n]) + ")")
+    emit("faces", "faceList", f"{mesh.n_faces}\n(\n" + "\n".join(lines) + "\n)\n")
+    emit("owner", "labelList", _fmt_big_scalar_list(mesh.owner, as_int=True))
+    emit("neighbour", "labelList", _fmt_big_scalar_list(mesh.neighbour, as_int=True))
+
+    plines = [f"{len(mesh.patches)}", "("]
+    for p in mesh.patches:
+        plines += [
+            f"    {p.name}",
+            "    {",
+            f"        type            {p.type};",
+            f"        nFaces          {p.size};",
+            f"        startFace       {p.start};",
+        ]
+        if p.neighbour_patch:
+            plines.append(f"        neighbourPatch  {p.neighbour_patch};")
+        plines.append("    }")
+    plines += [")"]
+    emit("boundary", "polyBoundaryMesh", "\n".join(plines) + "\n")

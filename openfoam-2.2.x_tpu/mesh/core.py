@@ -292,7 +292,7 @@ class PolyMesh:
         cnbr_valid[self.neighbour, k_n] = 1.0
 
         cface_i = np.minimum(cface, max(nIf - 1, 0))
-        return dict(
+        out = dict(
             cface=cface,
             csign=csign,
             cnbr=cnbr,
@@ -301,6 +301,60 @@ class PolyMesh:
             cface_i=cface_i,
             max_faces=K,
         )
+        out.update(offset_stencil(cface_i, csign, cnbr, cnbr_valid, nC))
+        return out
+
+
+def offset_stencil(cface_i, csign, cnbr, valid, n_cells, max_offsets=8):
+    """Offset-canonical neighbor tables — the TPU SpMV design.
+
+    TPU gathers are slow (~order-of-magnitude below bandwidth); after
+    renumbering, almost all cell->neighbour hops are one of a few
+    constant index offsets (structured interior: exactly +-1, +-nx,
+    +-nx*ny — the CuthillMcKee locality the reference exploits for
+    cache, reference: src/renumber/). We canonicalise slots so slot m
+    always means "neighbour at offset d_m"; the SpMV becomes
+    sum_m coeff[:,m] * roll(psi, -d_m) — pure vector ops. The
+    unstructured remainder goes to a small COO fallback gather.
+
+    Returns: st_cface [nC,M], st_sign, st_valid, st_deltas (tuple),
+    fb_cells/fb_faces/fb_signs/fb_nbrs (1-D COO fallback).
+    """
+    idx = np.arange(n_cells)[:, None]
+    deltas_all = np.where(valid > 0, cnbr - idx, 0)
+    vals, counts = np.unique(deltas_all[valid > 0], return_counts=True)
+    order = np.argsort(-counts)
+    chosen = [int(v) for v in vals[order][:max_offsets]]
+    M = max(len(chosen), 1)
+    K = cface_i.shape[1]
+
+    st_cface = np.zeros((n_cells, M), dtype=np.int64)
+    st_sign = np.zeros((n_cells, M))
+    st_valid = np.zeros((n_cells, M))
+    covered = np.zeros_like(valid, dtype=bool)
+    for m, d in enumerate(chosen):
+        match = (deltas_all == d) & (valid > 0) & ~covered
+        k_sel = np.argmax(match, axis=1)
+        has = match.any(axis=1)
+        rows = np.nonzero(has)[0]
+        ks = k_sel[rows]
+        st_cface[rows, m] = cface_i[rows, ks]
+        st_sign[rows, m] = csign[rows, ks]
+        st_valid[rows, m] = 1.0
+        covered[rows, ks] = True
+
+    fb = (valid > 0) & ~covered
+    fb_cells, fb_k = np.nonzero(fb)
+    return dict(
+        st_cface=st_cface,
+        st_sign=st_sign,
+        st_valid=st_valid,
+        st_deltas=tuple(chosen),
+        fb_cells=fb_cells.astype(np.int64),
+        fb_faces=cface_i[fb_cells, fb_k],
+        fb_signs=csign[fb_cells, fb_k],
+        fb_nbrs=cnbr[fb_cells, fb_k],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -353,7 +407,17 @@ class FvMesh:
     cbnd: Any
     cface_i: Any
 
+    # offset-canonical stencil tables (see offset_stencil)
+    st_cface: Any      # [nC, M]
+    st_sign: Any
+    st_valid: Any
+    fb_cells: Any      # COO fallback for non-stencil neighbours
+    fb_faces: Any
+    fb_signs: Any
+    fb_nbrs: Any
+
     # static metadata
+    st_deltas: Tuple[int, ...] = _static()
     n_cells: int = _static()
     n_faces: int = _static()
     n_internal_faces: int = _static()
@@ -411,6 +475,14 @@ def to_device(mesh: PolyMesh) -> FvMesh:
         cnbr_valid=farr(tabs["cnbr_valid"]),
         cbnd=farr(tabs["cbnd"]),
         cface_i=iarr(tabs["cface_i"]),
+        st_cface=iarr(tabs["st_cface"]),
+        st_sign=farr(tabs["st_sign"]),
+        st_valid=farr(tabs["st_valid"]),
+        fb_cells=iarr(tabs["fb_cells"]),
+        fb_faces=iarr(tabs["fb_faces"]),
+        fb_signs=farr(tabs["fb_signs"]),
+        fb_nbrs=iarr(tabs["fb_nbrs"]),
+        st_deltas=tabs["st_deltas"],
         n_cells=mesh.n_cells,
         n_faces=mesh.n_faces,
         n_internal_faces=mesh.n_internal_faces,

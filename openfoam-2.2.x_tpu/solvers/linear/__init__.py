@@ -47,35 +47,31 @@ def solve(mesh, mat, psi: Any, controls: Dict) -> Tuple[Any, SolverPerf]:
     if name == "smoothSolver":
         kw["n_sweeps"] = int(controls.get("nSweeps", 1))
 
-    off = mat.off_coeffs(mesh)  # [nC,K], shared across components
+    # roll-based stencil SpMV (ops/stencil.py) — gather-free iterations
+    from ...ops import stencil as stencil_mod
 
-    def make_amul(diag_eff):
-        def amul(x):
-            return diag_eff * x + jnp.sum(off * x[mesh.cnbr], axis=1)
-
-        return amul
+    st = stencil_mod.mesh_stencil(mesh, mat.upper, mat.lower)
+    row_off = st.off.sum(axis=1)
+    if st.fb_cells.shape[0]:
+        row_off = row_off.at[st.fb_cells].add(st.fb_coeffs)
 
     if psi.ndim == 1:
         d = mat.diag_eff(mesh)
         b = mat.source_eff(mesh)
 
-        def amul_off(x):
-            return jnp.sum(off * x[mesh.cnbr], axis=1)
+        def amul(x):
+            return d * x + st.apply_off(x)
 
-        amul = make_amul(d)
-        row_sum = d + jnp.sum(off, axis=1)
-        return fn(amul, psi, b, d, row_sum=row_sum, amul_off=amul_off, **kw)
+        return fn(amul, psi, b, d, row_sum=d + row_off,
+                  amul_off=st.apply_off, **kw)
 
-    # segregated vector solve, all components as one multi-RHS system
+    # vector solve: all components as one multi-RHS system
     # (identical per-component math; 3x fewer sequential solves)
     d = mat.diag_eff(mesh)        # [nC,C] (per-component boundary coeffs)
     b = mat.source_eff(mesh)      # [nC,C]
 
     def amul_v(x):
-        return d * x + jnp.sum(off[:, :, None] * x[mesh.cnbr], axis=1)
+        return d * x + st.apply_off(x)
 
-    def amul_off_v(x):
-        return jnp.sum(off[:, :, None] * x[mesh.cnbr], axis=1)
-
-    row_sum = d + jnp.sum(off, axis=1)[:, None]
-    return fn(amul_v, psi, b, d, row_sum=row_sum, amul_off=amul_off_v, **kw)
+    return fn(amul_v, psi, b, d, row_sum=d + row_off[:, None],
+              amul_off=st.apply_off, **kw)

@@ -1,24 +1,26 @@
 """GAMG: geometric-algebraic multigrid, TPU-native.
 
 Rebuild of reference: src/OpenFOAM/matrices/lduMatrix/solvers/GAMG/
-(GAMGSolver, GAMGAgglomeration, pairGAMGAgglomeration). Design mapping
+(GAMGSolver, GAMGAgglomeration, pairGAMGAgglomeration). TPU design
 (SURVEY.md §7 hard-part #2):
 
-- The pairwise agglomeration hierarchy is computed ONCE on the host
-  (NumPy) from the mesh face weights (faceAreaPair: max face area —
-  reference: faceAreaPairGAMGAgglomeration). Every level has a STATIC
-  size, so the whole V-cycle unrolls into one XLA program.
-- Galerkin coarsening of the (diag, upper, lower) coefficients happens
-  on device each solve, but through precomputed padded GATHER tables
-  (coarse face <- fine faces, coarse cell <- fine cells/intra faces):
-  no scatters anywhere.
-- Smoother: damped Jacobi (symmetric, parallel) instead of the
-  reference's sequential Gauss-Seidel/DIC — convergence-parity risk
-  documented; mitigated by wrapping the V-cycle as a preconditioner in
-  CG (one V-cycle per CG iteration), which is strictly more robust
-  than the reference's plain multigrid iteration.
-- Coarsest level: dense solve (jnp.linalg.solve) on <= ~64 cells —
-  replicated, not sharded, exactly the SURVEY §2b recipe.
+- Agglomeration pairs cell c with c+d* (d* = the level's dominant
+  neighbour offset, host-computed once) using even-block parity, the
+  structured analogue of the reference's pairwise face-weight merge.
+  Because the pairing is index-arithmetic, restriction/prolongation are
+  pure RESHAPES (sum/broadcast over a [_, 2, d*] view) — zero gathers.
+  Pairs without a shared face are rare off-structure cells; Galerkin
+  coarsening stays valid for them (slightly weaker coarse correction,
+  same fixed point).
+- Each level's smoother SpMV uses the roll-based offset stencil
+  (ops/stencil.py); level sizes are static so the V-cycle unrolls into
+  one XLA program.
+- Galerkin coarse coefficients are materialised once per SOLVE through
+  precomputed gather tables (coarse face <- fine faces).
+- Smoother: damped Jacobi (symmetric, parallel) instead of sequential
+  Gauss-Seidel/DIC; the V-cycle runs as a CG preconditioner, which is
+  strictly more robust than the reference's plain multigrid iteration.
+- Coarsest level: dense jnp.linalg.solve on <= ~64 cells (replicated).
 """
 
 from __future__ import annotations
@@ -31,62 +33,42 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...core.precision import label_np, scalar_np
-from .krylov import SolverPerf, _norm_factor, _small
-
-# ---------------------------------------------------------------------------
-# Host-side hierarchy construction
-# ---------------------------------------------------------------------------
+from ...ops import stencil as stencil_mod
+from .krylov import SolverPerf, _small
 
 
-def _pair_agglomerate(owner, neighbour, weights, n_cells):
-    """One pairwise agglomeration sweep (reference:
-    pairGAMGAgglomeration::agglomerate): merge each cell with its
-    strongest-weighted unmatched neighbour."""
-    # adjacency lists via sorting
-    nIf = owner.shape[0]
-    cell_to_coarse = np.full(n_cells, -1, dtype=np.int64)
-    # build per-cell neighbor/weight lists
-    ends = np.concatenate([owner, neighbour])
-    others = np.concatenate([neighbour, owner])
-    w2 = np.concatenate([weights, weights])
-    order = np.argsort(ends, kind="stable")
-    ends_s, others_s, w_s = ends[order], others[order], w2[order]
-    starts = np.searchsorted(ends_s, np.arange(n_cells + 1))
-
-    n_coarse = 0
-    for c in range(n_cells):
-        if cell_to_coarse[c] >= 0:
-            continue
-        sl = slice(starts[c], starts[c + 1])
-        nbrs = others_s[sl]
-        ws = w_s[sl]
-        # strongest unmatched neighbour
-        best = -1
-        best_w = -1.0
-        best_matched = -1
-        best_matched_w = -1.0
-        for nb, wv in zip(nbrs, ws):
-            if cell_to_coarse[nb] < 0:
-                if wv > best_w:
-                    best, best_w = nb, wv
-            else:
-                if wv > best_matched_w:
-                    best_matched, best_matched_w = nb, wv
-        if best >= 0:
-            cell_to_coarse[c] = n_coarse
-            cell_to_coarse[best] = n_coarse
-            n_coarse += 1
-        elif best_matched >= 0:
-            cell_to_coarse[c] = cell_to_coarse[best_matched]
-        else:
-            cell_to_coarse[c] = n_coarse
-            n_coarse += 1
-    return cell_to_coarse, n_coarse
+def _dominant_delta(owner, neighbour, n_cells) -> int:
+    d = neighbour - owner
+    vals, counts = np.unique(d, return_counts=True)
+    # prefer the smallest dominant offset on ties (merge along the
+    # fastest-varying axis first)
+    best = vals[np.lexsort((vals, -counts))][0]
+    return int(max(best, 1))
 
 
-def _pad_groups(group_of, n_groups, payload=None):
-    """[n] group ids -> padded member table [n_groups, M] + mask.
-    payload defaults to the element index."""
+@dataclasses.dataclass(frozen=True)
+class Level:
+    """Static tables for one coarsening step fine->coarse."""
+
+    n_fine: int          # unpadded fine size
+    n_fine_pad: int      # padded fine size (multiple of 2*d)
+    n_coarse: int        # = n_fine_pad // 2
+    d: int               # pairing offset
+    # face coarsening (gather tables over FINE internal faces)
+    face_src: Any        # [nFc, Mf]
+    face_src_mask: Any
+    face_src_flip: Any
+    intra_faces: Any     # [nCc, Mi]
+    intra_mask: Any
+    members_pad: Any     # [nCc, 2] fine(-padded) indices (for diag sum)
+    # coarse-level stencil tables
+    st: Dict[str, Any] = None
+    # coarse internal addressing (for the next level / dense solve)
+    c_own: Any = None
+    c_nei: Any = None
+
+
+def _pad_groups(group_of, n_groups, payload):
     n = group_of.shape[0]
     order = np.argsort(group_of, kind="stable")
     sorted_g = group_of[order]
@@ -97,15 +79,14 @@ def _pad_groups(group_of, n_groups, payload=None):
     rank = np.arange(n) - starts[sorted_g]
     table = np.zeros((n_groups, M), dtype=np.int64)
     mask = np.zeros((n_groups, M))
-    vals = order if payload is None else payload[order]
-    table[sorted_g, rank] = vals
+    table[sorted_g, rank] = payload[order]
     mask[sorted_g, rank] = 1.0
     return table, mask
 
 
 def _cell_tables_internal(owner, neighbour, n_cells):
-    """Gather tables for an internal-faces-only LDU level (same layout
-    as PolyMesh.cell_tables but no boundary)."""
+    from ...mesh.core import offset_stencil
+
     nIf = owner.shape[0]
     counts = np.bincount(owner, minlength=n_cells) + np.bincount(
         neighbour, minlength=n_cells
@@ -125,10 +106,9 @@ def _cell_tables_internal(owner, neighbour, n_cells):
         rank[order] = np.arange(cells.shape[0]) - starts[cells[order]]
         return rank + offset[cells]
 
-    zero_off = np.zeros(n_cells, dtype=np.int64)
     own_counts = np.bincount(owner, minlength=n_cells)
-    k_o = slots(owner, zero_off)
     faces = np.arange(nIf)
+    k_o = slots(owner, np.zeros(n_cells, dtype=np.int64))
     cface[owner, k_o] = faces
     csign[owner, k_o] = 1.0
     cnbr[owner, k_o] = neighbour
@@ -138,55 +118,53 @@ def _cell_tables_internal(owner, neighbour, n_cells):
     csign[neighbour, k_n] = -1.0
     cnbr[neighbour, k_n] = owner
     valid[neighbour, k_n] = 1.0
-    return dict(cface=cface, csign=csign, cnbr=cnbr, valid=valid)
+    return offset_stencil(cface, csign, cnbr, valid, n_cells)
 
 
-@dataclasses.dataclass(frozen=True)
-class Level:
-    """Static per-level tables (device arrays; sizes are static)."""
-
-    n_coarse: int
-    # restriction / prolongation
-    restrict: Any        # [nC_fine] coarse id of each fine cell
-    members: Any         # [nCc, M] fine cells per coarse cell
-    members_mask: Any
-    # face coarsening
-    face_src: Any        # [nFc, Mf] fine faces per coarse face
-    face_src_mask: Any
-    face_src_flip: Any   # 1.0 where fine orientation is flipped
-    intra_faces: Any     # [nCc, Mi] fine faces internal to the cluster
-    intra_mask: Any
-    # coarse-level SpMV tables
-    cface: Any           # [nCc, Kc]
-    csign: Any
-    cnbr: Any
-    valid: Any
+def _to_dev(st: Dict[str, Any]) -> Dict[str, Any]:
+    sdt = scalar_np()
+    out = {}
+    for k, v in st.items():
+        if k == "st_deltas":
+            out[k] = v
+        elif isinstance(v, np.ndarray) and v.dtype.kind == "f":
+            out[k] = jnp.asarray(v.astype(sdt))
+        elif isinstance(v, np.ndarray):
+            out[k] = jnp.asarray(v.astype(label_np))
+        else:
+            out[k] = v
+    return out
 
 
 def build_hierarchy(
     owner: np.ndarray,
     neighbour: np.ndarray,
-    weights: np.ndarray,
     n_cells: int,
     n_coarsest: int = 32,
-    max_levels: int = 20,
+    max_levels: int = 24,
 ) -> List[Level]:
-    """Full agglomeration hierarchy from the fine-level internal-face
-    addressing + face weights (magSf for faceAreaPair)."""
-    owner = np.asarray(owner[: neighbour.shape[0]], dtype=np.int64)
+    owner = np.asarray(owner, dtype=np.int64)
     neighbour = np.asarray(neighbour, dtype=np.int64)
-    weights = np.asarray(weights[: neighbour.shape[0]], dtype=np.float64)
     levels: List[Level] = []
     nC = n_cells
+    sdt = scalar_np()
 
     for _ in range(max_levels):
         if nC <= n_coarsest or owner.shape[0] == 0:
             break
-        restrict, nCc = _pair_agglomerate(owner, neighbour, weights, nC)
-        if nCc >= nC:  # no progress
-            break
-        co = restrict[owner]
-        cn = restrict[neighbour]
+        d = _dominant_delta(owner, neighbour, nC)
+        block = 2 * d
+        nC_pad = ((nC + block - 1) // block) * block
+        nCc = nC_pad // 2
+
+        def cmap(c):
+            return (c // block) * d + (c % d) + 0 * c  # J(c) for even-half
+        # full map: J(c) = (c // (2d))*d + (c % d) for both halves
+        def J(c):
+            return (c // block) * d + (c % d)
+
+        co = J(owner)
+        cn = J(neighbour)
         flip = co > cn
         lo = np.where(flip, cn, co)
         hi = np.where(flip, co, cn)
@@ -196,7 +174,6 @@ def build_hierarchy(
 
         pairs = np.stack([lo[inter_idx], hi[inter_idx]], axis=1)
         uniq, face_of = np.unique(pairs, axis=0, return_inverse=True)
-        # sort coarse faces upper-triangular
         forder = np.lexsort((uniq[:, 1], uniq[:, 0]))
         remap = np.empty(forder.shape[0], dtype=np.int64)
         remap[forder] = np.arange(forder.shape[0])
@@ -205,41 +182,37 @@ def build_hierarchy(
         c_nei = uniq[forder, 1]
         nFc = c_own.shape[0]
 
-        face_src, face_mask = _pad_groups(face_of, nFc, payload=inter_idx)
-        # flip flags aligned with face_src payload
-        flip_src, _ = _pad_groups(face_of, nFc,
-                                  payload=flip[inter_idx].astype(np.int64))
-        intra_cell = lo[intra_idx]
+        face_src, face_mask = _pad_groups(face_of, nFc, inter_idx)
+        flip_src, _ = _pad_groups(face_of, nFc, flip[inter_idx].astype(np.int64))
         if intra_idx.shape[0]:
-            intra_tab, intra_mask = _pad_groups(intra_cell, nCc, payload=intra_idx)
+            intra_tab, intra_mask = _pad_groups(J(owner[intra_idx]), nCc, intra_idx)
         else:
             intra_tab = np.zeros((nCc, 1), dtype=np.int64)
             intra_mask = np.zeros((nCc, 1))
-        members, members_mask = _pad_groups(restrict, nCc)
-        tabs = _cell_tables_internal(c_own, c_nei, nCc)
 
-        sdt = scalar_np()
-        lv = Level(
+        # members (padded fine ids) per coarse cell: c and c+d
+        jidx = np.arange(nCc)
+        base = (jidx // d) * block + (jidx % d)
+        members = np.stack([base, base + d], axis=1)
+
+        st = _cell_tables_internal(c_own, c_nei, nCc)
+
+        levels.append(Level(
+            n_fine=nC,
+            n_fine_pad=nC_pad,
             n_coarse=nCc,
-            restrict=jnp.asarray(restrict, label_np),
-            members=jnp.asarray(members, label_np),
-            members_mask=jnp.asarray(members_mask, sdt),
+            d=d,
             face_src=jnp.asarray(face_src, label_np),
-            face_src_mask=jnp.asarray(face_mask, sdt),
-            face_src_flip=jnp.asarray(flip_src, sdt),
+            face_src_mask=jnp.asarray(face_mask.astype(sdt)),
+            face_src_flip=jnp.asarray(flip_src.astype(sdt)),
             intra_faces=jnp.asarray(intra_tab, label_np),
-            intra_mask=jnp.asarray(intra_mask, sdt),
-            cface=jnp.asarray(tabs["cface"], label_np),
-            csign=jnp.asarray(tabs["csign"], sdt),
-            cnbr=jnp.asarray(tabs["cnbr"], label_np),
-            valid=jnp.asarray(tabs["valid"], sdt),
-        )
-        levels.append(lv)
-
-        # coarse-level weights: sum of fine weights per coarse face
-        new_w = np.zeros(nFc)
-        np.add.at(new_w, face_of, weights[inter_idx])
-        owner, neighbour, weights, nC = c_own, c_nei, new_w, nCc
+            intra_mask=jnp.asarray(intra_mask.astype(sdt)),
+            members_pad=jnp.asarray(members, label_np),
+            st=_to_dev(st),
+            c_own=c_own,
+            c_nei=c_nei,
+        ))
+        owner, neighbour, nC = c_own, c_nei, nCc
 
     return levels
 
@@ -247,10 +220,7 @@ def build_hierarchy(
 def hierarchy_for_mesh(mesh) -> List[Level]:
     nif = mesh.n_internal_faces
     return build_hierarchy(
-        np.asarray(mesh.owner)[:nif],
-        np.asarray(mesh.neighbour),
-        np.asarray(mesh.mag_sf)[:nif],
-        mesh.n_cells,
+        np.asarray(mesh.owner)[:nif], np.asarray(mesh.neighbour), mesh.n_cells
     )
 
 
@@ -259,45 +229,55 @@ def hierarchy_for_mesh(mesh) -> List[Level]:
 # ---------------------------------------------------------------------------
 
 
+def _pad_to(x, n):
+    if x.shape[0] == n:
+        return x
+    return jnp.pad(x, (0, n - x.shape[0]))
+
+
+def _restrict(lv: Level, r):
+    rp = _pad_to(r, lv.n_fine_pad)
+    return rp.reshape(-1, 2, lv.d).sum(axis=1).reshape(-1)
+
+
+def _prolong(lv: Level, xc):
+    xf = jnp.broadcast_to(
+        xc.reshape(-1, 1, lv.d), (xc.shape[0] // lv.d, 2, lv.d)
+    ).reshape(-1)
+    return xf[: lv.n_fine]
+
+
 def _coarsen_matrix(lv: Level, diag, upper, lower):
-    """Galerkin coarse coefficients via gather tables."""
     up_g = upper[lv.face_src]
     lo_g = lower[lv.face_src]
     flip = lv.face_src_flip
     m = lv.face_src_mask
     c_upper = jnp.sum(jnp.where(flip > 0, lo_g, up_g) * m, axis=1)
     c_lower = jnp.sum(jnp.where(flip > 0, up_g, lo_g) * m, axis=1)
-    d_members = jnp.sum(diag[lv.members] * lv.members_mask, axis=1)
+    diag_pad = jnp.pad(diag, (0, lv.n_fine_pad - diag.shape[0]),
+                       constant_values=1.0)
+    d_members = diag_pad.reshape(-1, 2, lv.d).sum(axis=1).reshape(-1)
     d_intra = jnp.sum(
         (upper[lv.intra_faces] + lower[lv.intra_faces]) * lv.intra_mask, axis=1
     )
-    c_diag = d_members + d_intra
-    return c_diag, c_upper, c_lower
+    return d_members + d_intra, c_upper, c_lower
 
 
-def _level_amul(lv_tabs, diag, upper, lower, x):
-    cface, csign, cnbr, valid = lv_tabs
-    off = jnp.where(csign > 0, upper[cface], lower[cface]) * valid
-    return diag * x + jnp.sum(off * x[cnbr], axis=1)
+def _make_st_op(st: Dict[str, Any], upper, lower) -> stencil_mod.StencilOp:
+    return stencil_mod.from_tables(
+        st["st_deltas"], st["st_cface"], st["st_sign"], st["st_valid"],
+        st["fb_cells"], st["fb_faces"], st["fb_signs"], st["fb_nbrs"],
+        upper, lower,
+    )
 
 
-def _restrict(lv: Level, r):
-    return jnp.sum(r[lv.members] * lv.members_mask, axis=1)
-
-
-def _prolong(lv: Level, xc):
-    return xc[lv.restrict]
-
-
-def _dense_solve(owner_tabs, diag, upper, lower, b, cface, csign, cnbr, valid):
-    """Coarsest-level direct solve: scatter LDU into dense [n,n]."""
+def _dense_solve(st_op: stencil_mod.StencilOp, diag, b):
+    """Coarsest-level direct solve via dense assembly from the stencil
+    (apply A to the identity — n is tiny and static)."""
     n = diag.shape[0]
-    A = jnp.zeros((n, n), diag.dtype)
-    A = A + jnp.diag(diag)
-    # rows: cell c, columns cnbr; off coeff per slot
-    off = jnp.where(csign > 0, upper[cface], lower[cface]) * valid
-    rows = jnp.broadcast_to(jnp.arange(n)[:, None], cnbr.shape)
-    A = A.at[rows, cnbr].add(off)
+    eye = jnp.eye(n, dtype=diag.dtype)
+    A = jax.vmap(lambda col: diag * col + st_op.apply_off(col),
+                 in_axes=1, out_axes=1)(eye)
     return jnp.linalg.solve(A, b)
 
 
@@ -312,55 +292,15 @@ class GAMG:
         self.n_post = n_post
         self.omega = omega
 
-    # fine-level tables come from the FvMesh
-    def _fine_tabs(self, mesh):
-        return (mesh.cface_i, mesh.csign, mesh.cnbr, mesh.cnbr_valid)
-
-    def _tabs(self, i, mesh):
-        if i == 0:
-            return self._fine_tabs(mesh)
-        lv = self.levels[i - 1]
-        return (lv.cface, lv.csign, lv.cnbr, lv.valid)
-
-    def vcycle(self, mesh, mats, b, x):
-        """One V-cycle. mats: list of (diag, upper, lower) per level
-        (0 = finest). Returns improved x."""
-        levels = self.levels
-        n_levels = len(mats)
-
-        def smooth(i, diag, upper, lower, x, b, n):
-            tabs = self._tabs(i, mesh)
-            rd = self.omega / diag
-            for _ in range(n):
-                x = x + (b - _level_amul(tabs, diag, upper, lower, x)) * rd
-            return x
-
-        bs = [b]
-        xs = [x]
-        # descend
-        for i in range(n_levels - 1):
-            diag, upper, lower = mats[i]
-            xi = smooth(i, diag, upper, lower, xs[i], bs[i], self.n_pre)
-            xs[i] = xi
-            r = bs[i] - _level_amul(self._tabs(i, mesh), diag, upper, lower, xi)
-            bs.append(_restrict(levels[i], r))
-            xs.append(jnp.zeros(levels[i].n_coarse, x.dtype))
-        # coarsest
-        diag, upper, lower = mats[-1]
-        if n_levels == 1:
-            xs[0] = smooth(0, diag, upper, lower, xs[0], bs[0], 8)
-        else:
-            lv = levels[n_levels - 2]
-            xs[-1] = _dense_solve(
-                None, diag, upper, lower, bs[-1],
-                lv.cface, lv.csign, lv.cnbr, lv.valid,
-            )
-        # ascend
-        for i in range(n_levels - 2, -1, -1):
-            diag, upper, lower = mats[i]
-            xi = xs[i] + _prolong(levels[i], xs[i + 1])
-            xs[i] = smooth(i, diag, upper, lower, xi, bs[i], self.n_post)
-        return xs[0]
+    def _ops(self, mesh, mats):
+        """StencilOps per level from the per-level (diag,upper,lower)."""
+        ops = []
+        for i, (diag, upper, lower) in enumerate(mats):
+            if i == 0:
+                ops.append(stencil_mod.mesh_stencil(mesh, upper, lower))
+            else:
+                ops.append(_make_st_op(self.levels[i - 1].st, upper, lower))
+        return ops
 
     def coarsen_all(self, diag_eff, upper, lower):
         mats = [(diag_eff, upper, lower)]
@@ -370,29 +310,57 @@ class GAMG:
             mats.append((d, u, l))
         return mats
 
+    def vcycle(self, mesh, mats, ops, b, x):
+        levels = self.levels
+        n_levels = len(mats)
+
+        def smooth(i, x, b, n):
+            diag = mats[i][0]
+            op = ops[i]
+            rd = self.omega / diag
+            for _ in range(n):
+                x = x + (b - (diag * x + op.apply_off(x))) * rd
+            return x
+
+        bs = [b]
+        xs = [x]
+        for i in range(n_levels - 1):
+            diag = mats[i][0]
+            xi = smooth(i, xs[i], bs[i], self.n_pre)
+            xs[i] = xi
+            r = bs[i] - (diag * xi + ops[i].apply_off(xi))
+            bs.append(_restrict(levels[i], r))
+            xs.append(jnp.zeros(levels[i].n_coarse, x.dtype))
+        diag = mats[-1][0]
+        if n_levels == 1:
+            xs[0] = smooth(0, xs[0], bs[0], 8)
+        else:
+            xs[-1] = _dense_solve(ops[-1], diag, bs[-1])
+        for i in range(n_levels - 2, -1, -1):
+            xi = xs[i] + _prolong(levels[i], xs[i + 1])
+            xs[i] = smooth(i, xi, bs[i], self.n_post)
+        return xs[0]
+
     def solve(self, mesh, mat, psi, controls) -> Tuple[Any, SolverPerf]:
-        """GAMG-preconditioned CG (symmetric) / BiCGStab (asymmetric)."""
         tol = float(controls.get("tolerance", 1e-6))
         rel_tol = float(controls.get("relTol", 0.0))
         max_iter = int(controls.get("maxIter", 200))
 
         def solve_one(psi1, d_eff, b):
             mats = self.coarsen_all(d_eff, mat.lower, mat.upper)
-            tabs = self._fine_tabs(mesh)
+            ops = self._ops(mesh, mats)
+            fine_op = ops[0]
 
             def amul(x):
-                return _level_amul(tabs, d_eff, mat.upper, mat.lower, x)
+                return d_eff * x + fine_op.apply_off(x)
 
             def prec(r):
-                return self.vcycle(mesh, mats, r, jnp.zeros_like(r))
-
-            from .krylov import SolverPerf as SP
+                return self.vcycle(mesh, mats, ops, r, jnp.zeros_like(r))
 
             Apsi = amul(psi1)
-            row_sum = d_eff + jnp.sum(
-                jnp.where(mesh.csign > 0, mat.upper[mesh.cface_i],
-                          mat.lower[mesh.cface_i]) * mesh.cnbr_valid, axis=1
-            )
+            row_sum = d_eff + fine_op.off.sum(axis=1)
+            if fine_op.fb_cells.shape[0]:
+                row_sum = row_sum.at[fine_op.fb_cells].add(fine_op.fb_coeffs)
             pA = row_sum * jnp.mean(psi1)
             norm = (jnp.sum(jnp.abs(Apsi - pA)) + jnp.sum(jnp.abs(b - pA))
                     + _small(psi1.dtype))
@@ -423,7 +391,7 @@ class GAMG:
             init = (psi1, r0, jnp.zeros_like(psi1),
                     jnp.zeros((), psi1.dtype), jnp.zeros((), jnp.int32), res0)
             x, r, p, wArA, it, res = jax.lax.while_loop(cond, body, init)
-            return x, SP(res0, res, it)
+            return x, SolverPerf(res0, res, it)
 
         if psi.ndim == 1:
             return solve_one(psi, mat.diag_eff(mesh), mat.source_eff(mesh))

@@ -159,6 +159,7 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
     # -- diagnostics --------------------------------------------------------------
     div_phi = surface.surface_sum(mesh, phi)  # absolute continuity error * V
     diag["continuity"] = jnp.sum(jnp.abs(div_phi)) / jnp.sum(mesh.v)
+    diag["continuity_global"] = jnp.sum(div_phi) / jnp.sum(mesh.v)
     # Courant number: 0.5 * sum|phi| / V * dt
     sum_phi = jnp.sum(jnp.abs(phi)[mesh.cface] * jnp.abs(mesh.csign), axis=1)
     diag["courant_max"] = 0.5 * jnp.max(sum_phi / mesh.v) * dt

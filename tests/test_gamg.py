@@ -21,14 +21,19 @@ def test_hierarchy_structure(mesh40):
     levels = hierarchy_for_mesh(mesh40)
     assert len(levels) >= 3
     sizes = [mesh40.n_cells] + [lv.n_coarse for lv in levels]
-    # roughly pairwise coarsening
-    for a, b in zip(sizes, sizes[1:]):
-        assert b < a
-        assert b >= a / 4
+    # pairwise (2x) coarsening with padding
+    for lv in levels:
+        assert lv.n_coarse == lv.n_fine_pad // 2
+        assert lv.n_fine_pad >= lv.n_fine
     assert sizes[-1] <= 64
-    # restriction is a partition: every fine cell in exactly one cluster
+    # every padded fine cell belongs to exactly one coarse pair
     lv = levels[0]
-    np.testing.assert_allclose(np.asarray(lv.members_mask).sum(), mesh40.n_cells)
+    members = np.asarray(lv.members_pad)
+    flat = np.sort(members.ravel())
+    np.testing.assert_array_equal(flat, np.arange(lv.n_fine_pad))
+    # coarse levels stay structured: stencil covers everything (no fallback)
+    for lv in levels:
+        assert lv.st["fb_cells"].shape[0] == 0
 
 
 def test_gamg_poisson(mesh40):
