@@ -1,0 +1,126 @@
+"""Command-line utilities — the applications/utilities equivalents.
+
+Usage (via the foamtpu package):
+    python -m foamtpu blockMesh  -case <dir>
+    python -m foamtpu checkMesh  -case <dir>
+    python -m foamtpu run        -case <dir> [-steps N]   # runs controlDict application
+    python -m foamtpu decomposePar -case <dir>            # prints partition summary
+    python -m foamtpu foamToVTK  -case <dir> [-time t]
+
+Reference: applications/utilities/mesh/generation/blockMesh/,
+mesh/manipulation/checkMesh/, postProcessing/dataConversion/foamToVTK/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _case_arg(argv):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-steps", type=int, default=None)
+    ap.add_argument("-time", default=None)
+    return ap.parse_args(argv)
+
+
+def block_mesh(argv) -> int:
+    args = _case_arg(argv)
+    from ..core.dictionary import parse_file
+    from ..io import polymesh as mesh_io
+    from ..mesh import blockmesh
+
+    for cand in ("constant/polyMesh/blockMeshDict", "system/blockMeshDict"):
+        path = os.path.join(args.case, cand)
+        if os.path.exists(path):
+            break
+    else:
+        print("blockMesh: no blockMeshDict found", file=sys.stderr)
+        return 1
+    mesh = blockmesh.generate(path)
+    out = os.path.join(args.case, "constant", "polyMesh")
+    mesh_io.write(mesh, out)
+    print(f"blockMesh: wrote {mesh.n_cells} cells, {mesh.n_faces} faces, "
+          f"{len(mesh.patches)} patches -> {out}")
+    return 0
+
+
+def check_mesh(argv) -> int:
+    args = _case_arg(argv)
+    from ..io import polymesh as mesh_io
+    from ..mesh.check import check
+
+    mesh = mesh_io.read(os.path.join(args.case, "constant", "polyMesh"))
+    stats = check(mesh, verbose=True)
+    print("Mesh OK.")
+    return 0
+
+
+def run(argv) -> int:
+    args = _case_arg(argv)
+    from ..core.case import run_case
+
+    run_case(args.case, max_steps=args.steps)
+    return 0
+
+
+def decompose_par(argv) -> int:
+    args = _case_arg(argv)
+    from ..core.dictionary import parse_file
+    from ..io import polymesh as mesh_io
+    from ..parallel import partition
+
+    mesh = mesh_io.read(os.path.join(args.case, "constant", "polyMesh"))
+    dd_path = os.path.join(args.case, "system", "decomposeParDict")
+    n = 4
+    if os.path.exists(dd_path):
+        n = int(parse_file(dd_path).get("numberOfSubdomains", 4))
+    parts = partition.decompose(mesh, n)
+    import numpy as np
+
+    sizes = np.bincount(parts, minlength=n)
+    cut = partition.cut_faces(mesh, parts)
+    print(f"decomposePar: {n} subdomains, cell counts {sizes.tolist()}, "
+          f"{cut} cut faces (on-device GSPMD sharding uses this ordering)")
+    return 0
+
+
+def foam_to_vtk(argv) -> int:
+    args = _case_arg(argv)
+    from ..io import vtk as vtk_io
+
+    out = vtk_io.case_to_vtk(args.case, time_name=args.time)
+    print(f"foamToVTK: wrote {out}")
+    return 0
+
+
+COMMANDS = {
+    "blockMesh": block_mesh,
+    "checkMesh": check_mesh,
+    "run": run,
+    "decomposePar": decompose_par,
+    "foamToVTK": foam_to_vtk,
+}
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd = argv[0]
+    # allow `python -m foamtpu icoFoam -case ...` style too
+    if cmd not in COMMANDS:
+        from ..core.case import run_case, Case
+
+        args = _case_arg(argv[1:])
+        case = Case(args.case)
+        if case.application == cmd or cmd in ("icoFoam",):
+            run_case(args.case, max_steps=args.steps)
+            return 0
+        print(f"unknown command {cmd!r}; available: {sorted(COMMANDS)}",
+              file=sys.stderr)
+        return 1
+    return COMMANDS[cmd](argv[1:])

@@ -231,7 +231,7 @@ def _parse_entry_tokens(ts: _TokStream) -> List[Any]:
     while True:
         t = ts.peek()
         if t is None:
-            raise ValueError("unterminated entry (missing ';')")
+            break  # EOF terminates the last entry (e.g. polyMesh/boundary)
         if t == ";":
             ts.next()
             break

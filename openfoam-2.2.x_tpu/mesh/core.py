@@ -440,7 +440,10 @@ class FvMesh:
 
 
 def to_device(mesh: PolyMesh) -> FvMesh:
-    import jax.numpy as jnp
+    """Build the FvMesh pytree. All arrays are staged in NumPy and moved
+    with ONE jax.device_put — per-array transfers cost ~seconds through
+    a tunneled TPU."""
+    import jax
 
     sdt = scalar_np()
     tabs = mesh.cell_tables()
@@ -451,12 +454,12 @@ def to_device(mesh: PolyMesh) -> FvMesh:
             face_active[p.slice] = 0.0
 
     def farr(a):
-        return jnp.asarray(np.asarray(a, dtype=sdt))
+        return np.asarray(a, dtype=sdt)
 
     def iarr(a):
-        return jnp.asarray(np.asarray(a, dtype=label_np))
+        return np.asarray(a, dtype=label_np)
 
-    return FvMesh(
+    fv = FvMesh(
         sf=farr(mesh.sf),
         mag_sf=farr(mesh.mag_sf),
         cf=farr(mesh.cf),
@@ -466,7 +469,7 @@ def to_device(mesh: PolyMesh) -> FvMesh:
         delta_coeffs=farr(mesh.delta_coeffs),
         non_orth_delta_coeffs=farr(mesh.non_orth_delta_coeffs),
         correction_vecs=farr(mesh.correction_vecs),
-        face_active=jnp.asarray(face_active),
+        face_active=face_active,
         owner=iarr(mesh.owner),
         neighbour=iarr(mesh.neighbour),
         cface=iarr(tabs["cface"]),
@@ -489,3 +492,4 @@ def to_device(mesh: PolyMesh) -> FvMesh:
         max_faces=int(tabs["max_faces"]),
         patches=tuple(mesh.patches),
     )
+    return jax.device_put(fv)

@@ -197,24 +197,41 @@ def build_hierarchy(
 
         st = _cell_tables_internal(c_own, c_nei, nCc)
 
-        levels.append(Level(
+        # stage in NumPy; ONE batched device_put at the end (per-array
+        # transfers cost ~seconds through a tunneled TPU)
+        st_np = {}
+        for k, v in st.items():
+            if k == "st_deltas":
+                st_np[k] = v
+            elif isinstance(v, np.ndarray) and v.dtype.kind == "f":
+                st_np[k] = v.astype(sdt)
+            else:
+                st_np[k] = np.asarray(v, label_np)
+        levels.append(dict(
             n_fine=nC,
             n_fine_pad=nC_pad,
             n_coarse=nCc,
             d=d,
-            face_src=jnp.asarray(face_src, label_np),
-            face_src_mask=jnp.asarray(face_mask.astype(sdt)),
-            face_src_flip=jnp.asarray(flip_src.astype(sdt)),
-            intra_faces=jnp.asarray(intra_tab, label_np),
-            intra_mask=jnp.asarray(intra_mask.astype(sdt)),
-            members_pad=jnp.asarray(members, label_np),
-            st=_to_dev(st),
+            face_src=face_src.astype(label_np),
+            face_src_mask=face_mask.astype(sdt),
+            face_src_flip=flip_src.astype(sdt),
+            intra_faces=intra_tab.astype(label_np),
+            intra_mask=intra_mask.astype(sdt),
+            members_pad=members.astype(label_np),
+            st=st_np,
             c_own=c_own,
             c_nei=c_nei,
         ))
         owner, neighbour, nC = c_own, c_nei, nCc
 
-    return levels
+    meta_keys = ("n_fine", "n_fine_pad", "n_coarse", "d", "c_own", "c_nei")
+    arrays = [{k: v for k, v in lv.items() if k not in meta_keys}
+              for lv in levels]
+    arrays = jax.device_put(arrays)
+    return [
+        Level(**{k: lv[k] for k in meta_keys}, **arr)
+        for lv, arr in zip(levels, arrays)
+    ]
 
 
 def hierarchy_for_mesh(mesh) -> List[Level]:
