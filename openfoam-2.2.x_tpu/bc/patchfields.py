@@ -176,22 +176,27 @@ _VALUE_COEFFS: Dict[str, Callable] = {
     "nutkWallFunction": _vc_calculated,
     "nutUWallFunction": _vc_calculated,
     "kqRWallFunction": _vc_zero_gradient,
-    "epsilonWallFunction": _vc_fixed_value,
-    "omegaWallFunction": _vc_fixed_value,
+    # eps/omega wall functions fix the wall-adjacent CELL value (via the
+    # matrix constraint in models/turbulence/ras.py); the face itself is
+    # flux-free, i.e. zero-gradient
+    "epsilonWallFunction": _vc_zero_gradient,
+    "omegaWallFunction": _vc_zero_gradient,
     "kLowReWallFunction": _vc_fixed_value,
 }
 
 
 def value_coeffs(bc: PatchField, mesh, patch, internal) -> Tuple[Any, Any]:
     vi = _patch_internal(mesh, patch, internal)
-    return _VALUE_COEFFS[bc.kind](bc, mesh, patch, vi)
+    vic, vbc = _VALUE_COEFFS[bc.kind](bc, mesh, patch, vi)
+    return jnp.broadcast_to(vic, vi.shape), jnp.broadcast_to(vbc, vi.shape)
 
 
 def grad_coeffs(bc: PatchField, mesh, patch, internal) -> Tuple[Any, Any]:
     vi = _patch_internal(mesh, patch, internal)
     vic, vbc = _VALUE_COEFFS[bc.kind](bc, mesh, patch, vi)
     dc = _col(_patch_delta(mesh, patch), vi)
-    return dc * (vic - 1.0), dc * vbc
+    return (jnp.broadcast_to(dc * (vic - 1.0), vi.shape),
+            jnp.broadcast_to(dc * vbc, vi.shape))
 
 
 def evaluate(bc: PatchField, mesh, patch, internal) -> Any:

@@ -1,0 +1,493 @@
+"""RAS (RANS) turbulence models.
+
+Reference: src/turbulenceModels/incompressible/RAS/ — kEpsilon,
+RNGkEpsilon, realizableKE, kOmega, kOmegaSST, plus the wall-function
+fvPatchFields (nutkWallFunction, epsilonWallFunction, omegaWallFunction,
+kqRWallFunction in RAS/derivedFvPatchFields/wallFunctions/).
+
+TPU treatment of wall functions: the reference's matrix row
+manipulation becomes a diagonal-penalty constraint on the wall-adjacent
+cells (FvMatrix.set_values); nut wall values are recomputed each step
+from the log law through the BC update registry. All formulas are the
+standard published closures (Launder-Spalding 1974; Menter 2003).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...bc import patchfields as pf
+from ...core.dimensions import DimensionSet, dimViscosity
+from ...core.fields import VolField, vol_scalar
+from ...ops import fvc, fvm, surface
+from ...solvers import linear
+from .base import TurbulenceModel, bound_below, production, register
+
+_KAPPA = 0.41
+_E = 9.8
+_CMU = 0.09
+
+K_MIN = 1e-10
+EPS_MIN = 1e-10
+OMEGA_MIN = 1e-10
+
+
+# ---------------------------------------------------------------------------
+# Wall-function nut BC updates (registered into the BC update registry)
+# ---------------------------------------------------------------------------
+
+
+def _nutk_wall(bc, mesh, patch, internal, *, k=None, nu=None, **ctx):
+    """nutkWallFunction: nut from the log law using k at the wall cell
+    (reference: nutkWallFunctionFvPatchScalarField)."""
+    if k is None or nu is None:
+        return bc
+    cells = mesh.owner[patch.slice]
+    y = 1.0 / jnp.maximum(mesh.delta_coeffs[patch.slice], 1e-30)
+    kc = jnp.maximum(k[cells], K_MIN)
+    ypl = (_CMU ** 0.25) * jnp.sqrt(kc) * y / nu
+    ypl_lam = 11.0  # intersection of linear/log laws for kappa=0.41, E=9.8
+    nutw = nu * (ypl * _KAPPA / jnp.log(jnp.maximum(_E * ypl, 1.001)) - 1.0)
+    nutw = jnp.where(ypl > ypl_lam, jnp.maximum(nutw, 0.0), 0.0)
+    return bc.replace(ref_value=nutw, vfrac=1.0)
+
+
+def _nutU_wall(bc, mesh, patch, internal, *, U=None, nu=None, **ctx):
+    """nutUWallFunction: nut from the log law using the cell velocity
+    (reference: nutUWallFunctionFvPatchScalarField) — solves
+    u+ = ln(E y+)/kappa iteratively (3 fixed-point sweeps suffice)."""
+    if U is None or nu is None:
+        return bc
+    cells = mesh.owner[patch.slice]
+    y = 1.0 / jnp.maximum(mesh.delta_coeffs[patch.slice], 1e-30)
+    n = mesh.sf[patch.slice] / jnp.maximum(mesh.mag_sf[patch.slice], 1e-30)[:, None]
+    Uc = U[cells]
+    Ut = Uc - n * jnp.sum(n * Uc, axis=1, keepdims=True)
+    magU = jnp.maximum(jnp.linalg.norm(Ut, axis=1), 1e-12)
+    Re = magU * y / nu
+    utau = jnp.sqrt(magU * nu / y)  # laminar guess
+    for _ in range(4):
+        ypl = utau * y / nu
+        upl = jnp.where(ypl > 11.0,
+                        jnp.log(jnp.maximum(_E * ypl, 1.001)) / _KAPPA, ypl)
+        utau = magU / jnp.maximum(upl, 1e-6)
+    nutw = jnp.maximum(utau * utau * y / magU / nu - 1.0, 0.0) * nu
+    return bc.replace(ref_value=nutw, vfrac=1.0)
+
+
+pf.register_update("nutkWallFunction", _nutk_wall)
+pf.register_update("nutUWallFunction", _nutU_wall)
+
+
+def _wall_data(mesh):
+    """Static wall-adjacency arrays from the device mesh (wall patches:
+    type 'wall'). Returns (mask [nC], y [nC])."""
+    isw = np.zeros(mesh.n_cells)
+    yw = np.ones(mesh.n_cells)
+    cnt = np.zeros(mesh.n_cells)
+    own = np.asarray(mesh.owner)
+    dc = np.asarray(mesh.delta_coeffs)
+    for p in mesh.patches:
+        if p.type != "wall":
+            continue
+        cells = own[p.slice]
+        y = 1.0 / np.maximum(dc[p.slice], 1e-300)
+        np.add.at(yw, cells, y)
+        np.add.at(cnt, cells, 1.0)
+        isw[cells] = 1.0
+    yw = np.where(cnt > 0, yw / np.maximum(cnt, 1.0), 1.0)
+    dt = np.asarray(mesh.v).dtype
+    return jnp.asarray(isw.astype(dt)), jnp.asarray(yw.astype(dt))
+
+
+def _has_wall_fn(field: VolField, kinds) -> bool:
+    return any(bc.kind in kinds for bc in field.bcs)
+
+
+def _div_weights(mesh, phi, field, scheme="upwind"):
+    from ...ops import schemes
+
+    return schemes.weights(mesh, phi, scheme, field)
+
+
+def _solve_transport(mesh, field, mat, controls, default_tol=1e-8):
+    ctl = dict(controls or {})
+    ctl.setdefault("solver", "PBiCGStab")
+    ctl.setdefault("tolerance", default_tol)
+    ctl.setdefault("relTol", 0.1)
+    ctl.setdefault("maxIter", 200)
+    data, perf = linear.solve(mesh, mat, field.data, ctl)
+    return data, perf
+
+
+class KEpsilon(TurbulenceModel):
+    """Standard k-epsilon (reference: RAS/kEpsilon/kEpsilon.C)."""
+
+    name = "kEpsilon"
+    field_names = ("k", "epsilon", "nut")
+
+    Cmu = _CMU
+    C1 = 1.44
+    C2 = 1.92
+    sigma_k = 1.0
+    sigma_eps = 1.3
+
+    def __init__(self, nu, coeffs=None):
+        super().__init__(nu, coeffs)
+        c = self.coeffs or {}
+        self.Cmu = float(c.get("Cmu", self.Cmu))
+        self.C1 = float(c.get("C1", self.C1))
+        self.C2 = float(c.get("C2", self.C2))
+        self.sigma_eps = float(c.get("sigmaEps", self.sigma_eps))
+
+    def nut(self, mesh, tstate):
+        return tstate["nut"].data
+
+    def nu_eff_face(self, mesh, tstate):
+        return self.nu + fvc.interpolate(mesh, tstate["nut"])
+
+    def _nut_from(self, k, eps):
+        return self.Cmu * k * k / jnp.maximum(eps, EPS_MIN)
+
+    def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
+                controls=None):
+        k_f: VolField = tstate["k"]
+        eps_f: VolField = tstate["epsilon"]
+        nut_f: VolField = tstate["nut"]
+        k, eps, nut = k_f.data, eps_f.data, nut_f.data
+        rdt = 1.0 / dt
+        diag = {}
+
+        G, S2 = production(mesh, nut, U)
+        wall_fn = _has_wall_fn(eps_f, ("epsilonWallFunction",))
+        if wall_fn:
+            mask, y = _wall_data(mesh)
+            sqrtk = jnp.sqrt(jnp.maximum(k, K_MIN))
+            eps_wall = (self.Cmu ** 0.75) * sqrtk ** 3 / (_KAPPA * y)
+            # wall production from the log-law shear
+            magUp = jnp.linalg.norm(U.data, axis=1) / y
+            G_wall = ((nut + self.nu) * magUp
+                      * (self.Cmu ** 0.25) * sqrtk / (_KAPPA * y))
+            G = jnp.where(mask > 0, G_wall, G)
+
+        nu_eff_eps = self.nu + nut / self.sigma_eps
+        eps_face = self.nu + fvc.interpolate(mesh, nut_f) / self.sigma_eps
+        ddt_op = (fvm.ddt(mesh, eps_f, eps, rdt) if not steady
+                  else fvm.ddt_steady(mesh, eps_f))
+        w_eps = _div_weights(mesh, phi, eps_f, self.div_scheme)
+        eps_eqn = (
+            ddt_op
+            + fvm.div(mesh, phi, eps_f, weights=w_eps)
+            - fvm.laplacian(mesh, eps_face, eps_f, corrected=False,
+                            gamma_dims=dimViscosity)
+            + fvm.Sp(mesh, self.C2 * eps / jnp.maximum(k, K_MIN), eps_f)
+        )
+        eps_eqn = eps_eqn.add_source(
+            self.C1 * G * eps / jnp.maximum(k, K_MIN), mesh)
+        if steady and relax < 1.0:
+            eps_eqn = eps_eqn.relax(mesh, relax, eps)
+        if wall_fn:
+            eps_eqn = eps_eqn.replace_fields(
+                diag=eps_eqn.diag, source=eps_eqn.source)
+            eps_eqn = eps_eqn.set_values(mask, eps_wall)
+        eps_new, perf_e = _solve_transport(mesh, eps_f, eps_eqn, controls)
+        eps_new = bound_below(eps_new, EPS_MIN)
+        diag["epsilon"] = perf_e
+
+        k_face = self.nu + fvc.interpolate(mesh, nut_f) / self.sigma_k
+        ddt_op = (fvm.ddt(mesh, k_f, k, rdt) if not steady
+                  else fvm.ddt_steady(mesh, k_f))
+        w_k = _div_weights(mesh, phi, k_f, self.div_scheme)
+        k_eqn = (
+            ddt_op
+            + fvm.div(mesh, phi, k_f, weights=w_k)
+            - fvm.laplacian(mesh, k_face, k_f, corrected=False,
+                            gamma_dims=dimViscosity)
+            + fvm.Sp(mesh, eps_new / jnp.maximum(k, K_MIN), k_f)
+        )
+        k_eqn = k_eqn.add_source(G, mesh)
+        if steady and relax < 1.0:
+            k_eqn = k_eqn.relax(mesh, relax, k)
+        k_new, perf_k = _solve_transport(mesh, k_f, k_eqn, controls)
+        k_new = bound_below(k_new, K_MIN)
+        diag["k"] = perf_k
+
+        nut_new = self._nut_from(k_new, eps_new)
+        new_nut_f = nut_f.with_data(nut_new).correct_boundary_conditions(
+            mesh, k=k_new, nu=self.nu, U=U.data)
+        new = dict(tstate)
+        new.update(
+            k=k_f.with_data(k_new),
+            epsilon=eps_f.with_data(eps_new),
+            nut=new_nut_f,
+        )
+        return new, diag
+
+
+class RNGkEpsilon(KEpsilon):
+    """RNG k-epsilon (reference: RAS/RNGkEpsilon/). Differs from
+    standard kEpsilon by the strain-dependent C1 term."""
+
+    name = "RNGkEpsilon"
+    Cmu = 0.0845
+    C1 = 1.42
+    C2 = 1.68
+    sigma_eps = 1.39 ** -1 * 1.39  # sigmaEps = 1.39 in 2.2 coeffs
+    eta0 = 4.38
+    beta = 0.012
+
+    def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
+                controls=None):
+        # fold the RNG modification into C1 via eta
+        k = tstate["k"].data
+        eps = tstate["epsilon"].data
+        nut = tstate["nut"].data
+        _, S2 = production(mesh, nut, U)
+        eta = jnp.sqrt(S2) * k / jnp.maximum(eps, EPS_MIN)
+        c1_eff = self.C1 - eta * (1.0 - eta / self.eta0) / (
+            1.0 + self.beta * eta ** 3)
+        orig_c1 = self.C1
+        self.C1 = c1_eff  # array broadcast through add_source
+        try:
+            out = super().correct(mesh, tstate, U, phi, dt, steady, relax,
+                                  controls)
+        finally:
+            self.C1 = orig_c1
+        return out
+
+
+class RealizableKE(KEpsilon):
+    """Realizable k-epsilon (reference: RAS/realizableKE/) — variable
+    Cmu and the Shih production form for the epsilon equation."""
+
+    name = "realizableKE"
+    A0 = 4.0
+    C2r = 1.9
+
+    def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
+                controls=None):
+        k_f = tstate["k"]
+        eps_f = tstate["epsilon"]
+        nut_f = tstate["nut"]
+        k, eps, nut = k_f.data, eps_f.data, nut_f.data
+        rdt = 1.0 / dt
+        diag = {}
+
+        g = fvc.grad(mesh, U)
+        s = 0.5 * (g + jnp.swapaxes(g, 1, 2))
+        w = 0.5 * (g - jnp.swapaxes(g, 1, 2))
+        s2 = 2.0 * jnp.sum(s * s, axis=(1, 2))
+        magS = jnp.sqrt(s2)
+        G = nut * s2
+
+        # realizable Cmu (Shih et al.)
+        ksum = jnp.sum(s * s, axis=(1, 2))
+        wsum = jnp.sum(w * w, axis=(1, 2))
+        Ustar = jnp.sqrt(ksum + wsum)
+        As = jnp.sqrt(6.0) * jnp.cos(
+            (1.0 / 3.0) * jnp.arccos(jnp.clip(
+                jnp.sqrt(6.0) * jnp.einsum("cij,cjk,cki->c", s, s, s)
+                / jnp.maximum(ksum, 1e-30) ** 1.5, -1.0, 1.0)))
+        cmu_r = 1.0 / (self.A0 + As * Ustar * k / jnp.maximum(eps, EPS_MIN))
+
+        eta = magS * k / jnp.maximum(eps, EPS_MIN)
+        C1r = jnp.maximum(eta / (eta + 5.0), 0.43)
+
+        wall_fn = _has_wall_fn(eps_f, ("epsilonWallFunction",))
+        if wall_fn:
+            mask, y = _wall_data(mesh)
+            sqrtk = jnp.sqrt(jnp.maximum(k, K_MIN))
+            eps_wall = (_CMU ** 0.75) * sqrtk ** 3 / (_KAPPA * y)
+            magUp = jnp.linalg.norm(U.data, axis=1) / y
+            G = jnp.where(mask > 0,
+                          (nut + self.nu) * magUp * (_CMU ** 0.25) * sqrtk
+                          / (_KAPPA * y), G)
+
+        eps_face = self.nu + fvc.interpolate(mesh, nut_f) / self.sigma_eps
+        ddt_e = (fvm.ddt(mesh, eps_f, eps, rdt) if not steady
+                 else fvm.ddt_steady(mesh, eps_f))
+        w_eps = _div_weights(mesh, phi, eps_f, self.div_scheme)
+        eps_eqn = (
+            ddt_e
+            + fvm.div(mesh, phi, eps_f, weights=w_eps)
+            - fvm.laplacian(mesh, eps_face, eps_f, corrected=False,
+                            gamma_dims=dimViscosity)
+            + fvm.Sp(mesh, self.C2r * eps / (
+                k + jnp.sqrt(self.nu * jnp.maximum(eps, EPS_MIN))), eps_f)
+        )
+        eps_eqn = eps_eqn.add_source(C1r * magS * eps, mesh)
+        if steady and relax < 1.0:
+            eps_eqn = eps_eqn.relax(mesh, relax, eps)
+        if wall_fn:
+            eps_eqn = eps_eqn.set_values(mask, eps_wall)
+        eps_new, perf_e = _solve_transport(mesh, eps_f, eps_eqn, controls)
+        eps_new = bound_below(eps_new, EPS_MIN)
+        diag["epsilon"] = perf_e
+
+        k_face = self.nu + fvc.interpolate(mesh, nut_f) / self.sigma_k
+        ddt_k = (fvm.ddt(mesh, k_f, k, rdt) if not steady
+                 else fvm.ddt_steady(mesh, k_f))
+        w_k = _div_weights(mesh, phi, k_f, self.div_scheme)
+        k_eqn = (
+            ddt_k
+            + fvm.div(mesh, phi, k_f, weights=w_k)
+            - fvm.laplacian(mesh, k_face, k_f, corrected=False,
+                            gamma_dims=dimViscosity)
+            + fvm.Sp(mesh, eps_new / jnp.maximum(k, K_MIN), k_f)
+        )
+        k_eqn = k_eqn.add_source(G, mesh)
+        if steady and relax < 1.0:
+            k_eqn = k_eqn.relax(mesh, relax, k)
+        k_new, perf_k = _solve_transport(mesh, k_f, k_eqn, controls)
+        k_new = bound_below(k_new, K_MIN)
+        diag["k"] = perf_k
+
+        nut_new = cmu_r * k_new * k_new / jnp.maximum(eps_new, EPS_MIN)
+        new_nut = nut_f.with_data(nut_new).correct_boundary_conditions(
+            mesh, k=k_new, nu=self.nu, U=U.data)
+        new = dict(tstate)
+        new.update(k=k_f.with_data(k_new), epsilon=eps_f.with_data(eps_new),
+                   nut=new_nut)
+        return new, diag
+
+
+class KOmegaSST(TurbulenceModel):
+    """Menter k-omega SST (2003 form, as shipped in the reference:
+    RAS/kOmegaSST/kOmegaSST.C). Needs the wall-distance field."""
+
+    name = "kOmegaSST"
+    field_names = ("k", "omega", "nut")
+
+    alphaK1, alphaK2 = 0.85, 1.0
+    alphaOmega1, alphaOmega2 = 0.5, 0.856
+    beta1, beta2 = 0.075, 0.0828
+    betaStar = 0.09
+    gamma1, gamma2 = 5.0 / 9.0, 0.44
+    a1, b1, c1 = 0.31, 1.0, 10.0
+
+    def __init__(self, nu, coeffs=None, y_wall=None):
+        super().__init__(nu, coeffs)
+        self.y_wall = y_wall  # [nC] device array, set by init_state
+
+    def init_wall_distance(self, poly_mesh, dtype):
+        from ...mesh.walldist import wall_distance
+
+        y = wall_distance(poly_mesh)
+        y = np.where(np.isfinite(y), y, 1e10)
+        self.y_wall = jnp.asarray(np.maximum(y, 1e-10).astype(dtype))
+
+    def nut(self, mesh, tstate):
+        return tstate["nut"].data
+
+    def nu_eff_face(self, mesh, tstate):
+        return self.nu + fvc.interpolate(mesh, tstate["nut"])
+
+    def _blend(self, mesh, k, omega, grad_k_grad_w):
+        y = self.y_wall
+        sqrtk = jnp.sqrt(jnp.maximum(k, K_MIN))
+        w = jnp.maximum(omega, OMEGA_MIN)
+        cd = jnp.maximum(2.0 * self.alphaOmega2 * grad_k_grad_w / w, 1e-10)
+        arg1 = jnp.minimum(
+            jnp.maximum(sqrtk / (self.betaStar * w * y),
+                        500.0 * self.nu / (y * y * w)),
+            4.0 * self.alphaOmega2 * k / (cd * y * y),
+        )
+        F1 = jnp.tanh(jnp.minimum(arg1, 10.0) ** 4)
+        arg2 = jnp.maximum(2.0 * sqrtk / (self.betaStar * w * y),
+                           500.0 * self.nu / (y * y * w))
+        F2 = jnp.tanh(jnp.minimum(arg2, 10.0) ** 2)
+        return F1, F2, cd
+
+    def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
+                controls=None):
+        k_f, w_f, nut_f = tstate["k"], tstate["omega"], tstate["nut"]
+        k, omega, nut = k_f.data, w_f.data, nut_f.data
+        rdt = 1.0 / dt
+        diag = {}
+
+        gk = fvc.grad(mesh, k_f)
+        gw = fvc.grad(mesh, w_f)
+        gkgw = jnp.sum(gk * gw, axis=1)
+        F1, F2, cd = self._blend(mesh, k, omega, gkgw)
+
+        def mix(a, b):
+            return F1 * a + (1.0 - F1) * b
+
+        G, S2 = production(mesh, nut, U)
+        S = jnp.sqrt(S2)
+        gamma = mix(self.gamma1, self.gamma2)
+        beta = mix(self.beta1, self.beta2)
+
+        wall_fn = _has_wall_fn(w_f, ("omegaWallFunction",))
+        if wall_fn:
+            mask, y1 = _wall_data(mesh)
+            sqrtk = jnp.sqrt(jnp.maximum(k, K_MIN))
+            w_vis = 6.0 * self.nu / (self.beta1 * y1 * y1)
+            w_log = sqrtk / ((_CMU ** 0.25) * _KAPPA * y1)
+            omega_wall = jnp.sqrt(w_vis ** 2 + w_log ** 2)
+            magUp = jnp.linalg.norm(U.data, axis=1) / y1
+            G_wall = ((nut + self.nu) * magUp
+                      * (_CMU ** 0.25) * sqrtk / (_KAPPA * y1))
+            G = jnp.where(mask > 0, G_wall, G)
+
+        # omega equation
+        w_face = self.nu + fvc.interpolate(
+            mesh, nut_f.with_data(mix(self.alphaOmega1, self.alphaOmega2) * nut))
+        ddt_w = (fvm.ddt(mesh, w_f, omega, rdt) if not steady
+                 else fvm.ddt_steady(mesh, w_f))
+        w_w = _div_weights(mesh, phi, w_f, self.div_scheme)
+        w_eqn = (
+            ddt_w
+            + fvm.div(mesh, phi, w_f, weights=w_w)
+            - fvm.laplacian(mesh, w_face, w_f, corrected=False,
+                            gamma_dims=dimViscosity)
+            + fvm.Sp(mesh, beta * omega, w_f)
+        )
+        src_w = gamma * S2 + (1.0 - F1) * cd
+        w_eqn = w_eqn.add_source(src_w, mesh)
+        if steady and relax < 1.0:
+            w_eqn = w_eqn.relax(mesh, relax, omega)
+        if wall_fn:
+            w_eqn = w_eqn.set_values(mask, omega_wall)
+        w_new, perf_w = _solve_transport(mesh, w_f, w_eqn, controls)
+        w_new = bound_below(w_new, OMEGA_MIN)
+        diag["omega"] = perf_w
+
+        # k equation with limited production
+        Gk = jnp.minimum(G, self.c1 * self.betaStar * k * w_new)
+        k_face = self.nu + fvc.interpolate(
+            mesh, nut_f.with_data(mix(self.alphaK1, self.alphaK2) * nut))
+        ddt_k = (fvm.ddt(mesh, k_f, k, rdt) if not steady
+                 else fvm.ddt_steady(mesh, k_f))
+        w_k = _div_weights(mesh, phi, k_f, self.div_scheme)
+        k_eqn = (
+            ddt_k
+            + fvm.div(mesh, phi, k_f, weights=w_k)
+            - fvm.laplacian(mesh, k_face, k_f, corrected=False,
+                            gamma_dims=dimViscosity)
+            + fvm.Sp(mesh, self.betaStar * w_new, k_f)
+        )
+        k_eqn = k_eqn.add_source(Gk, mesh)
+        if steady and relax < 1.0:
+            k_eqn = k_eqn.relax(mesh, relax, k)
+        k_new, perf_k = _solve_transport(mesh, k_f, k_eqn, controls)
+        k_new = bound_below(k_new, K_MIN)
+        diag["k"] = perf_k
+
+        nut_new = self.a1 * k_new / jnp.maximum(
+            self.a1 * jnp.maximum(w_new, OMEGA_MIN), self.b1 * F2 * S)
+        new_nut = nut_f.with_data(nut_new).correct_boundary_conditions(
+            mesh, k=k_new, nu=self.nu, U=U.data)
+        new = dict(tstate)
+        new.update(k=k_f.with_data(k_new), omega=w_f.with_data(w_new),
+                   nut=new_nut)
+        return new, diag
+
+
+register("kEpsilon", KEpsilon)
+register("RNGkEpsilon", RNGkEpsilon)
+register("realizableKE", RealizableKE)
+register("kOmegaSST", KOmegaSST)

@@ -182,6 +182,19 @@ class FvMatrix:
             diag=self.diag.at[cell].add(d),
         )
 
+    def set_values(self, mask: Any, values: Any, strength: float = 1e8
+                   ) -> "FvMatrix":
+        """Constrain psi to `values` where mask==1 via a diagonal
+        penalty (the TPU-friendly equivalent of the reference's
+        fvMatrix::setValues row replacement, used by wall functions
+        to fix near-wall epsilon/omega)."""
+        big = strength * jnp.maximum(jnp.abs(self.diag), 1e-30)
+        return dataclasses.replace(
+            self,
+            diag=self.diag + mask * big,
+            source=self.source + mask * big * values,
+        )
+
     def relax(self, mesh, alpha: float, psi: Any) -> "FvMatrix":
         """Under-relaxation (reference: fvMatrix::relax): floor the
         diagonal by the off-diagonal magnitude sum, divide by alpha, and

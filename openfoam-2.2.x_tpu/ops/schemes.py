@@ -90,6 +90,16 @@ def weights(mesh, phi: Any, scheme: str, field: Optional[VolField] = None) -> An
 
     parts = scheme.split()
     name = parts[0]
+    # V-variants apply one limiter to all components (reference:
+    # limitedSchemes/.../...V.H); same face weights in this formulation
+    if name.endswith("V") and (name[:-1] in _LIMITERS
+                               or name[:-1] == "limitedLinear"):
+        name = name[:-1]
+    if name == "linearUpwind":
+        # deferred-correction linearUpwind not yet wired: fall back to
+        # the bounded limitedLinear weights (2nd-order upwind-biased)
+        name = "limitedLinear"
+        parts = [name, "1"]
     if name == "linear":
         return w_cd
     if name == "upwind":

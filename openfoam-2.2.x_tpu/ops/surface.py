@@ -56,8 +56,7 @@ def interpolate_internal(mesh, data: Any, weights: Optional[Any] = None) -> Any:
     w = mesh.weights[:nif] if weights is None else weights
     vo = data[mesh.owner[:nif]]
     vn = data[mesh.neighbour]
-    if data.ndim == 2:
-        w = w[:, None]
+    w = w.reshape((-1,) + (1,) * (data.ndim - 1))
     return w * vo + (1.0 - w) * vn
 
 

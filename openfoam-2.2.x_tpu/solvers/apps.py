@@ -4,25 +4,134 @@
 Each application reads its config from the case dictionaries, builds
 the jitted step, runs the Time loop with reference-format logging, and
 writes OpenFOAM-format output at write times.
+
+Implemented: icoFoam, pisoFoam, pimpleFoam, simpleFoam,
+scalarTransportFoam, laplacianFoam, potentialFoam
+(reference: applications/solvers/{incompressible,basic}/...).
 """
 
 from __future__ import annotations
 
-from typing import Optional
+import os
+from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..core import case as case_mod
-from ..core.dictionary import dimensioned_scalar
+from ..core.dictionary import FoamDict, dimensioned_scalar, parse_file
+from ..models import turbulence as turb_mod
 from ..utils import logging as log
 from . import piso as piso_mod
+from . import simple as simple_mod
+from .linear.krylov import SolverPerf
 
 
-def _piso_cfg_from_case(case, nu: float, turbulence=None,
-                        control_name: str = "PISO") -> piso_mod.PisoConfig:
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _load_turbulence(case, nu: float):
+    """Read RASProperties/LESProperties, build the model + its field
+    state from the start-time directory."""
+    for fname, kind in (("RASProperties", "RAS"), ("LESProperties", "LES"),
+                        ("turbulenceProperties", "RAS")):
+        path = case.const_path(fname)
+        if os.path.exists(path):
+            props = parse_file(path)
+            break
+    else:
+        return None, None
+    model = turb_mod.select(props, nu, kind=kind)
+    if not model.field_names:
+        return None, None
+    tstate = {}
+    for name in model.field_names:
+        tstate[name] = case.read_field(name)
+    if hasattr(model, "init_wall_distance"):
+        model.init_wall_distance(case.poly_mesh, np.asarray(case.mesh.v).dtype)
+    return model, tstate
+
+
+def _relaxation(case) -> Dict[str, float]:
+    out: Dict[str, float] = {}
+    rf = case.fv_solution.get("relaxationFactors")
+    if isinstance(rf, FoamDict):
+        for sub in ("fields", "equations"):
+            if sub in rf and isinstance(rf[sub], FoamDict):
+                for k, v in rf[sub].items():
+                    out[str(k)] = float(v)
+        for k, v in rf.items():
+            if not isinstance(v, FoamDict):
+                out[str(k)] = float(v)
+    return out
+
+
+def _residual_control(case, name="SIMPLE") -> Dict[str, float]:
+    d = case.pimple_controls(name).get("residualControl")
+    if isinstance(d, FoamDict):
+        return {str(k): float(v) for k, v in d.items()
+                if isinstance(v, (int, float))}
+    return {}
+
+
+def _log_step(case, t, diag, cumulative, extra_fields=()):
+    log.info(f"Time = {t.name}\n")
+    if "courant_mean" in diag:
+        log.info(log.courant_line(float(diag["courant_mean"]),
+                                  float(diag["courant_max"])))
+    if diag.get("Ux") is not None:
+        log.info(log.solver_line("U", diag["Ux"]))
+    if "p_initial" in diag:
+        log.info(log.solver_line("p", SolverPerf(
+            diag["p_initial"], diag["p_final"], diag["p_iters"])))
+    for name in extra_fields:
+        perf = diag.get(f"turb_{name}")
+        if perf is not None:
+            log.info(log.solver_line(name, perf))
+    if "continuity" in diag:
+        dtv = getattr(t, "current_dt", 1.0)
+        local = float(diag["continuity"]) * dtv
+        glob = float(diag.get("continuity_global", 0.0)) * dtv
+        cumulative += glob
+        log.info(log.continuity_line(local, glob, cumulative))
+    log.info(f"ExecutionTime = {t.execution_time():.2f} s"
+             f"  ClockTime = {t.clock_time():.0f} s\n")
+    return cumulative
+
+
+def _write_state(case, state):
+    fields = [state["U"], state["p"]]
+    if "turb" in state and state["turb"]:
+        fields += list(state["turb"].values())
+    case.write_fields(fields)
+
+
+# ---------------------------------------------------------------------------
+# transient PISO family
+# ---------------------------------------------------------------------------
+
+
+def _run_piso(case, max_steps, with_turbulence: bool,
+              control_name: str = "PISO") -> None:
+    mesh = case.mesh
+    tp = case.transport_properties()
+    _, nu = dimensioned_scalar(tp["nu"])
+
+    U = case.read_field("U")
+    p = case.read_field("p")
+    model = tstate = None
+    if with_turbulence:
+        model, tstate = _load_turbulence(case, nu)
+
     pdict = case.pimple_controls(control_name)
-    return piso_mod.PisoConfig(
+    turb_ctl = None
+    try:
+        turb_ctl = case.solver_controls("k")
+    except KeyError:
+        pass
+    cfg = piso_mod.PisoConfig(
         nu=nu,
         n_correctors=int(pdict.get("nCorrectors", 2)),
         n_non_orth=int(pdict.get("nNonOrthogonalCorrectors", 0)),
@@ -34,51 +143,249 @@ def _piso_cfg_from_case(case, nu: float, turbulence=None,
         p_ref_value=float(pdict.get("pRefValue", 0.0)),
         p_controls=case.solver_controls("p"),
         u_controls=case.solver_controls("U"),
-        turbulence=turbulence,
+        turb=model,
+        turb_controls=turb_ctl,
     )
-
-
-def icofoam(case, max_steps: Optional[int] = None) -> None:
-    """icoFoam: transient laminar incompressible PISO
-    (reference: applications/solvers/incompressible/icoFoam/icoFoam.C)."""
-    mesh = case.mesh
-    tp = case.transport_properties()
-    _, nu = dimensioned_scalar(tp["nu"])
-
-    U = case.read_field("U")
-    p = case.read_field("p")
-    cfg = _piso_cfg_from_case(case, nu)
     step = piso_mod.make_step(mesh, cfg)
-    state = piso_mod.initial_state(mesh, U, p)
+    state = piso_mod.initial_state(mesh, U, p, turb_state=tstate)
 
-    log.info(f"Starting time loop: icoFoam, {mesh.n_cells} cells\n")
+    extra = model.field_names[:-1] if model else ()
+    log.info(f"Starting time loop: {case.application}, {mesh.n_cells} cells\n")
     cumulative = 0.0
     for t in case.time.loop():
         dt = jnp.asarray(t.current_dt, mesh.v.dtype)
         state, diag = step(state, dt)
-        log.info(f"Time = {t.name}\n")
-        log.info(log.courant_line(float(diag["courant_mean"]),
-                                  float(diag["courant_max"])))
-        if diag.get("Ux") is not None:
-            log.info(log.solver_line("U", diag["Ux"]))
-        from ..solvers.linear.krylov import SolverPerf
-
-        log.info(log.solver_line("p", SolverPerf(
-            diag["p_initial"], diag["p_final"], diag["p_iters"])))
-        local = float(diag["continuity"]) * t.current_dt
-        glob = float(diag.get("continuity_global", 0.0)) * t.current_dt
-        cumulative += glob
-        log.info(log.continuity_line(local, glob, cumulative))
-        log.info(f"ExecutionTime = {t.execution_time():.2f} s"
-                 f"  ClockTime = {t.clock_time():.0f} s\n")
+        cumulative = _log_step(case, t, diag, cumulative, extra)
+        t.adjust_delta_t(float(diag["courant_max"]))
         if t.write_time():
-            case.write_fields([state["U"], state["p"]])
+            _write_state(case, state)
             log.info(f"Writing fields at time {t.name}\n")
         if max_steps is not None and t.index >= max_steps:
             break
-    case.write_fields([state["U"], state["p"]])
+    _write_state(case, state)
     log.info("End\n")
     case.final_state = state
 
 
+def icofoam(case, max_steps: Optional[int] = None) -> None:
+    """icoFoam (reference: incompressible/icoFoam/icoFoam.C)."""
+    _run_piso(case, max_steps, with_turbulence=False, control_name="PISO")
+
+
+def pisofoam(case, max_steps: Optional[int] = None) -> None:
+    """pisoFoam: PISO + turbulence model
+    (reference: incompressible/pisoFoam/pisoFoam.C)."""
+    _run_piso(case, max_steps, with_turbulence=True, control_name="PISO")
+
+
+def pimplefoam(case, max_steps: Optional[int] = None) -> None:
+    """pimpleFoam: merged PISO-SIMPLE; nOuterCorrectors=1 reduces to
+    PISO (reference: incompressible/pimpleFoam/pimpleFoam.C)."""
+    _run_piso(case, max_steps, with_turbulence=True, control_name="PIMPLE")
+
+
+# ---------------------------------------------------------------------------
+# steady SIMPLE
+# ---------------------------------------------------------------------------
+
+
+def simplefoam(case, max_steps: Optional[int] = None) -> None:
+    """simpleFoam (reference: incompressible/simpleFoam/)."""
+    mesh = case.mesh
+    tp = case.transport_properties()
+    _, nu = dimensioned_scalar(tp["nu"])
+    U = case.read_field("U")
+    p = case.read_field("p")
+    model, tstate = _load_turbulence(case, nu)
+
+    sdict = case.pimple_controls("SIMPLE")
+    relax = _relaxation(case)
+    turb_ctl = None
+    try:
+        turb_ctl = case.solver_controls("k")
+    except KeyError:
+        pass
+    cfg = simple_mod.SimpleConfig(
+        nu=nu,
+        n_non_orth=int(sdict.get("nNonOrthogonalCorrectors", 0)),
+        corrected=case.laplacian_corrected(),
+        div_scheme=case.div_scheme("div(phi,U)"),
+        p_ref_cell=int(sdict.get("pRefCell", 0)),
+        p_ref_value=float(sdict.get("pRefValue", 0.0)),
+        alpha_u=relax.get("U", 0.7),
+        alpha_p=relax.get("p", 0.3),
+        p_controls=case.solver_controls("p"),
+        u_controls=case.solver_controls("U"),
+        turb=model,
+        turb_controls=turb_ctl,
+        turb_relax=relax.get("k", relax.get("epsilon", 0.7)),
+    )
+    step = simple_mod.make_step(mesh, cfg)
+    state = piso_mod.initial_state(mesh, U, p, turb_state=tstate)
+    res_ctl = _residual_control(case, "SIMPLE")
+
+    extra = model.field_names[:-1] if model else ()
+    log.info(f"Starting SIMPLE loop: simpleFoam, {mesh.n_cells} cells\n")
+    cumulative = 0.0
+    for t in case.time.loop():
+        state, diag = step(state)
+        cumulative = _log_step(case, t, diag, cumulative, extra)
+        if t.write_time():
+            _write_state(case, state)
+        if simple_mod.converged(diag, res_ctl):
+            log.info(f"SIMPLE solution converged in {t.index} iterations\n")
+            break
+        if max_steps is not None and t.index >= max_steps:
+            break
+    _write_state(case, state)
+    log.info("End\n")
+    case.final_state = state
+
+
+# ---------------------------------------------------------------------------
+# basic solvers
+# ---------------------------------------------------------------------------
+
+
+def scalar_transport_foam(case, max_steps: Optional[int] = None) -> None:
+    """scalarTransportFoam: passive scalar advection-diffusion
+    (reference: basic/scalarTransportFoam/)."""
+    import jax
+
+    from ..core.dimensions import dimViscosity
+    from ..ops import fvc, fvm
+    from . import linear
+
+    mesh = case.mesh
+    tp = case.transport_properties()
+    _, DT = dimensioned_scalar(tp["DT"])
+    U = case.read_field("U")
+    T = case.read_field("T")
+    phi = fvc.flux(mesh, U)
+    ctl = case.solver_controls("T")
+    scheme = case.div_scheme("div(phi,T)")
+
+    @jax.jit
+    def step(T_field, dt):
+        rdt = 1.0 / dt
+        from .piso import div_weights
+
+        w = div_weights(mesh, phi, scheme, T_field)
+        eqn = (fvm.ddt(mesh, T_field, T_field.data, rdt)
+               + fvm.div(mesh, phi, T_field, weights=w)
+               - fvm.laplacian(mesh, jnp.asarray(DT, mesh.v.dtype), T_field,
+                               corrected=case.laplacian_corrected(),
+                               gamma_dims=dimViscosity))
+        data, perf = linear.solve(mesh, eqn, T_field.data, ctl)
+        return T_field.with_data(data), perf
+
+    for t in case.time.loop():
+        T, perf = step(T, jnp.asarray(t.current_dt, mesh.v.dtype))
+        log.info(f"Time = {t.name}")
+        log.info(log.solver_line("T", perf))
+        if t.write_time():
+            case.write_fields([T])
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.write_fields([T])
+    case.final_state = {"T": T}
+    log.info("End\n")
+
+
+def laplacian_foam(case, max_steps: Optional[int] = None) -> None:
+    """laplacianFoam: transient diffusion of T
+    (reference: basic/laplacianFoam/)."""
+    import jax
+
+    from ..core.dimensions import dimViscosity
+    from ..ops import fvm
+    from . import linear
+
+    mesh = case.mesh
+    tp = case.transport_properties()
+    _, DT = dimensioned_scalar(tp["DT"])
+    T = case.read_field("T")
+    ctl = case.solver_controls("T")
+
+    @jax.jit
+    def step(T_field, dt):
+        rdt = 1.0 / dt
+        eqn = (fvm.ddt(mesh, T_field, T_field.data, rdt)
+               - fvm.laplacian(mesh, jnp.asarray(DT, mesh.v.dtype), T_field,
+                               corrected=case.laplacian_corrected(),
+                               gamma_dims=dimViscosity))
+        data, perf = linear.solve(mesh, eqn, T_field.data, ctl)
+        return T_field.with_data(data), perf
+
+    for t in case.time.loop():
+        T, perf = step(T, jnp.asarray(t.current_dt, mesh.v.dtype))
+        log.info(f"Time = {t.name}")
+        log.info(log.solver_line("T", perf))
+        if t.write_time():
+            case.write_fields([T])
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.write_fields([T])
+    case.final_state = {"T": T}
+    log.info("End\n")
+
+
+def potential_foam(case, max_steps: Optional[int] = None) -> None:
+    """potentialFoam: potential-flow initialisation — solve
+    laplacian(Phi) = div(phiHbyA-like flux) once, derive U
+    (reference: basic/potentialFoam/)."""
+    import jax
+
+    from ..core.dimensions import dimless
+    from ..core.fields import vol_scalar
+    from ..ops import fvc, fvm, surface
+    from . import linear
+    from .piso import boundary_flux
+
+    mesh = case.mesh
+    U = case.read_field("U")
+    p = case.read_field("p")
+    # velocity potential with p's BC types (zeroGradient walls,
+    # fixedValue where p fixed)
+    Phi = vol_scalar(mesh, 0.0, name="Phi", bcs=p.bcs)
+    ctl = case.solver_controls("p")
+    nno = int(case.pimple_controls("potentialFlow").get(
+        "nNonOrthogonalCorrectors", 3))
+
+    phi_b = boundary_flux(mesh, U)
+    nif = mesh.n_internal_faces
+    phi0 = jnp.concatenate([jnp.zeros(nif, mesh.v.dtype), phi_b])
+
+    @jax.jit
+    def solve_phi(Phi_field):
+        perf = None
+        phi = phi0
+        for _ in range(max(nno, 1)):
+            eqn = fvm.laplacian(mesh, 1.0, Phi_field, corrected=False,
+                                gamma_dims=dimless)
+            eqn = eqn.replace_fields(
+                source=eqn.source + surface.surface_sum(mesh, phi))
+            from .piso import needs_reference
+
+            if needs_reference(Phi_field, mesh):
+                eqn = eqn.set_reference(0, 0.0)
+            data, perf = linear.solve(mesh, eqn, Phi_field.data, ctl)
+            Phi_field = Phi_field.with_data(data)
+            phi = phi0 - eqn.flux(mesh, data)
+        return Phi_field, phi, perf
+
+    Phi, phi, perf = solve_phi(Phi)
+    log.info(log.solver_line("Phi", perf))
+    Unew = U.with_data(fvc.reconstruct(mesh, phi))
+    case.write_fields([Unew, p])
+    case.final_state = {"U": Unew, "phi": phi, "Phi": Phi}
+    log.info("End\n")
+
+
 case_mod.register_application("icoFoam", icofoam)
+case_mod.register_application("pisoFoam", pisofoam)
+case_mod.register_application("pimpleFoam", pimplefoam)
+case_mod.register_application("simpleFoam", simplefoam)
+case_mod.register_application("scalarTransportFoam", scalar_transport_foam)
+case_mod.register_application("laplacianFoam", laplacian_foam)
+case_mod.register_application("potentialFoam", potential_foam)

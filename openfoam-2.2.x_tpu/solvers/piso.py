@@ -41,7 +41,8 @@ class PisoConfig(NamedTuple):
     p_ref_value: float = 0.0
     p_controls: Dict = None
     u_controls: Dict = None
-    turbulence: Optional[Callable] = None   # (mesh, state) -> (nu_eff_face, new_model_state)
+    turb: Any = None        # TurbulenceModel (static; fields live in state["turb"])
+    turb_controls: Dict = None
 
 
 def _default_controls():
@@ -96,20 +97,20 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
     rdt = 1.0 / dt
     diag: Dict[str, Any] = {}
 
-    # -- effective viscosity (laminar or turbulence model) -------------------
-    if cfg.turbulence is not None:
-        nu_face, _ = cfg.turbulence(mesh, state)
-    else:
-        nu_face = jnp.asarray(cfg.nu, mesh.v.dtype)
-
-    # -- momentum predictor ----------------------------------------------------
+    # -- momentum equation (laminar diffusion or turbulence divDevReff) -------
     w_div = div_weights(mesh, phi, cfg.div_scheme, U)
     UEqn = (
         fvm.ddt(mesh, U, state.get("U0", U.data), rdt)
         + fvm.div(mesh, phi, U, weights=w_div)
-        - fvm.laplacian(mesh, nu_face, U, corrected=cfg.corrected,
-                        gamma_dims=dimViscosity)
     )
+    if cfg.turb is not None:
+        visc_mat, visc_expl = cfg.turb.div_dev_reff(mesh, state["turb"], U)
+        UEqn = UEqn + visc_mat
+        UEqn = UEqn.add_source(-visc_expl, mesh)
+    else:
+        UEqn = UEqn - fvm.laplacian(
+            mesh, jnp.asarray(cfg.nu, mesh.v.dtype), U,
+            corrected=cfg.corrected, gamma_dims=dimViscosity)
     grad_p = fvc.grad(mesh, p)
     if cfg.momentum_predictor:
         Umat = UEqn.add_source(-grad_p, mesh)
@@ -156,6 +157,13 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
         U = U.with_data(HbyA - rA[:, None] * grad_p)
         U = U.correct_boundary_conditions(mesh, phi=phi)
 
+    # -- turbulence correction (pisoFoam: turbulence->correct()) --------------
+    new_turb = state.get("turb")
+    if cfg.turb is not None:
+        new_turb, tdiag = cfg.turb.correct(
+            mesh, state["turb"], U, phi, dt, controls=cfg.turb_controls)
+        diag.update({f"turb_{k}": v for k, v in tdiag.items()})
+
     # -- diagnostics --------------------------------------------------------------
     div_phi = surface.surface_sum(mesh, phi)  # absolute continuity error * V
     diag["continuity"] = jnp.sum(jnp.abs(div_phi)) / jnp.sum(mesh.v)
@@ -168,6 +176,8 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
 
     new_state = dict(state)
     new_state.update(U=U, p=p, phi=phi, U0=U.data)
+    if new_turb is not None:
+        new_state["turb"] = new_turb
     return new_state, diag
 
 
@@ -181,6 +191,10 @@ def make_step(mesh, cfg: PisoConfig):
     return step
 
 
-def initial_state(mesh, U: VolField, p: VolField) -> Dict:
+def initial_state(mesh, U: VolField, p: VolField,
+                  turb_state: Optional[Dict] = None) -> Dict:
     phi = fvc.flux(mesh, U)
-    return {"U": U, "p": p, "phi": phi, "U0": U.data}
+    st = {"U": U, "p": p, "phi": phi, "U0": U.data}
+    if turb_state is not None:
+        st["turb"] = turb_state
+    return st

@@ -1,0 +1,179 @@
+"""simpleFoam — steady-state incompressible SIMPLE solver.
+
+Reference: applications/solvers/incompressible/simpleFoam/
+(simpleFoam.C, UEqn.H, pEqn.H) + simpleControl
+(src/finiteVolume/cfdTools/general/solutionControl/). One SIMPLE outer
+iteration = one "time step"; under-relaxation on U (implicit, matrix
+relax) and p (explicit); turbulence corrected each iteration;
+convergence by residualControl.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..bc import patchfields as pf
+from ..core.dimensions import dimTime, dimViscosity
+from ..core.fields import VolField
+from ..ops import fvc, fvm, surface
+from . import linear
+from .piso import (boundary_flux, div_weights, face_interp_cell,
+                   needs_reference)
+
+
+class SimpleConfig(NamedTuple):
+    nu: float
+    n_non_orth: int = 0
+    corrected: bool = False
+    div_scheme: str = "linear"
+    p_ref_cell: int = 0
+    p_ref_value: float = 0.0
+    alpha_u: float = 0.7
+    alpha_p: float = 0.3
+    p_controls: Dict = None
+    u_controls: Dict = None
+    turb: Any = None
+    turb_controls: Dict = None
+    turb_relax: float = 0.7
+
+
+def adjust_phi(mesh, phi_b: Any, U: VolField) -> Any:
+    """Global flux balance over adjustable boundaries
+    (reference: cfdTools/general/adjustPhi/adjustPhi.C): scale the
+    outflow on non-fixed-value patches so net boundary flux vanishes
+    (required for a solvable all-Neumann pressure equation)."""
+    nif = mesh.n_internal_faces
+    adjustable = []
+    for patch, bc in zip(mesh.patches, U.bcs):
+        fixed = pf.is_value_bc(bc) or bc.kind in ("empty", "symmetry",
+                                                  "symmetryPlane", "slip")
+        adjustable.append(
+            jnp.full((patch.size,), 0.0 if fixed else 1.0, mesh.v.dtype)
+        )
+    adj = jnp.concatenate(adjustable) if adjustable else jnp.zeros(0)
+    fixed_flux = jnp.sum(phi_b * (1.0 - adj))
+    out = jnp.sum(jnp.maximum(phi_b, 0.0) * adj)
+    inn = jnp.sum(jnp.minimum(phi_b, 0.0) * adj)
+    mass_in = -(fixed_flux + inn)
+    scale = mass_in / jnp.where(jnp.abs(out) > 1e-30, out, 1.0)
+    scale = jnp.where(jnp.abs(out) > 1e-30, scale, 1.0)
+    return jnp.where((phi_b > 0) & (adj > 0), phi_b * scale, phi_b)
+
+
+def simple_step(mesh, state: Dict, cfg: SimpleConfig) -> Tuple[Dict, Dict]:
+    """One SIMPLE outer iteration."""
+    p_ctrl = cfg.p_controls or {"solver": "PCG", "tolerance": 1e-6,
+                                "relTol": 0.01}
+    u_ctrl = cfg.u_controls or {"solver": "smoothSolver", "tolerance": 1e-5,
+                                "relTol": 0.1, "maxIter": 200, "nSweeps": 2}
+    U: VolField = state["U"]
+    p: VolField = state["p"]
+    phi = state["phi"]
+    diag: Dict[str, Any] = {}
+    dt = jnp.asarray(1.0, mesh.v.dtype)  # pseudo-time for turb ddt (steady)
+
+    # -- momentum predictor with under-relaxation ------------------------------
+    w_div = div_weights(mesh, phi, cfg.div_scheme, U)
+    UEqn = fvm.div(mesh, phi, U, weights=w_div)
+    if cfg.turb is not None:
+        visc_mat, visc_expl = cfg.turb.div_dev_reff(mesh, state["turb"], U)
+        UEqn = UEqn + visc_mat
+        UEqn = UEqn.add_source(-visc_expl, mesh)
+    else:
+        UEqn = UEqn - fvm.laplacian(
+            mesh, jnp.asarray(cfg.nu, mesh.v.dtype), U,
+            corrected=cfg.corrected, gamma_dims=dimViscosity)
+    UEqn = UEqn.relax(mesh, cfg.alpha_u, U.data)
+    grad_p = fvc.grad(mesh, p)
+    Umat = UEqn.add_source(-grad_p, mesh)
+    Udata, uperf = linear.solve(mesh, Umat, U.data, u_ctrl)
+    U = U.with_data(Udata)
+    diag["Ux"] = uperf
+
+    # -- pressure correction -------------------------------------------------------
+    rA = 1.0 / UEqn.A(mesh)
+    HbyA = rA[:, None] * UEqn.H(mesh, U.data)
+    hf = surface.interpolate_internal(mesh, HbyA)
+    nif = mesh.n_internal_faces
+    phiHbyA_i = jnp.sum(mesh.sf[:nif] * hf, axis=1) * mesh.face_active[:nif]
+    phiHbyA_b = boundary_flux(mesh, U)
+    closed = needs_reference(p, mesh)
+    if closed:
+        phiHbyA_b = adjust_phi(mesh, phiHbyA_b, U)
+    phiHbyA = jnp.concatenate([phiHbyA_i, phiHbyA_b], axis=0)
+    rAf = face_interp_cell(mesh, rA)
+
+    p_old = p.data
+    for nonorth in range(cfg.n_non_orth + 1):
+        pEqn = fvm.laplacian(mesh, rAf, p,
+                             corrected=cfg.corrected and nonorth > 0,
+                             gamma_dims=dimTime)
+        pEqn = pEqn.replace_fields(
+            source=pEqn.source + surface.surface_sum(mesh, phiHbyA))
+        if closed:
+            pEqn = pEqn.set_reference(cfg.p_ref_cell, cfg.p_ref_value)
+        pdata, pperf = linear.solve(mesh, pEqn, p.data, p_ctrl)
+        p = p.with_data(pdata)
+        if nonorth == 0:
+            diag["p_initial"] = pperf.initial_residual
+            diag["p_iters"] = pperf.n_iterations
+        diag["p_final"] = pperf.final_residual
+        if nonorth == cfg.n_non_orth:
+            phi = phiHbyA - pEqn.flux(mesh, p.data)
+
+    # explicit pressure relaxation AFTER the flux correction (reference:
+    # pEqn.H: p.relax() after phi update keeps the flux conservative)
+    p = p.with_data(p_old + cfg.alpha_p * (p.data - p_old))
+    grad_p = fvc.grad(mesh, p)
+    U = U.with_data(HbyA - rA[:, None] * grad_p)
+    U = U.correct_boundary_conditions(mesh, phi=phi)
+
+    # -- turbulence -------------------------------------------------------------
+    new_turb = state.get("turb")
+    if cfg.turb is not None:
+        new_turb, tdiag = cfg.turb.correct(
+            mesh, state["turb"], U, phi, dt, steady=True,
+            relax=cfg.turb_relax, controls=cfg.turb_controls)
+        diag.update({f"turb_{k}": v for k, v in tdiag.items()})
+
+    div_phi = surface.surface_sum(mesh, phi)
+    diag["continuity"] = jnp.sum(jnp.abs(div_phi)) / jnp.sum(mesh.v)
+    diag["continuity_global"] = jnp.sum(div_phi) / jnp.sum(mesh.v)
+
+    new_state = dict(state)
+    new_state.update(U=U, p=p, phi=phi)
+    if new_turb is not None:
+        new_state["turb"] = new_turb
+    return new_state, diag
+
+
+def make_step(mesh, cfg: SimpleConfig):
+    @jax.jit
+    def step(state):
+        return simple_step(mesh, state, cfg)
+
+    return step
+
+
+def converged(diag: Dict, residual_control: Dict) -> bool:
+    """simpleControl residualControl check (host-side, on initial
+    residuals — reference: solutionControl::criteriaSatisfied)."""
+    import numpy as np
+
+    if not residual_control:
+        return False
+    for name, tol in residual_control.items():
+        if name in ("p",):
+            r = float(np.max(np.asarray(diag.get("p_initial", 1.0))))
+        elif name in ("U", "Ux"):
+            perf = diag.get("Ux")
+            r = float(np.max(np.asarray(perf.initial_residual))) if perf else 1.0
+        else:
+            perf = diag.get(f"turb_{name}")
+            r = float(np.max(np.asarray(perf.initial_residual))) if perf else 1.0
+        if r > float(tol):
+            return False
+    return True

@@ -1,0 +1,204 @@
+"""Turbulence models on a 2D turbulent channel (kEpsilon + wall
+functions via simpleFoam; kOmegaSST via pisoFoam). Oracles: physics
+invariants — positivity, boundedness, residual decrease, developed
+profile shape (centerline fastest, high nut in the core)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from foamtpu.bc import patchfields as pf
+from foamtpu.core.dictionary import parse_string
+from foamtpu.core.dimensions import DimensionSet, dimVelocity, dimViscosity
+from foamtpu.core.fields import vol_scalar, vol_vector
+from foamtpu.mesh import blockmesh, to_device
+from foamtpu.models.turbulence import select
+from foamtpu.core.dictionary import FoamDict, Word
+from foamtpu.solvers import piso, simple
+
+
+NU = 1e-4  # U=1, H=0.1 -> Re_H = 1000; Re_L = 2e4
+
+
+def channel_mesh(nx=30, ny=10):
+    d = parse_string(
+        f"""
+vertices (
+    (0 0 0) (2 0 0) (2 0.1 0) (0 0.1 0)
+    (0 0 0.01) (2 0 0.01) (2 0.1 0.01) (0 0.1 0.01)
+);
+blocks ( hex (0 1 2 3 4 5 6 7) ({nx} {ny} 1) simpleGrading (1 1 1) );
+boundary (
+    inlet {{ type patch; faces ((0 4 7 3)); }}
+    outlet {{ type patch; faces ((2 6 5 1)); }}
+    walls {{ type wall; faces ((1 5 4 0) (3 7 6 2)); }}
+    frontAndBack {{ type empty; faces ((0 3 2 1) (4 5 6 7)); }}
+);
+"""
+    )
+    return to_device(blockmesh.generate(d))
+
+
+def channel_fields(mesh, with_omega=False):
+    I, L = 0.05, 0.01
+    k0 = 1.5 * (1.0 * I) ** 2
+    eps0 = 0.09 ** 0.75 * k0 ** 1.5 / L
+    w0 = eps0 / (0.09 * k0)
+
+    def bcs_for(inlet_val, wall_kind, kind_out="inletOutlet", rank=0):
+        out = []
+        for p in mesh.patches:
+            if p.type == "empty":
+                out.append(pf.PatchField(kind="empty", vfrac=0.0))
+            elif p.name == "inlet":
+                out.append(pf.fixed_value(inlet_val))
+            elif p.name == "outlet":
+                out.append(pf.make("inletOutlet", ref_value=inlet_val * 0))
+            else:
+                out.append(pf.make(wall_kind) if wall_kind != "fixedValue"
+                           else pf.fixed_value(inlet_val * 0))
+        return tuple(out)
+
+    U = vol_vector(mesh, jnp.asarray([1.0, 0.0, 0.0]), name="U",
+                   dims=dimVelocity,
+                   bcs=bcs_for(jnp.asarray([1.0, 0.0, 0.0]), "fixedValue"))
+    # p: zeroGradient everywhere except fixedValue 0 at the outlet
+    pbcs = []
+    for patch in mesh.patches:
+        if patch.type == "empty":
+            pbcs.append(pf.PatchField(kind="empty", vfrac=0.0))
+        elif patch.name == "outlet":
+            pbcs.append(pf.fixed_value(0.0))
+        else:
+            pbcs.append(pf.zero_gradient())
+    p = vol_scalar(mesh, 0.0, name="p", dims=DimensionSet.of(0, 2, -2),
+                   bcs=tuple(pbcs))
+    k = vol_scalar(mesh, k0, name="k", dims=DimensionSet.of(0, 2, -2),
+                   bcs=bcs_for(jnp.asarray(k0), "kqRWallFunction"))
+    nut = vol_scalar(mesh, 0.0, name="nut", dims=dimViscosity,
+                     bcs=bcs_for(jnp.asarray(0.0), "nutkWallFunction"))
+    if with_omega:
+        om = vol_scalar(mesh, w0, name="omega", dims=DimensionSet.of(0, 0, -1),
+                        bcs=bcs_for(jnp.asarray(w0), "omegaWallFunction"))
+        return U, p, {"k": k, "omega": om, "nut": nut}
+    eps = vol_scalar(mesh, eps0, name="epsilon",
+                     dims=DimensionSet.of(0, 2, -3),
+                     bcs=bcs_for(jnp.asarray(eps0), "epsilonWallFunction"))
+    return U, p, {"k": k, "epsilon": eps, "nut": nut}
+
+
+def _props(model):
+    d = FoamDict()
+    d[Word("RASModel")] = Word(model)
+    d[Word("turbulence")] = Word("on")
+    return d
+
+
+def test_kepsilon_channel_simple():
+    mesh = channel_mesh()
+    U, p, tstate = channel_fields(mesh)
+    model = select(_props("kEpsilon"), NU)
+    cfg = simple.SimpleConfig(
+        nu=NU, alpha_u=0.7, alpha_p=0.3, div_scheme="limitedLinear 1",
+        p_controls={"solver": "PCG", "tolerance": 1e-7, "relTol": 0.01},
+        u_controls={"solver": "PBiCGStab", "tolerance": 1e-7, "relTol": 0.1},
+        turb=model,
+    )
+    step = simple.make_step(mesh, cfg)
+    state = piso.initial_state(mesh, U, p, turb_state=tstate)
+    first = None
+    for i in range(60):
+        state, diag = step(state)
+        if i == 0:
+            first = float(np.max(np.asarray(diag["Ux"].initial_residual)))
+    last = float(np.max(np.asarray(diag["Ux"].initial_residual)))
+
+    u = np.asarray(state["U"].data)
+    k = np.asarray(state["turb"]["k"].data)
+    eps = np.asarray(state["turb"]["epsilon"].data)
+    nut = np.asarray(state["turb"]["nut"].data)
+    assert np.isfinite(u).all() and np.isfinite(k).all()
+    assert (k > 0).all() and (eps > 0).all() and (nut >= 0).all()
+    # converging
+    assert last < first * 0.2
+    # nut well above molecular in the developed core
+    assert nut.max() > 5 * NU
+    # profile: centerline faster than wall-adjacent cells at outlet
+    ny = 10
+    u_grid = u[:, 0].reshape(30, ny)
+    assert u_grid[-1, ny // 2] > u_grid[-1, 0]
+    assert u_grid[-1, ny // 2] > 1.0  # mass conservation forces overshoot
+    # mass conserved: outflow ~= inflow
+    assert float(diag["continuity"]) < 1e-3
+
+
+def test_komegasst_channel():
+    from foamtpu.core.dictionary import parse_string as ps
+    import foamtpu.mesh.blockmesh as bm
+
+    d = ps(
+        """
+vertices (
+    (0 0 0) (2 0 0) (2 0.1 0) (0 0.1 0)
+    (0 0 0.01) (2 0 0.01) (2 0.1 0.01) (0 0.1 0.01)
+);
+blocks ( hex (0 1 2 3 4 5 6 7) (30 10 1) simpleGrading (1 1 1) );
+boundary (
+    inlet { type patch; faces ((0 4 7 3)); }
+    outlet { type patch; faces ((2 6 5 1)); }
+    walls { type wall; faces ((1 5 4 0) (3 7 6 2)); }
+    frontAndBack { type empty; faces ((0 3 2 1) (4 5 6 7)); }
+);
+"""
+    )
+    poly = bm.generate(d)
+    mesh = to_device(poly)
+    U, p, tstate = channel_fields(mesh, with_omega=True)
+    model = select(_props("kOmegaSST"), NU)
+    model.init_wall_distance(poly, np.asarray(mesh.v).dtype)
+    cfg = piso.PisoConfig(
+        nu=NU, n_correctors=2, div_scheme="limitedLinear 1",
+        p_controls={"solver": "PCG", "tolerance": 1e-7, "relTol": 0.0},
+        u_controls={"solver": "PBiCGStab", "tolerance": 1e-7, "relTol": 0.0},
+        turb=model,
+    )
+    step = piso.make_step(mesh, cfg)
+    state = piso.initial_state(mesh, U, p, turb_state=tstate)
+    dt = jnp.asarray(0.02, mesh.v.dtype)
+    for _ in range(30):
+        state, diag = step(state, dt)
+    u = np.asarray(state["U"].data)
+    k = np.asarray(state["turb"]["k"].data)
+    om = np.asarray(state["turb"]["omega"].data)
+    nut = np.asarray(state["turb"]["nut"].data)
+    assert np.isfinite(u).all() and np.isfinite(k).all() and np.isfinite(om).all()
+    assert (k > 0).all() and (om > 0).all() and (nut >= 0).all()
+    assert float(diag["continuity"]) < 1e-3
+    assert np.abs(u).max() < 3.0
+
+
+def test_smagorinsky_les():
+    mesh = channel_mesh()
+    U, p, tstate0 = channel_fields(mesh)
+    # LES state: just nut
+    tstate = {"nut": tstate0["nut"]}
+    props = FoamDict()
+    props[Word("LESModel")] = Word("Smagorinsky")
+    model = select(props, NU, kind="LES")
+    cfg = piso.PisoConfig(
+        nu=NU, n_correctors=2, div_scheme="limitedLinear 1",
+        p_controls={"solver": "PCG", "tolerance": 1e-7, "relTol": 0.0},
+        u_controls={"solver": "PBiCGStab", "tolerance": 1e-7, "relTol": 0.0},
+        turb=model,
+    )
+    step = piso.make_step(mesh, cfg)
+    state = piso.initial_state(mesh, U, p, turb_state=tstate)
+    dt = jnp.asarray(0.02, mesh.v.dtype)
+    for _ in range(10):
+        state, diag = step(state, dt)
+    u = np.asarray(state["U"].data)
+    nut = np.asarray(state["turb"]["nut"].data)
+    assert np.isfinite(u).all()
+    assert (nut >= 0).all()
+    assert float(diag["continuity"]) < 1e-3
