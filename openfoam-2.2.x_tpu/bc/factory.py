@@ -108,7 +108,7 @@ def from_dict(spec: FoamDict, patch, rank: int, dtype) -> PatchField:
         p0 = parse_value(spec.get("p0"), size, 0, dtype)
         kw["ref_value"] = p0 if p0 is not None else 0.0
         kw["p0"] = float(np.asarray(p0).mean()) if p0 is not None else 0.0
-        kw["vfrac"] = 0.0
+        kw["vfrac"] = 1.0
     elif kind == "turbulentIntensityKineticEnergyInlet":
         kw["ref_value"] = val if val is not None else 0.0
         kw["vfrac"] = 1.0

@@ -232,9 +232,11 @@ def _up_outlet_inlet(bc, mesh, patch, internal, *, phi=None, **ctx):
     return bc.replace(vfrac=f)
 
 
-def _up_total_pressure(bc, mesh, patch, internal, *, phi=None, U=None, **ctx):
-    """p = p0 - 0.5|U|^2 on inflow, zeroGradient on outflow
-    (incompressible form; reference: derived/totalPressure/)."""
+def _up_total_pressure(bc, mesh, patch, internal, *, phi=None, U=None,
+                       rho_b=None, **ctx):
+    """Fixed-value: p = p0 on outflow, p0 - 0.5 (rho) |U|^2 on inflow
+    (reference: derived/totalPressure/ — incompressible psi=none form;
+    rho_b supplies the density factor for p_rgh-style solvers)."""
     if phi is None or U is None:
         return bc
     phib = phi[patch.slice]
@@ -242,9 +244,10 @@ def _up_total_pressure(bc, mesh, patch, internal, *, phi=None, U=None, **ctx):
     cells = mesh.owner[patch.slice]
     Ub = U[cells]
     magU2 = jnp.sum(Ub * Ub, axis=1)
-    pval = p0 - 0.5 * magU2
-    f = jnp.where(phib < 0.0, 1.0, 0.0)
-    return bc.replace(ref_value=pval, vfrac=f)
+    if rho_b is not None:
+        magU2 = magU2 * rho_b[cells]
+    pval = jnp.where(phib > 0.0, p0, p0 - 0.5 * magU2)
+    return bc.replace(ref_value=pval, vfrac=1.0)
 
 
 def _up_pressure_io_velocity(bc, mesh, patch, internal, *, phi=None, **ctx):
@@ -256,7 +259,7 @@ def _up_pressure_io_velocity(bc, mesh, patch, internal, *, phi=None, **ctx):
     n = _patch_normals(mesh, patch)
     magSf = mesh.mag_sf[patch.slice]
     Un = (phib / jnp.maximum(magSf, 1e-30))[:, None] * n
-    f = jnp.where(phib < 0.0, 1.0, 0.0)[:, None]
+    f = jnp.where(phib < 0.0, 1.0, 0.0)
     return bc.replace(ref_value=Un, vfrac=f)
 
 
@@ -315,10 +318,11 @@ def mixed(ref_value, ref_grad, vfrac, **opts) -> PatchField:
 def make(kind: str, **kw) -> PatchField:
     opts = {k: v for k, v in kw.items()
             if k not in ("ref_value", "ref_grad", "vfrac")}
+    value_kinds = ("fixedValue", "noSlip", "totalPressure", "calculated")
     return PatchField(
         ref_value=kw.get("ref_value", 0.0),
         ref_grad=kw.get("ref_grad", 0.0),
-        vfrac=kw.get("vfrac", 1.0 if kind in ("fixedValue", "noSlip") else 0.0),
+        vfrac=kw.get("vfrac", 1.0 if kind in value_kinds else 0.0),
         kind=kind,
         opts=tuple(opts.items()),
     )

@@ -1,0 +1,59 @@
+"""VOF interface properties: surface tension + interface compression.
+
+Reference: src/transportModels/interfaceProperties/ — curvature via the
+CSF model (Brackbill): kappa = -div(n_f) with n_f the interpolated,
+normalised alpha gradient; the interface-compression flux phir uses
+cAlpha (reference: interfaceProperties::correct and the phir term in
+interFoam's alphaEqn.H)."""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+
+from ..core.fields import VolField
+from ..ops import fvc, surface
+
+
+def interface_normals(mesh, alpha: VolField):
+    """Face unit normal flux nHatf = (grad alpha)_f . Sf / |grad alpha|_f."""
+    g = fvc.grad(mesh, alpha)  # [nC,3]
+    gf = surface.interpolate_internal(mesh, g)
+    nif = mesh.n_internal_faces
+    bcells = mesh.owner[nif:]
+    gf_all = jnp.concatenate([gf, g[bcells]], axis=0)
+    # deltaN stabiliser: 1e-8 / average cell dimension (reference:
+    # interfaceProperties deltaN_)
+    delta_n = 1e-8 / jnp.mean(jnp.cbrt(mesh.v))
+    mag = jnp.linalg.norm(gf_all, axis=1) + delta_n
+    nhat = gf_all / mag[:, None]
+    nhatf = jnp.sum(nhat * mesh.sf, axis=1) * mesh.face_active
+    return nhatf
+
+
+def curvature(mesh, alpha: VolField) -> Any:
+    """kappa = -div(nHat) [nC]."""
+    nhatf = interface_normals(mesh, alpha)
+    return -fvc.div_surface(mesh, nhatf)
+
+
+def surface_tension_flux(mesh, alpha: VolField, sigma: float) -> Any:
+    """sigma*kappa*snGrad(alpha)*|Sf| at faces — the face form of the
+    CSF force used in interFoam's pEqn (reference: interFoam/pEqn.H)."""
+    kappa = curvature(mesh, alpha)
+    kf = surface.interpolate_internal(mesh, kappa)
+    nif = mesh.n_internal_faces
+    kf_all = jnp.concatenate([kf, kappa[mesh.owner[nif:]]], axis=0)
+    sng = fvc.sn_grad(mesh, alpha)
+    return sigma * kf_all * sng * mesh.mag_sf * mesh.face_active
+
+
+def compression_flux(mesh, phi: Any, alpha: VolField, c_alpha: float) -> Any:
+    """phir = cAlpha*|phi|/|Sf| * nHatf — the artificial interface
+    compression flux (reference: interFoam/alphaEqn.H)."""
+    nhatf = interface_normals(mesh, alpha)
+    phic = jnp.abs(phi) / jnp.maximum(mesh.mag_sf, 1e-30)
+    # cap by the max face speed as the reference does
+    phic = jnp.minimum(c_alpha * phic, jnp.max(phic))
+    return phic * nhatf

@@ -141,7 +141,12 @@ def reconstruct(mesh, phi: Any) -> Any:
     Gsum = jnp.sum(outer[mesh.cface] * pres[:, :, None, None], axis=1)
     rhs_f = sf * (phi * w)[:, None]
     rhs = jnp.sum(rhs_f[mesh.cface] * pres[:, :, None], axis=1)
-    return jnp.linalg.solve(Gsum, rhs[..., None])[..., 0]
+    # regularise null directions (2D meshes: empty faces are masked so
+    # the z-z entry is exactly zero; the corresponding rhs is zero too,
+    # giving a clean 0 component instead of NaN)
+    tr = jnp.trace(Gsum, axis1=1, axis2=2)
+    eps = (1e-6 * tr + 1e-300)[:, None, None] * jnp.eye(3, dtype=Gsum.dtype)
+    return jnp.linalg.solve(Gsum + eps, rhs[..., None])[..., 0]
 
 
 def ddt(mesh, data: Any, old_data: Any, rdt: Any) -> Any:

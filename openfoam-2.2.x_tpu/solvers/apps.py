@@ -220,22 +220,29 @@ def simplefoam(case, max_steps: Optional[int] = None) -> None:
         turb_controls=turb_ctl,
         turb_relax=relax.get("k", relax.get("epsilon", 0.7)),
     )
-    step = simple_mod.make_step(mesh, cfg)
+    # chunked stepping: one host round-trip per `chunk` iterations
+    chunk_n = int(os.environ.get("FOAMTPU_CHUNK", "10"))
+    chunk = simple_mod.make_chunk(mesh, cfg, chunk_n)
     state = piso_mod.initial_state(mesh, U, p, turb_state=tstate)
     res_ctl = _residual_control(case, "SIMPLE")
 
     extra = model.field_names[:-1] if model else ()
     log.info(f"Starting SIMPLE loop: simpleFoam, {mesh.n_cells} cells\n")
     cumulative = 0.0
-    for t in case.time.loop():
-        state, diag = step(state)
+    t = case.time
+    max_iter = max(int(round((t.end_time - t.start_time) / t.delta_t)), 1)
+    if max_steps is not None:
+        max_iter = min(max_iter, max_steps)
+    while t.index < max_iter:
+        state, diag = chunk(state)
+        t.index += chunk_n
+        t.value = t.start_time + t.index * t.delta_t
+        t.current_dt = t.delta_t
         cumulative = _log_step(case, t, diag, cumulative, extra)
         if t.write_time():
             _write_state(case, state)
         if simple_mod.converged(diag, res_ctl):
             log.info(f"SIMPLE solution converged in {t.index} iterations\n")
-            break
-        if max_steps is not None and t.index >= max_steps:
             break
     _write_state(case, state)
     log.info("End\n")

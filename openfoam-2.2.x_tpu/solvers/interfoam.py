@@ -1,0 +1,218 @@
+"""interFoam — two-phase VOF solver with MULES-bounded alpha advection.
+
+Reference: applications/solvers/multiphase/interFoam/
+(interFoam.C, alphaEqn.H, alphaEqnSubCycle.H, UEqn.H, pEqn.H) +
+src/transportModels/interfaceProperties/.
+
+Structure per step (all traced into one XLA program):
+  1. alpha sub-cycles: MULES FCT advection with interface compression
+  2. mixture properties rho/mu from alpha
+  3. momentum predictor on rho*U with gravity (gh formulation) and
+     surface tension entering through face fluxes
+  4. PISO pressure correction on p_rgh = p - rho g.x
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dimensions import (DimensionSet, dimDensity, dimTime,
+                               dimViscosity, dimVolume)
+from ..core.fields import VolField
+from ..models import interface as iface
+from ..ops import fvc, fvm, mules, surface
+from . import linear
+from .piso import boundary_flux, div_weights, face_interp_cell, needs_reference
+
+
+class InterConfig(NamedTuple):
+    rho1: float
+    rho2: float
+    nu1: float
+    nu2: float
+    sigma: float
+    g: Tuple[float, float, float] = (0.0, -9.81, 0.0)
+    c_alpha: float = 1.0
+    n_alpha_subcycles: int = 1
+    n_alpha_corr: int = 1
+    n_correctors: int = 3
+    n_non_orth: int = 0
+    momentum_predictor: bool = True
+    corrected: bool = False
+    p_ref_cell: int = 0
+    p_ref_value: float = 0.0
+    p_controls: Dict = None
+    u_controls: Dict = None
+
+
+def mixture(cfg: InterConfig, alpha: Any) -> Tuple[Any, Any]:
+    """rho, mu from the phase fraction (reference:
+    incompressibleTwoPhaseMixture)."""
+    a = jnp.clip(alpha, 0.0, 1.0)
+    rho = a * cfg.rho1 + (1.0 - a) * cfg.rho2
+    mu = a * cfg.rho1 * cfg.nu1 + (1.0 - a) * cfg.rho2 * cfg.nu2
+    return rho, mu
+
+
+def alpha_step(mesh, alpha: VolField, phi: Any, dt: Any,
+               cfg: InterConfig) -> Tuple[VolField, Any]:
+    """One MULES-bounded alpha advection step; returns (alpha, rhoPhi)."""
+    a = alpha.data
+    nif = mesh.n_internal_faces
+    sub_dt = dt / cfg.n_alpha_subcycles
+    rho_phi_sum = jnp.zeros_like(phi)
+
+    for _ in range(cfg.n_alpha_subcycles):
+        phir = iface.compression_flux(mesh, phi, alpha.with_data(a), cfg.c_alpha)
+        # bounded (upwind) flux of alpha by phi
+        w_up = jnp.where(phi[:nif] >= 0, 1.0, 0.0).astype(a.dtype)
+        af_up_i = surface.interpolate_internal(mesh, a, w_up)
+        ab = alpha.with_data(a).boundary_values(mesh)
+        af_up = jnp.concatenate([af_up_i, ab], axis=0)
+        phi_bd = phi * af_up * mesh.face_active
+
+        # high-order flux: linear alpha + compression phir*alpha*(1-alpha)
+        af_lin_i = surface.interpolate_internal(mesh, a)
+        af_lin = jnp.concatenate([af_lin_i, ab], axis=0)
+        a1f_i = surface.interpolate_internal(mesh, 1.0 - a)
+        a1f = jnp.concatenate([a1f_i, 1.0 - ab], axis=0)
+        phi_ho = (phi * af_lin + phir * af_lin * a1f) * mesh.face_active
+        phi_corr = phi_ho - phi_bd
+
+        a, phi_alpha = mules.explicit_solve(
+            mesh, a, phi_bd, phi_corr, sub_dt, psi_max=1.0, psi_min=0.0)
+        rho_phi_sum = rho_phi_sum + (
+            phi_alpha * (cfg.rho1 - cfg.rho2) + phi * cfg.rho2
+        ) / cfg.n_alpha_subcycles
+
+    return alpha.with_data(a), rho_phi_sum
+
+
+def interfoam_step(mesh, state: Dict, dt: Any, cfg: InterConfig
+                   ) -> Tuple[Dict, Dict]:
+    p_ctrl = cfg.p_controls or {"solver": "PCG", "tolerance": 1e-7,
+                                "relTol": 0.05}
+    u_ctrl = cfg.u_controls or {"solver": "PBiCGStab", "tolerance": 1e-7,
+                                "relTol": 0.0, "maxIter": 200}
+    U: VolField = state["U"]
+    p_rgh: VolField = state["p_rgh"]
+    alpha: VolField = state["alpha"]
+    phi = state["phi"]
+    rho_old = state["rho"]
+    rdt = 1.0 / dt
+    diag: Dict[str, Any] = {}
+
+    g = jnp.asarray(cfg.g, mesh.v.dtype)
+    gh = mesh.c @ g            # [nC]
+    ghf = mesh.cf @ g          # [nF]
+
+    # ---- alpha advection (MULES) -------------------------------------------
+    alpha, rho_phi = alpha_step(mesh, alpha, phi, dt, cfg)
+    rho, mu = mixture(cfg, alpha.data)
+    diag["alpha_min"] = jnp.min(alpha.data)
+    diag["alpha_max"] = jnp.max(alpha.data)
+
+    # ---- momentum ------------------------------------------------------------
+    mu_f = face_interp_cell(mesh, mu)
+    w_div = div_weights(mesh, rho_phi, "vanLeer", U)
+    ddt_mat = fvm.ddt(mesh, U, state["U0"], rdt)
+    # variable-density Euler ddt: diag rho^n+1 V/dt, source rho^n V/dt U^n
+    ddt_mat = ddt_mat.replace_fields(
+        diag=ddt_mat.diag * rho,
+        source=ddt_mat.source * rho_old[:, None],
+        dims=ddt_mat.dims * dimDensity,
+    )
+    UEqn = (
+        ddt_mat
+        + fvm.div(mesh, rho_phi, U, weights=w_div,
+                  phi_dims=DimensionSet.of(1, 0, -1))
+        - fvm.laplacian(mesh, mu_f, U, corrected=cfg.corrected,
+                        gamma_dims=dimViscosity * dimDensity)
+    )
+    # surface tension + buoyancy face fluxes (reference: UEqn.H rhs)
+    st_flux = iface.surface_tension_flux(mesh, alpha, cfg.sigma)
+    from ..bc.patchfields import default_bcs
+
+    sng_rho = fvc.sn_grad(mesh, VolField(
+        data=rho, bcs=default_bcs(mesh, rank=0), name="rho",
+        dims=dimDensity))
+    buoy_flux = -ghf * sng_rho * mesh.mag_sf * mesh.face_active
+    grad_prgh = fvc.grad(mesh, p_rgh)
+    if cfg.momentum_predictor:
+        rhs_face = st_flux + buoy_flux
+        rhs_cell = fvc.reconstruct(mesh, rhs_face) - grad_prgh
+        Umat = UEqn.add_source(rhs_cell, mesh)
+        Udata, uperf = linear.solve(mesh, Umat, U.data, u_ctrl)
+        U = U.with_data(Udata)
+        diag["Ux"] = uperf
+    else:
+        diag["Ux"] = None
+
+    # ---- PISO on p_rgh ---------------------------------------------------------
+    rA = 1.0 / UEqn.A(mesh)
+    rAf = face_interp_cell(mesh, rA)
+    p_rgh = p_rgh.correct_boundary_conditions(mesh, phi=phi, U=U.data,
+                                              rho_b=rho)
+    for corr in range(cfg.n_correctors):
+        HbyA = rA[:, None] * UEqn.H(mesh, U.data)
+        hf = surface.interpolate_internal(mesh, HbyA)
+        nif = mesh.n_internal_faces
+        phiHbyA_i = jnp.sum(mesh.sf[:nif] * hf, axis=1) * mesh.face_active[:nif]
+        phiHbyA_b = boundary_flux(mesh, U)
+        phiHbyA = jnp.concatenate([phiHbyA_i, phiHbyA_b], axis=0)
+        phig = rAf * (st_flux + buoy_flux)
+        phiHbyA = phiHbyA + phig
+
+        for nonorth in range(cfg.n_non_orth + 1):
+            pEqn = fvm.laplacian(mesh, rAf, p_rgh,
+                                 corrected=cfg.corrected and nonorth > 0,
+                                 gamma_dims=dimTime)
+            pEqn = pEqn.replace_fields(
+                source=pEqn.source + surface.surface_sum(mesh, phiHbyA))
+            if needs_reference(p_rgh, mesh):
+                pEqn = pEqn.set_reference(cfg.p_ref_cell, cfg.p_ref_value)
+            pdata, pperf = linear.solve(mesh, pEqn, p_rgh.data, p_ctrl)
+            p_rgh = p_rgh.with_data(pdata)
+            if corr == 0 and nonorth == 0:
+                diag["p_initial"] = pperf.initial_residual
+                diag["p_iters"] = pperf.n_iterations
+            diag["p_final"] = pperf.final_residual
+            if nonorth == cfg.n_non_orth:
+                phi = phiHbyA - pEqn.flux(mesh, p_rgh.data)
+
+        # U = HbyA + rAU*reconstruct((phig - pEqn.flux())/rAUf)
+        # (reference: interFoam/pEqn.H)
+        pflux = pEqn.flux(mesh, p_rgh.data)
+        U = U.with_data(
+            HbyA + rA[:, None] * fvc.reconstruct(
+                mesh, (phig - pflux) / jnp.maximum(rAf, 1e-30)))
+        U = U.correct_boundary_conditions(mesh, phi=phi)
+
+    div_phi = surface.surface_sum(mesh, phi)
+    diag["continuity"] = jnp.sum(jnp.abs(div_phi)) / jnp.sum(mesh.v)
+    diag["continuity_global"] = jnp.sum(div_phi) / jnp.sum(mesh.v)
+    sum_phi = jnp.sum(jnp.abs(phi)[mesh.cface] * jnp.abs(mesh.csign), axis=1)
+    diag["courant_max"] = 0.5 * jnp.max(sum_phi / mesh.v) * dt
+
+    new_state = dict(state)
+    new_state.update(U=U, p_rgh=p_rgh, alpha=alpha, phi=phi, rho=rho,
+                     U0=U.data)
+    return new_state, diag
+
+
+def make_step(mesh, cfg: InterConfig):
+    @jax.jit
+    def step(state, dt):
+        return interfoam_step(mesh, state, dt, cfg)
+
+    return step
+
+
+def initial_state(mesh, U: VolField, p_rgh: VolField, alpha: VolField,
+                  cfg: InterConfig) -> Dict:
+    rho, _ = mixture(cfg, alpha.data)
+    return {"U": U, "p_rgh": p_rgh, "alpha": alpha,
+            "phi": fvc.flux(mesh, U), "rho": rho, "U0": U.data}

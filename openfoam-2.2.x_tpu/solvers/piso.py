@@ -191,9 +191,43 @@ def make_step(mesh, cfg: PisoConfig):
     return step
 
 
+def project_initial_flux(mesh, p: VolField, phi: Any,
+                         controls: Optional[Dict] = None) -> Any:
+    """Make the initial flux divergence-free by one pressure-style
+    projection (a one-shot potentialFoam, reference:
+    applications/solvers/basic/potentialFoam). Without this, a case
+    initialised with U=0 internally but a fixedValue inlet has inflow
+    with no outflow, and the first momentum solve is unbounded (the
+    convective source has no convective diagonal)."""
+    import dataclasses as _dc
+
+    ctl = dict(controls or {})
+    ctl.setdefault("solver", "PCG")
+    ctl.setdefault("tolerance", 1e-7)
+    ctl.setdefault("relTol", 0.0)
+    ctl.setdefault("maxIter", 3000)
+    ctl.pop("_gamg", None)  # dims differ from the p-equation hierarchy use
+
+    pcorr = _dc.replace(p, data=jnp.zeros_like(p.data), name="pcorr")
+    from ..core.dimensions import dimless
+
+    eqn = fvm.laplacian(mesh, 1.0, pcorr, corrected=False,
+                        gamma_dims=dimless)
+    eqn = eqn.replace_fields(source=eqn.source + surface.surface_sum(mesh, phi))
+    if needs_reference(pcorr, mesh):
+        eqn = eqn.set_reference(0, 0.0)
+    data, _ = linear.solve(mesh, eqn, pcorr.data, ctl)
+    return phi - eqn.flux(mesh, data)
+
+
 def initial_state(mesh, U: VolField, p: VolField,
-                  turb_state: Optional[Dict] = None) -> Dict:
+                  turb_state: Optional[Dict] = None,
+                  project: bool = True) -> Dict:
     phi = fvc.flux(mesh, U)
+    if project:
+        phi = jax.jit(
+            lambda ph: project_initial_flux(mesh, p, ph)
+        )(phi)
     st = {"U": U, "p": p, "phi": phi, "U0": U.data}
     if turb_state is not None:
         st["turb"] = turb_state

@@ -158,6 +158,25 @@ def make_step(mesh, cfg: SimpleConfig):
     return step
 
 
+def make_chunk(mesh, cfg: SimpleConfig, n: int):
+    """n SIMPLE iterations per device call (lax.scan) — one host
+    round-trip per chunk instead of per iteration; essential when the
+    accelerator is reached through a high-latency tunnel."""
+
+    @jax.jit
+    def chunk(state):
+        def body(st, _):
+            st, diag = simple_step(mesh, st, cfg)
+            return st, diag
+
+        state_out, diags = jax.lax.scan(body, state, None, length=n)
+        # return the last iteration's diagnostics
+        last = jax.tree_util.tree_map(lambda x: x[-1], diags)
+        return state_out, last
+
+    return chunk
+
+
 def converged(diag: Dict, residual_control: Dict) -> bool:
     """simpleControl residualControl check (host-side, on initial
     residuals — reference: solutionControl::criteriaSatisfied)."""

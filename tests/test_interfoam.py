@@ -1,0 +1,117 @@
+"""interFoam dam break: MULES-bounded VOF with gravity + surface
+tension (reference oracle: tutorials/multiphase/interFoam/laminar/
+damBreak — bounded alpha in [0,1], mass conservation, collapsing
+column)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from foamtpu.bc import patchfields as pf
+from foamtpu.core.dictionary import parse_string
+from foamtpu.core.dimensions import DimensionSet, dimVelocity
+from foamtpu.core.fields import vol_scalar, vol_vector
+from foamtpu.mesh import blockmesh, to_device
+from foamtpu.solvers import interfoam
+
+
+def dam_mesh(n=24):
+    d = parse_string(
+        f"""
+convertToMeters 0.584;
+vertices (
+    (0 0 0) (1 0 0) (1 1 0) (0 1 0)
+    (0 0 0.03) (1 0 0.03) (1 1 0.03) (0 1 0.03)
+);
+blocks ( hex (0 1 2 3 4 5 6 7) ({n} {n} 1) simpleGrading (1 1 1) );
+boundary (
+    walls {{ type wall; faces ((0 4 7 3) (2 6 5 1) (1 5 4 0)); }}
+    atmosphere {{ type patch; faces ((3 7 6 2)); }}
+    frontAndBack {{ type empty; faces ((0 3 2 1) (4 5 6 7)); }}
+);
+"""
+    )
+    return to_device(blockmesh.generate(d))
+
+
+@pytest.fixture(scope="module")
+def dam_result():
+    mesh = dam_mesh()
+    ubcs, pbcs, abcs = [], [], []
+    for patch in mesh.patches:
+        if patch.type == "empty":
+            for lst in (ubcs, pbcs, abcs):
+                lst.append(pf.PatchField(kind="empty", vfrac=0.0))
+        elif patch.name == "atmosphere":
+            ubcs.append(pf.make("pressureInletOutletVelocity",
+                                ref_value=jnp.zeros(3)))
+            pbcs.append(pf.make("totalPressure", ref_value=0.0, p0=0.0))
+            abcs.append(pf.make("inletOutlet", ref_value=0.0))
+        else:
+            ubcs.append(pf.fixed_value(jnp.zeros(3)))
+            pbcs.append(pf.zero_gradient())
+            abcs.append(pf.zero_gradient())
+
+    U = vol_vector(mesh, jnp.zeros(3), name="U", dims=dimVelocity,
+                   bcs=tuple(ubcs))
+    p_rgh = vol_scalar(mesh, 0.0, name="p_rgh",
+                       dims=DimensionSet.of(0, 2, -2), bcs=tuple(pbcs))
+    # water column: x < 0.25L, y < 0.5L
+    c = np.asarray(mesh.c)
+    a0 = ((c[:, 0] < 0.25 * 0.584) & (c[:, 1] < 0.5 * 0.584)).astype(
+        np.asarray(mesh.v).dtype)
+    alpha = vol_scalar(mesh, 0.0, name="alpha1", bcs=tuple(abcs)).with_data(
+        jnp.asarray(a0))
+
+    cfg = interfoam.InterConfig(
+        rho1=1000.0, rho2=1.0, nu1=1e-6, nu2=1.48e-5, sigma=0.07,
+        g=(0.0, -9.81, 0.0), c_alpha=1.0,
+        n_alpha_subcycles=2, n_correctors=3,
+        p_controls={"solver": "PCG", "preconditioner": "diagonal",
+                    "tolerance": 1e-7, "relTol": 0.0, "maxIter": 2000},
+    )
+    step = interfoam.make_step(mesh, cfg)
+    state = interfoam.initial_state(mesh, U, p_rgh, alpha, cfg)
+    mass0 = float(jnp.sum(alpha.data * mesh.v))
+    dt = jnp.asarray(0.001, mesh.v.dtype)
+    for i in range(80):
+        state, diag = step(state, dt)
+    return mesh, state, diag, mass0, a0
+
+
+def test_alpha_bounded(dam_result):
+    mesh, state, diag, mass0, a0 = dam_result
+    a = np.asarray(state["alpha"].data)
+    assert np.isfinite(a).all()
+    assert a.min() > -1e-4 and a.max() < 1.0 + 1e-4
+
+
+def test_mass_conserved(dam_result):
+    mesh, state, diag, mass0, a0 = dam_result
+    mass = float(jnp.sum(state["alpha"].data * mesh.v))
+    assert abs(mass - mass0) / mass0 < 5e-3
+
+
+def test_column_collapses(dam_result):
+    mesh, state, diag, mass0, a0 = dam_result
+    a = np.asarray(state["alpha"].data)
+    c = np.asarray(mesh.c)
+    # water front advanced beyond the initial column
+    x_wet0 = c[a0 > 0.5, 0].max()
+    x_wet = c[a > 0.5, 0].max()
+    assert x_wet > x_wet0 + 0.02
+    # water stays near the bottom (gravity works)
+    y_cm = float((a * c[:, 1] * np.asarray(mesh.v)).sum()
+                 / (a * np.asarray(mesh.v)).sum())
+    y_cm0 = float((a0 * c[:, 1] * np.asarray(mesh.v)).sum()
+                  / (a0 * np.asarray(mesh.v)).sum())
+    assert y_cm < y_cm0  # centre of mass dropped
+
+
+def test_velocity_finite(dam_result):
+    mesh, state, diag, mass0, a0 = dam_result
+    u = np.asarray(state["U"].data)
+    assert np.isfinite(u).all()
+    # bounded by free-fall-ish speeds for t=0.08s: v = g*t ~ 0.8 m/s; allow 5x
+    assert np.abs(u).max() < 5.0
