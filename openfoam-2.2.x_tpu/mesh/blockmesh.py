@@ -379,6 +379,18 @@ def generate(dict_or_path) -> PolyMesh:
     patch_names = [n for n, _, _ in patch_pointsets]
     patch_types = [t for _, t, _ in patch_pointsets]
     if n_unassigned:
+        # Unassigned faces usually mean block interfaces whose node
+        # distributions don't match (e.g. inconsistent simpleGrading on
+        # the two sides) — the blocks are then DISCONNECTED. Warn loudly.
+        import sys
+
+        print(
+            f"blockMesh WARNING: {n_unassigned} boundary faces not in any "
+            "declared patch -> defaultFaces. If these lie on block-block "
+            "interfaces, the block gradings/counts do not match and the "
+            "blocks are disconnected.",
+            file=sys.stderr,
+        )
         patch_names.append("defaultFaces")
         patch_types.append("empty")
         assigned[assigned < 0] = len(patch_pointsets)
