@@ -247,7 +247,7 @@ def _up_total_pressure(bc, mesh, patch, internal, *, phi=None, U=None,
     if rho_b is not None:
         magU2 = magU2 * rho_b[cells]
     pval = jnp.where(phib > 0.0, p0, p0 - 0.5 * magU2)
-    return bc.replace(ref_value=pval, vfrac=1.0)
+    return bc.replace(ref_value=pval, vfrac=jnp.ones_like(pval))
 
 
 def _up_pressure_io_velocity(bc, mesh, patch, internal, *, phi=None, **ctx):
@@ -326,6 +326,22 @@ def make(kind: str, **kw) -> PatchField:
         kind=kind,
         opts=tuple(opts.items()),
     )
+
+
+def normalize_bcs(mesh, bcs, rank: int) -> Tuple[PatchField, ...]:
+    """Broadcast all BC data to per-face shapes so state pytrees keep
+    invariant shapes under scan/while carries (derived BC updates
+    rewrite ref_value/vfrac per face)."""
+    dt = mesh.v.dtype
+    out = []
+    for p, bc in zip(mesh.patches, bcs):
+        vshape = (p.size,) if rank == 0 else (p.size, 3)
+        rv = jnp.broadcast_to(jnp.asarray(bc.ref_value, dt), vshape)
+        rg = jnp.broadcast_to(jnp.asarray(bc.ref_grad, dt), vshape)
+        vf = jnp.asarray(bc.vfrac, dt)
+        vf = jnp.broadcast_to(vf, vshape if vf.ndim == rank + 1 else (p.size,))
+        out.append(dataclasses.replace(bc, ref_value=rv, ref_grad=rg, vfrac=vf))
+    return tuple(out)
 
 
 def default_bcs(mesh, rank: int) -> Tuple[PatchField, ...]:

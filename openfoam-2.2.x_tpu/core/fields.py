@@ -87,14 +87,15 @@ class SurfaceField:
 
 
 def vol_scalar(mesh, value, name="field", dims=dimless, bcs=None) -> VolField:
-    from ..bc.patchfields import default_bcs
+    from ..bc.patchfields import default_bcs, normalize_bcs
 
     data = jnp.broadcast_to(jnp.asarray(value), (mesh.n_cells,)).astype(
         mesh.v.dtype
     )
+    bcs = bcs if bcs is not None else default_bcs(mesh, rank=0)
     return VolField(
         data=data,
-        bcs=bcs if bcs is not None else default_bcs(mesh, rank=0),
+        bcs=normalize_bcs(mesh, bcs, rank=0),
         name=name,
         dims=dims,
     )
@@ -109,9 +110,12 @@ def vol_vector(mesh, value, name="field", dims=dimless, bcs=None) -> VolField:
     else:
         data = value
     data = data.astype(mesh.v.dtype)
+    from ..bc.patchfields import normalize_bcs
+
+    bcs = bcs if bcs is not None else default_bcs(mesh, rank=1)
     return VolField(
         data=data,
-        bcs=bcs if bcs is not None else default_bcs(mesh, rank=1),
+        bcs=normalize_bcs(mesh, bcs, rank=1),
         name=name,
         dims=dims,
     )

@@ -40,7 +40,10 @@ def read_field(path: str, mesh, name: Optional[str] = None) -> VolField:
     for p in mesh.patches:
         spec = bf.match(p.name)
         bcs.append(factory.from_dict(spec, p, rank, dtype))
-    return VolField(data=internal, bcs=tuple(bcs), name=name, dims=dims)
+    from ..bc.patchfields import normalize_bcs
+
+    return VolField(data=internal, bcs=normalize_bcs(mesh, tuple(bcs), rank),
+                    name=name, dims=dims)
 
 
 _HEADER = """/*--------------------------------*- C++ -*----------------------------------*\\

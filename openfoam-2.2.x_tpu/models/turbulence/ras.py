@@ -52,7 +52,7 @@ def _nutk_wall(bc, mesh, patch, internal, *, k=None, nu=None, **ctx):
     ypl_lam = 11.0  # intersection of linear/log laws for kappa=0.41, E=9.8
     nutw = nu * (ypl * _KAPPA / jnp.log(jnp.maximum(_E * ypl, 1.001)) - 1.0)
     nutw = jnp.where(ypl > ypl_lam, jnp.maximum(nutw, 0.0), 0.0)
-    return bc.replace(ref_value=nutw, vfrac=1.0)
+    return bc.replace(ref_value=nutw, vfrac=jnp.ones_like(nutw))
 
 
 def _nutU_wall(bc, mesh, patch, internal, *, U=None, nu=None, **ctx):
@@ -75,7 +75,7 @@ def _nutU_wall(bc, mesh, patch, internal, *, U=None, nu=None, **ctx):
                         jnp.log(jnp.maximum(_E * ypl, 1.001)) / _KAPPA, ypl)
         utau = magU / jnp.maximum(upl, 1e-6)
     nutw = jnp.maximum(utau * utau * y / magU / nu - 1.0, 0.0) * nu
-    return bc.replace(ref_value=nutw, vfrac=1.0)
+    return bc.replace(ref_value=nutw, vfrac=jnp.ones_like(nutw))
 
 
 pf.register_update("nutkWallFunction", _nutk_wall)
@@ -107,6 +107,25 @@ def _has_wall_fn(field: VolField, kinds) -> bool:
     return any(bc.kind in kinds for bc in field.bcs)
 
 
+def _wall_face_nut(mesh, nut_field: VolField):
+    """Per-cell wall-FACE nut (averaged over a cell's wall faces) —
+    the reference's G override uses nutw (the patch value from the nut
+    wall function), NOT the cell nut (reference:
+    epsilonWallFunctionFvPatchScalarField::calculate)."""
+    acc = jnp.zeros(mesh.n_cells, mesh.v.dtype)
+    cnt = np.zeros(mesh.n_cells)
+    own = np.asarray(mesh.owner)
+    for p, bc in zip(mesh.patches, nut_field.bcs):
+        if p.type != "wall":
+            continue
+        cells = own[p.slice]
+        vals = pf.evaluate(bc, mesh, p, nut_field.data)
+        acc = acc.at[jnp.asarray(cells)].add(vals)
+        np.add.at(cnt, cells, 1.0)
+    cnt_j = jnp.asarray(np.maximum(cnt, 1.0).astype(np.asarray(mesh.v).dtype))
+    return acc / cnt_j
+
+
 def _div_weights(mesh, phi, field, scheme="upwind"):
     from ...ops import schemes
 
@@ -134,6 +153,7 @@ class KEpsilon(TurbulenceModel):
     C2 = 1.92
     sigma_k = 1.0
     sigma_eps = 1.3
+    prod_limit = 10.0   # G <= prod_limit*eps (stagnation-point fix)
 
     def __init__(self, nu, coeffs=None):
         super().__init__(nu, coeffs)
@@ -162,14 +182,21 @@ class KEpsilon(TurbulenceModel):
         diag = {}
 
         G, S2 = production(mesh, nut, U)
+        # production limiter (Menter-style, as in the SST k-equation):
+        # bounds the unphysical spike at singular corners/stagnation
+        # points; inactive in equilibrium layers where G ~= eps.
+        # (Documented deviation from plain kEpsilon.)
+        G = jnp.minimum(G, self.prod_limit * jnp.maximum(eps, EPS_MIN))
         wall_fn = _has_wall_fn(eps_f, ("epsilonWallFunction",))
         if wall_fn:
             mask, y = _wall_data(mesh)
             sqrtk = jnp.sqrt(jnp.maximum(k, K_MIN))
             eps_wall = (self.Cmu ** 0.75) * sqrtk ** 3 / (_KAPPA * y)
-            # wall production from the log-law shear
+            # wall production from the log-law shear, using the wall-FACE
+            # nut (the wall-function value), as the reference does
+            nutw = _wall_face_nut(mesh, nut_f)
             magUp = jnp.linalg.norm(U.data, axis=1) / y
-            G_wall = ((nut + self.nu) * magUp
+            G_wall = ((nutw + self.nu) * magUp
                       * (self.Cmu ** 0.25) * sqrtk / (_KAPPA * y))
             G = jnp.where(mask > 0, G_wall, G)
 
@@ -301,9 +328,10 @@ class RealizableKE(KEpsilon):
             mask, y = _wall_data(mesh)
             sqrtk = jnp.sqrt(jnp.maximum(k, K_MIN))
             eps_wall = (_CMU ** 0.75) * sqrtk ** 3 / (_KAPPA * y)
+            nutw = _wall_face_nut(mesh, nut_f)
             magUp = jnp.linalg.norm(U.data, axis=1) / y
             G = jnp.where(mask > 0,
-                          (nut + self.nu) * magUp * (_CMU ** 0.25) * sqrtk
+                          (nutw + self.nu) * magUp * (_CMU ** 0.25) * sqrtk
                           / (_KAPPA * y), G)
 
         eps_face = self.nu + fvc.interpolate(mesh, nut_f) / self.sigma_eps
@@ -428,8 +456,9 @@ class KOmegaSST(TurbulenceModel):
             w_vis = 6.0 * self.nu / (self.beta1 * y1 * y1)
             w_log = sqrtk / ((_CMU ** 0.25) * _KAPPA * y1)
             omega_wall = jnp.sqrt(w_vis ** 2 + w_log ** 2)
+            nutw = _wall_face_nut(mesh, nut_f)
             magUp = jnp.linalg.norm(U.data, axis=1) / y1
-            G_wall = ((nut + self.nu) * magUp
+            G_wall = ((nutw + self.nu) * magUp
                       * (_CMU ** 0.25) * sqrtk / (_KAPPA * y1))
             G = jnp.where(mask > 0, G_wall, G)
 

@@ -47,17 +47,25 @@ def channel_fields(mesh, with_omega=False):
     w0 = eps0 / (0.09 * k0)
 
     def bcs_for(inlet_val, wall_kind, kind_out="inletOutlet", rank=0):
+        # per-face BC data so shapes stay invariant under scan-carried
+        # BC updates (wall functions rewrite ref_value per face)
+        def pface(p, v):
+            v = jnp.asarray(v)
+            shape = (p.size,) if v.ndim == 0 else (p.size, 3)
+            return jnp.broadcast_to(v, shape)
+
         out = []
         for p in mesh.patches:
             if p.type == "empty":
                 out.append(pf.PatchField(kind="empty", vfrac=0.0))
             elif p.name == "inlet":
-                out.append(pf.fixed_value(inlet_val))
+                out.append(pf.fixed_value(pface(p, inlet_val)))
             elif p.name == "outlet":
-                out.append(pf.make("inletOutlet", ref_value=inlet_val * 0))
+                out.append(pf.make("inletOutlet", ref_value=pface(p, inlet_val * 0)))
             else:
-                out.append(pf.make(wall_kind) if wall_kind != "fixedValue"
-                           else pf.fixed_value(inlet_val * 0))
+                out.append(pf.make(wall_kind, ref_value=pface(p, inlet_val * 0))
+                           if wall_kind != "fixedValue"
+                           else pf.fixed_value(pface(p, inlet_val * 0)))
         return tuple(out)
 
     U = vol_vector(mesh, jnp.asarray([1.0, 0.0, 0.0]), name="U",
