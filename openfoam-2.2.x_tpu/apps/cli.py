@@ -96,12 +96,76 @@ def foam_to_vtk(argv) -> int:
     return 0
 
 
+def set_fields(argv) -> int:
+    """setFields: initialise field regions from system/setFieldsDict
+    (reference: applications/utilities/preProcessing/setFields/).
+    Supports boxToCell + volScalar/VectorFieldValue."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core.case import Case
+    from ..core.dictionary import parse_file
+    from ..io import fields as field_io
+
+    args = _case_arg(argv)
+    case = Case(args.case)
+    mesh = case.mesh
+    d = parse_file(os.path.join(args.case, "system", "setFieldsDict"))
+
+    def parse_values(lst):
+        out = {}
+        items = list(lst) if isinstance(lst, list) else [lst]
+        i = 0
+        while i < len(items) - 2:
+            if str(items[i]).endswith("FieldValue"):
+                out[str(items[i + 1])] = items[i + 2]
+                i += 3
+            else:
+                i += 1
+        return out
+
+    fields = {}
+    for name, val in parse_values(d.get("defaultFieldValues", [])).items():
+        f = case.read_field(name)
+        v = jnp.broadcast_to(jnp.asarray(np.asarray(val, dtype=float),
+                                         mesh.v.dtype), f.data.shape)
+        fields[name] = f.with_data(v)
+
+    c = np.asarray(mesh.c)
+    regions = d.get("regions", [])
+    items = list(regions) if isinstance(regions, list) else [regions]
+    i = 0
+    while i < len(items):
+        kind = str(items[i])
+        spec = items[i + 1] if i + 1 < len(items) else None
+        i += 2
+        if kind != "boxToCell" or spec is None:
+            continue
+        box = np.asarray(spec["box"], dtype=float).reshape(2, 3)
+        mask = np.all((c >= box[0]) & (c <= box[1]), axis=1)
+        for name, val in parse_values(spec.get("fieldValues", [])).items():
+            f = fields.get(name) or case.read_field(name)
+            v = jnp.asarray(np.asarray(val, dtype=float), mesh.v.dtype)
+            data = np.asarray(f.data)
+            data[mask] = np.asarray(v)
+            fields[name] = f.with_data(jnp.asarray(data))
+
+    from ..core import runtime
+
+    tname = runtime.time_name(case.time.start_time)
+    for f in fields.values():
+        field_io.write_field(f, mesh, case.dir, tname)
+    print(f"setFields: updated {sorted(fields)} at time {tname}")
+    return 0
+
+
 COMMANDS = {
     "blockMesh": block_mesh,
     "checkMesh": check_mesh,
     "run": run,
     "decomposePar": decompose_par,
     "foamToVTK": foam_to_vtk,
+    "setFields": set_fields,
 }
 
 

@@ -149,6 +149,9 @@ def _run_piso(case, max_steps, with_turbulence: bool,
     step = piso_mod.make_step(mesh, cfg)
     state = piso_mod.initial_state(mesh, U, p, turb_state=tstate)
 
+    from ..functionobjects import make_function_objects
+
+    fol = make_function_objects(case)
     extra = model.field_names[:-1] if model else ()
     log.info(f"Starting time loop: {case.application}, {mesh.n_cells} cells\n")
     cumulative = 0.0
@@ -156,6 +159,7 @@ def _run_piso(case, max_steps, with_turbulence: bool,
         dt = jnp.asarray(t.current_dt, mesh.v.dtype)
         state, diag = step(state, dt)
         cumulative = _log_step(case, t, diag, cumulative, extra)
+        fol.execute(t.name, state)
         t.adjust_delta_t(float(diag["courant_max"]))
         if t.write_time():
             _write_state(case, state)
@@ -233,12 +237,16 @@ def simplefoam(case, max_steps: Optional[int] = None) -> None:
     max_iter = max(int(round((t.end_time - t.start_time) / t.delta_t)), 1)
     if max_steps is not None:
         max_iter = min(max_iter, max_steps)
+    from ..functionobjects import make_function_objects
+
+    fol = make_function_objects(case)
     while t.index < max_iter:
         state, diag = chunk(state)
         t.index += chunk_n
         t.value = t.start_time + t.index * t.delta_t
         t.current_dt = t.delta_t
         cumulative = _log_step(case, t, diag, cumulative, extra)
+        fol.execute(t.name, state)
         if t.write_time():
             _write_state(case, state)
         if simple_mod.converged(diag, res_ctl):
@@ -389,7 +397,132 @@ def potential_foam(case, max_steps: Optional[int] = None) -> None:
     log.info("End\n")
 
 
+def interfoam_app(case, max_steps: Optional[int] = None) -> None:
+    """interFoam from case files (reference:
+    applications/solvers/multiphase/interFoam/)."""
+    import jax.numpy as jnp
+
+    from . import interfoam as inter_mod
+
+    mesh = case.mesh
+    tp = case.transport_properties()
+    # 2.2 layout: phase1 { nu; rho; } phase2 { ... } sigma
+    def phase(name):
+        ph = tp.get(name, tp)
+        _, nu_v = dimensioned_scalar(ph["nu"])
+        _, rho_v = dimensioned_scalar(ph["rho"])
+        return nu_v, rho_v
+
+    nu1, rho1 = phase("phase1")
+    nu2, rho2 = phase("phase2")
+    _, sigma = dimensioned_scalar(tp.get("sigma", 0.0))
+    g_vec = (0.0, -9.81, 0.0)
+    g_path = case.const_path("g")
+    if os.path.exists(g_path):
+        gd = parse_file(g_path)
+        import numpy as _np
+
+        val = gd.get("value")
+        if val is not None:
+            g_vec = tuple(float(x) for x in _np.asarray(val).reshape(3))
+
+    U = case.read_field("U")
+    alpha = None
+    for nm in ("alpha1", "alpha.water", "alpha"):
+        path = os.path.join(case.dir, "0", nm)
+        if os.path.exists(path):
+            alpha = case.read_field(nm)
+            break
+    p_rgh = case.read_field("p_rgh")
+    pdict = case.pimple_controls("PIMPLE")
+    cfg = inter_mod.InterConfig(
+        rho1=rho1, rho2=rho2, nu1=nu1, nu2=nu2, sigma=sigma, g=g_vec,
+        c_alpha=float(pdict.get("cAlpha", 1.0)),
+        n_alpha_subcycles=int(pdict.get("nAlphaSubCycles", 1)),
+        n_correctors=int(pdict.get("nCorrectors", 3)),
+        n_non_orth=int(pdict.get("nNonOrthogonalCorrectors", 0)),
+        p_controls=case.solver_controls("p_rgh"),
+        u_controls=case.solver_controls("U") if "U" in str(
+            case.fv_solution.get("solvers", {})) else None,
+    )
+    step = inter_mod.make_step(mesh, cfg)
+    state = inter_mod.initial_state(mesh, U, p_rgh, alpha, cfg)
+
+    from ..functionobjects import make_function_objects
+
+    fol = make_function_objects(case)
+    log.info(f"Starting time loop: interFoam, {mesh.n_cells} cells\n")
+    for t in case.time.loop():
+        dt = jnp.asarray(t.current_dt, mesh.v.dtype)
+        state, diag = step(state, dt)
+        log.info(f"Time = {t.name}")
+        log.info(f"Phase-1 volume fraction: min = "
+                 f"{float(diag['alpha_min']):.6g} max = "
+                 f"{float(diag['alpha_max']):.6g}")
+        from .linear.krylov import SolverPerf as _SP
+
+        log.info(log.solver_line("p_rgh", _SP(
+            diag["p_initial"], diag["p_final"], diag["p_iters"])) + "\n")
+        fol.execute(t.name, state)
+        t.adjust_delta_t(float(diag["courant_max"]))
+        if t.write_time():
+            case.write_fields([state["U"], state["p_rgh"], state["alpha"]])
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.write_fields([state["U"], state["p_rgh"], state["alpha"]])
+    case.final_state = state
+    log.info("End\n")
+
+
+def rhocentralfoam_app(case, max_steps: Optional[int] = None) -> None:
+    """rhoCentralFoam from case files (reference:
+    applications/solvers/compressible/rhoCentralFoam/)."""
+    import jax.numpy as jnp
+
+    from ..models import thermo as thermo_mod
+    from . import rhocentral as rc_mod
+
+    mesh = case.mesh
+    th = thermo_mod.from_dict(case.properties("thermophysicalProperties"))
+    U = case.read_field("U")
+    T = case.read_field("T")
+    p_f = case.read_field("p")
+    rho_data = th.rho(p_f.data, T.data)
+    from ..bc.patchfields import default_bcs
+    from ..core.dimensions import DimensionSet
+    from ..core.fields import VolField
+
+    rho = VolField(data=rho_data, bcs=default_bcs(mesh, 0), name="rho",
+                   dims=DimensionSet.of(1, -3, 0))
+    scheme = str(case.fv_schemes.get("fluxScheme", "Kurganov"))
+    cfg = rc_mod.RhoCentralConfig(thermo=th, flux_scheme=scheme)
+    chunk_n = int(os.environ.get("FOAMTPU_CHUNK", "10"))
+    chunk = rc_mod.make_chunk(mesh, cfg, chunk_n)
+    state = rc_mod.initial_state(mesh, rho, U, T, cfg)
+
+    log.info(f"Starting time loop: rhoCentralFoam, {mesh.n_cells} cells\n")
+    t = case.time
+    n_steps = max(int(round((t.end_time - t.start_time) / t.delta_t)), 1)
+    if max_steps is not None:
+        n_steps = min(n_steps, max_steps)
+    dt = jnp.asarray(t.delta_t, mesh.v.dtype)
+    while t.index < n_steps:
+        state, diag = chunk(state, dt)
+        t.index += chunk_n
+        t.value = t.start_time + t.index * t.delta_t
+        log.info(f"Time = {t.name}  Courant = "
+                 f"{float(diag['courant_max']):.4g}  rho: "
+                 f"[{float(diag['rho_min']):.4g}, {float(diag['rho_max']):.4g}]")
+        if t.write_time():
+            case.write_fields([state["U"], state["T"], state["rho"]])
+    case.write_fields([state["U"], state["T"], state["rho"]])
+    case.final_state = state
+    log.info("End\n")
+
+
 case_mod.register_application("icoFoam", icofoam)
+case_mod.register_application("interFoam", interfoam_app)
+case_mod.register_application("rhoCentralFoam", rhocentralfoam_app)
 case_mod.register_application("pisoFoam", pisofoam)
 case_mod.register_application("pimpleFoam", pimplefoam)
 case_mod.register_application("simpleFoam", simplefoam)

@@ -211,13 +211,18 @@ def project_initial_flux(mesh, p: VolField, phi: Any,
     pcorr = _dc.replace(p, data=jnp.zeros_like(p.data), name="pcorr")
     from ..core.dimensions import dimless
 
+    # scale the problem to O(1): an (almost-)balanced initial flux gives
+    # a roundoff-level RHS on which f32 Krylov iteration degenerates
+    div0 = surface.surface_sum(mesh, phi)
+    scale = jnp.maximum(jnp.max(jnp.abs(div0)), 1e-30)
+
     eqn = fvm.laplacian(mesh, 1.0, pcorr, corrected=False,
                         gamma_dims=dimless)
-    eqn = eqn.replace_fields(source=eqn.source + surface.surface_sum(mesh, phi))
+    eqn = eqn.replace_fields(source=eqn.source + div0 / scale)
     if needs_reference(pcorr, mesh):
         eqn = eqn.set_reference(0, 0.0)
     data, _ = linear.solve(mesh, eqn, pcorr.data, ctl)
-    return phi - eqn.flux(mesh, data)
+    return phi - eqn.flux(mesh, data) * scale
 
 
 def initial_state(mesh, U: VolField, p: VolField,

@@ -1,0 +1,71 @@
+"""End-to-end runs of the remaining tutorial cases from unmodified
+OpenFOAM-format files: damBreak (interFoam) and forwardStep
+(rhoCentralFoam), exercising the full blockMesh/setFields/run pipeline
+(reference: the Allrun scripts in tutorials/)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _setup(tmp_path_factory, rel, steps_cmds=()):
+    src = os.path.join(REPO, "tutorials", *rel)
+    d = tmp_path_factory.mktemp(rel[-1])
+    dst = os.path.join(d, rel[-1])
+    shutil.copytree(src, dst)
+    from foamtpu.apps.cli import main
+
+    assert main(["blockMesh", "-case", dst]) == 0
+    for cmd in steps_cmds:
+        assert main([cmd, "-case", dst]) == 0
+    return dst
+
+
+def test_dambreak_case(tmp_path_factory):
+    dst = _setup(tmp_path_factory,
+                 ["multiphase", "interFoam", "laminar", "damBreak"],
+                 steps_cmds=["setFields"])
+    # water column initialised
+    from foamtpu.core.case import Case, run_case
+
+    case0 = Case(dst)
+    a0 = np.asarray(case0.read_field("alpha1").data)
+    assert 0.1 < a0.mean() < 0.2  # column ~12.5% of the domain
+    assert set(np.unique(a0)) <= {0.0, 1.0}
+
+    os.environ["FOAMTPU_CHUNK"] = "10"
+    case = run_case(dst, max_steps=40)
+    state = case.final_state
+    a = np.asarray(state["alpha"].data)
+    u = np.asarray(state["U"].data)
+    assert np.isfinite(a).all() and np.isfinite(u).all()
+    assert a.min() > -1e-3 and a.max() < 1.0 + 1e-3
+    # mass conserved
+    v = np.asarray(case.mesh.v)
+    assert abs((a * v).sum() - (a0 * v).sum()) / (a0 * v).sum() < 1e-2
+    # output written and re-readable
+    out = case.read_field("alpha1", time=case.time.name)
+    assert np.isfinite(np.asarray(out.data)).all()
+
+
+def test_forwardstep_case(tmp_path_factory):
+    dst = _setup(tmp_path_factory,
+                 ["compressible", "rhoCentralFoam", "forwardStep"])
+    from foamtpu.core.case import run_case
+
+    os.environ["FOAMTPU_CHUNK"] = "25"
+    case = run_case(dst, max_steps=150)
+    state = case.final_state
+    rho = np.asarray(state["rho"].data)
+    assert np.isfinite(rho).all()
+    assert rho.min() > 0.05 and rho.max() < 12.0
+    # thermo from the dictionary: R and gamma recovered
+    from foamtpu.models import thermo as th
+
+    pg = th.from_dict(case.properties("thermophysicalProperties"))
+    np.testing.assert_allclose(pg.R, 0.714286, rtol=1e-4)
+    np.testing.assert_allclose(pg.gamma, 1.4, rtol=1e-3)
