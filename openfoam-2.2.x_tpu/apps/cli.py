@@ -146,7 +146,7 @@ def set_fields(argv) -> int:
         for name, val in parse_values(spec.get("fieldValues", [])).items():
             f = fields.get(name) or case.read_field(name)
             v = jnp.asarray(np.asarray(val, dtype=float), mesh.v.dtype)
-            data = np.asarray(f.data)
+            data = np.array(f.data)  # writable host copy
             data[mask] = np.asarray(v)
             fields[name] = f.with_data(jnp.asarray(data))
 
