@@ -35,6 +35,11 @@ def main():
         "preconditioner": "polynomial",
         "tolerance": 1e-6, "relTol": 0.0, "maxIter": 1000,
     })
+    # pFinal: tight tolerance only on the final corrector (the
+    # reference tutorials' relTol strategy)
+    pf = dict(cfg.p_controls)
+    pf["relTol"] = 0.0
+    cfg = cfg._replace(p_controls_final=pf)
     n_cells = mesh.n_cells
     # CFL ~0.5 on the finer mesh
     dt = jnp.asarray(0.5 * (0.1 / N), mesh.v.dtype)

@@ -40,6 +40,7 @@ class PisoConfig(NamedTuple):
     p_ref_cell: int = 0
     p_ref_value: float = 0.0
     p_controls: Dict = None
+    p_controls_final: Dict = None    # pFinal: used on the last corrector
     u_controls: Dict = None
     turb: Any = None        # TurbulenceModel (static; fields live in state["turb"])
     turb_controls: Dict = None
@@ -144,7 +145,10 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
             )
             if needs_reference(p, mesh):
                 pEqn = pEqn.set_reference(cfg.p_ref_cell, cfg.p_ref_value)
-            pdata, pperf = linear.solve(mesh, pEqn, p.data, p_ctrl)
+            final = (corr == cfg.n_correctors - 1
+                     and nonorth == cfg.n_non_orth)
+            ctl = (cfg.p_controls_final or p_ctrl) if final else p_ctrl
+            pdata, pperf = linear.solve(mesh, pEqn, p.data, ctl)
             p = p.with_data(pdata)
             if corr == 0 and nonorth == 0:
                 diag["p_initial"] = pperf.initial_residual
