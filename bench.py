@@ -30,16 +30,16 @@ def main():
     from foamtpu.apps.cases import make_cavity
     from foamtpu.solvers import piso
 
+    # f32 stopping strategy: each corrector reduces the residual 100x
+    # (relTol 0.01); the PISO outer loop supplies the rest of the
+    # accuracy. An absolute tol of 1e-6 is below the f32 true-residual
+    # floor at this size (kappa ~ 1e5) and just burns iterations
+    # fighting roundoff (see BASELINE.md notes).
     mesh, state, cfg = make_cavity(N, p_solver={
         "solver": os.environ.get("BENCH_PSOLVER", "GAMG"),
         "preconditioner": "polynomial",
-        "tolerance": 1e-6, "relTol": 0.0, "maxIter": 1000,
+        "tolerance": 1e-7, "relTol": 0.01, "maxIter": 1000,
     })
-    # pFinal: tight tolerance only on the final corrector (the
-    # reference tutorials' relTol strategy)
-    pf = dict(cfg.p_controls)
-    pf["relTol"] = 0.0
-    cfg = cfg._replace(p_controls_final=pf)
     n_cells = mesh.n_cells
     # CFL ~0.5 on the finer mesh
     dt = jnp.asarray(0.5 * (0.1 / N), mesh.v.dtype)

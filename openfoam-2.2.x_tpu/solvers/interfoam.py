@@ -172,9 +172,10 @@ def interfoam_step(mesh, state: Dict, dt: Any, cfg: InterConfig
                                  gamma_dims=dimTime)
             pEqn = pEqn.replace_fields(
                 source=pEqn.source + surface.surface_sum(mesh, phiHbyA))
-            if needs_reference(p_rgh, mesh):
-                pEqn = pEqn.set_reference(cfg.p_ref_cell, cfg.p_ref_value)
-            pdata, pperf = linear.solve(mesh, pEqn, p_rgh.data, p_ctrl)
+            pEqn, ctl_p = linear.prep_pressure(
+                pEqn, needs_reference(p_rgh, mesh), p_ctrl,
+                cfg.p_ref_cell, cfg.p_ref_value)
+            pdata, pperf = linear.solve(mesh, pEqn, p_rgh.data, ctl_p)
             p_rgh = p_rgh.with_data(pdata)
             if corr == 0 and nonorth == 0:
                 diag["p_initial"] = pperf.initial_residual

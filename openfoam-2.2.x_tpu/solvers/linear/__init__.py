@@ -28,6 +28,21 @@ def register_solver(name, fn):
     _SOLVERS[name] = fn
 
 
+def prep_pressure(mat, needs_ref: bool, ctl: Dict, ref_cell: int,
+                  ref_value: float):
+    """Apply the pressure reference for an all-Neumann system: cell
+    pinning for point solvers, null-space deflation for GAMG (see
+    gamg.py — pinning wrecks the MG convergence factor)."""
+    ctl2 = dict(ctl)
+    if needs_ref:
+        if str(ctl.get("solver", "")) == "GAMG":
+            ctl2["_singular"] = True
+            ctl2["_ref"] = (ref_cell, ref_value)
+        else:
+            mat = mat.set_reference(ref_cell, ref_value)
+    return mat, ctl2
+
+
 def solve(mesh, mat, psi: Any, controls: Dict) -> Tuple[Any, SolverPerf]:
     """Solve mat*psi = source for the field data psi [nC,(3)];
     returns (new_psi, perf-of-first-component)."""

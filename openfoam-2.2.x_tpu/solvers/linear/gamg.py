@@ -271,13 +271,20 @@ def _coarsen_matrix(lv: Level, diag, upper, lower):
     m = lv.face_src_mask
     c_upper = jnp.sum(jnp.where(flip > 0, lo_g, up_g) * m, axis=1)
     c_lower = jnp.sum(jnp.where(flip > 0, up_g, lo_g) * m, axis=1)
+    # pad cells contribute NOTHING to their cluster's diagonal (a pad
+    # value of the wrong sign corrupts mixed real/pad clusters and caps
+    # the MG convergence factor); all-pad clusters get a sign-matched
+    # unit diagonal afterwards (they are disconnected identity rows).
     diag_pad = jnp.pad(diag, (0, lv.n_fine_pad - diag.shape[0]),
-                       constant_values=1.0)
+                       constant_values=0.0)
     d_members = diag_pad.reshape(-1, 2, lv.d).sum(axis=1).reshape(-1)
     d_intra = jnp.sum(
         (upper[lv.intra_faces] + lower[lv.intra_faces]) * lv.intra_mask, axis=1
     )
-    return d_members + d_intra, c_upper, c_lower
+    c_diag = d_members + d_intra
+    sgn = jnp.where(jnp.sum(c_diag) < 0, -1.0, 1.0)
+    c_diag = jnp.where(c_diag == 0.0, sgn, c_diag)
+    return c_diag, c_upper, c_lower
 
 
 def _make_st_op(st: Dict[str, Any], upper, lower) -> stencil_mod.StencilOp:
@@ -290,24 +297,35 @@ def _make_st_op(st: Dict[str, Any], upper, lower) -> stencil_mod.StencilOp:
 
 def _dense_solve(st_op: stencil_mod.StencilOp, diag, b):
     """Coarsest-level direct solve via dense assembly from the stencil
-    (apply A to the identity — n is tiny and static)."""
+    (apply A to the identity — n is tiny and static). A tiny ridge
+    keeps the solve well-posed for singular (all-Neumann) systems."""
     n = diag.shape[0]
     eye = jnp.eye(n, dtype=diag.dtype)
     A = jax.vmap(lambda col: diag * col + st_op.apply_off(col),
                  in_axes=1, out_axes=1)(eye)
+    ridge = 1e-6 * jnp.max(jnp.abs(diag))
+    A = A + ridge * jnp.sign(jnp.mean(diag)) * eye
     return jnp.linalg.solve(A, b)
 
 
 class GAMG:
-    """Multigrid preconditioner/solver bound to one mesh hierarchy."""
+    """Multigrid preconditioner/solver bound to one mesh hierarchy.
+
+    smoother: 'Jacobi' (damped, omega) or 'Chebyshev' (degree n_pre/
+    n_post polynomial on the Jacobi-preconditioned operator with
+    Gershgorin-bounded spectrum — the standard parallel replacement for
+    the reference's Gauss-Seidel, cuts V-cycle counts at equal cost)."""
 
     def __init__(self, mesh, levels: Optional[List[Level]] = None,
-                 n_pre: int = 2, n_post: int = 2, omega: float = 0.8):
+                 n_pre: int = 2, n_post: int = 2, omega: float = 0.8,
+                 smoother: str = "Jacobi"):
         self.levels = levels if levels is not None else hierarchy_for_mesh(mesh)
         self.mesh = mesh
         self.n_pre = n_pre
         self.n_post = n_post
         self.omega = omega
+        self.smoother = smoother
+        self.scale_correction = True
 
     def _ops(self, mesh, mats):
         """StencilOps per level from the per-level (diag,upper,lower)."""
@@ -327,34 +345,68 @@ class GAMG:
             mats.append((d, u, l))
         return mats
 
-    def vcycle(self, mesh, mats, ops, b, x):
+    def vcycle(self, mesh, mats, ops, b, x, lam_max=None):
         levels = self.levels
         n_levels = len(mats)
 
         def smooth(i, x, b, n):
             diag = mats[i][0]
             op = ops[i]
+            if self.smoother == "Chebyshev" and lam_max is not None:
+                # Chebyshev on the D^-1 A operator, spectrum in
+                # [lmax/15, 1.05*lmax] (standard smoothing range)
+                lmax = 1.05 * lam_max[i]
+                lmin = lmax / 15.0
+                theta = 0.5 * (lmax + lmin)
+                delta = 0.5 * (lmax - lmin)
+                sigma = theta / delta
+                rho = 1.0 / sigma
+                z = (b - (diag * x + op.apply_off(x))) / diag
+                p = z / theta
+                x = x + p
+                for _ in range(max(n - 1, 0)):
+                    rho_new = 1.0 / (2.0 * sigma - rho)
+                    z = (b - (diag * x + op.apply_off(x))) / diag
+                    p = (rho_new * rho) * p + (2.0 * rho_new / delta) * z
+                    x = x + p
+                    rho = rho_new
+                return x
             rd = self.omega / diag
             for _ in range(n):
                 x = x + (b - (diag * x + op.apply_off(x))) * rd
             return x
 
+        def amul_i(i, x):
+            return mats[i][0] * x + ops[i].apply_off(x)
+
         bs = [b]
         xs = [x]
         for i in range(n_levels - 1):
-            diag = mats[i][0]
             xi = smooth(i, xs[i], bs[i], self.n_pre)
             xs[i] = xi
-            r = bs[i] - (diag * xi + ops[i].apply_off(xi))
+            r = bs[i] - amul_i(i, xi)
             bs.append(_restrict(levels[i], r))
             xs.append(jnp.zeros(levels[i].n_coarse, x.dtype))
-        diag = mats[-1][0]
         if n_levels == 1:
             xs[0] = smooth(0, xs[0], bs[0], 8)
         else:
-            xs[-1] = _dense_solve(ops[-1], diag, bs[-1])
+            xs[-1] = _dense_solve(ops[-1], mats[-1][0], bs[-1])
         for i in range(n_levels - 2, -1, -1):
-            xi = xs[i] + _prolong(levels[i], xs[i + 1])
+            c = _prolong(levels[i], xs[i + 1])
+            if self.scale_correction:
+                # reference: GAMGSolver::scale — optimal line search
+                # along the prolonged correction. ESSENTIAL for pairwise
+                # aggregation with piecewise-constant prolongation (the
+                # unscaled asymptotic rate degenerates to ~1).
+                r_i = bs[i] - amul_i(i, xs[i])
+                Ac = amul_i(i, c)
+                num = jnp.vdot(c, r_i)
+                den = jnp.vdot(c, Ac)
+                sf = num / jnp.where(jnp.abs(den) > 1e-30, den,
+                                     jnp.where(den >= 0, 1e-30, -1e-30))
+                sf = jnp.clip(sf, 0.0, 2.0)
+                c = sf * c
+            xi = xs[i] + c
             xs[i] = smooth(i, xi, bs[i], self.n_post)
         return xs[0]
 
@@ -362,17 +414,36 @@ class GAMG:
         tol = float(controls.get("tolerance", 1e-6))
         rel_tol = float(controls.get("relTol", 0.0))
         max_iter = int(controls.get("maxIter", 200))
+        # singular (all-Neumann) systems: solve with the constant null
+        # space DEFLATED instead of a pinned cell — cell pinning makes
+        # the constant mode converge at ~0.9/cycle (measured), deflation
+        # restores the V-cycle's 0.115 factor. The gauge (pRefCell/
+        # pRefValue) is applied after the solve.
+        singular = bool(controls.get("_singular", False))
+        ref_cell, ref_value = controls.get("_ref", (0, 0.0))
 
         def solve_one(psi1, d_eff, b):
             mats = self.coarsen_all(d_eff, mat.lower, mat.upper)
             ops = self._ops(mesh, mats)
             fine_op = ops[0]
 
+            def lam_of(diag, op):
+                s = jnp.sum(jnp.abs(op.off), axis=1)
+                if op.fb_cells.shape[0]:
+                    s = s.at[op.fb_cells].add(jnp.abs(op.fb_coeffs))
+                return jnp.max(1.0 + s / jnp.abs(diag))
+
+            lam_max = [lam_of(m[0], op) for m, op in zip(mats, ops)]
+
             def amul(x):
                 return d_eff * x + fine_op.apply_off(x)
 
             def prec(r):
-                return self.vcycle(mesh, mats, ops, r, jnp.zeros_like(r))
+                return self.vcycle(mesh, mats, ops, r, jnp.zeros_like(r),
+                                   lam_max=lam_max)
+
+            if singular:
+                b = b - jnp.mean(b)
 
             Apsi = amul(psi1)
             row_sum = d_eff + fine_op.off.sum(axis=1)
@@ -392,6 +463,8 @@ class GAMG:
             def body(s):
                 x, r, p, wArA_old, it, res = s
                 z = prec(r)
+                if singular:
+                    z = z - jnp.mean(z)
                 wArA = jnp.vdot(r, z)
                 beta = jnp.where(
                     it == 0, 0.0,
@@ -408,6 +481,9 @@ class GAMG:
             init = (psi1, r0, jnp.zeros_like(psi1),
                     jnp.zeros((), psi1.dtype), jnp.zeros((), jnp.int32), res0)
             x, r, p, wArA, it, res = jax.lax.while_loop(cond, body, init)
+            if singular:
+                # apply the reference gauge post-hoc (exact pinning)
+                x = x - x[ref_cell] + ref_value
             return x, SolverPerf(res0, res, it)
 
         if psi.ndim == 1:

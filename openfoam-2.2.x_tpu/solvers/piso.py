@@ -143,11 +143,12 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
             pEqn = pEqn.replace_fields(
                 source=pEqn.source + surface.surface_sum(mesh, phiHbyA)
             )
-            if needs_reference(p, mesh):
-                pEqn = pEqn.set_reference(cfg.p_ref_cell, cfg.p_ref_value)
             final = (corr == cfg.n_correctors - 1
                      and nonorth == cfg.n_non_orth)
             ctl = (cfg.p_controls_final or p_ctrl) if final else p_ctrl
+            pEqn, ctl = linear.prep_pressure(
+                pEqn, needs_reference(p, mesh), ctl,
+                cfg.p_ref_cell, cfg.p_ref_value)
             pdata, pperf = linear.solve(mesh, pEqn, p.data, ctl)
             p = p.with_data(pdata)
             if corr == 0 and nonorth == 0:

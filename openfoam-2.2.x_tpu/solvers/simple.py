@@ -113,9 +113,9 @@ def simple_step(mesh, state: Dict, cfg: SimpleConfig) -> Tuple[Dict, Dict]:
                              gamma_dims=dimTime)
         pEqn = pEqn.replace_fields(
             source=pEqn.source + surface.surface_sum(mesh, phiHbyA))
-        if closed:
-            pEqn = pEqn.set_reference(cfg.p_ref_cell, cfg.p_ref_value)
-        pdata, pperf = linear.solve(mesh, pEqn, p.data, p_ctrl)
+        pEqn, ctl_p = linear.prep_pressure(
+            pEqn, closed, p_ctrl, cfg.p_ref_cell, cfg.p_ref_value)
+        pdata, pperf = linear.solve(mesh, pEqn, p.data, ctl_p)
         p = p.with_data(pdata)
         if nonorth == 0:
             diag["p_initial"] = pperf.initial_residual
