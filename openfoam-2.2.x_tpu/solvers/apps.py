@@ -114,7 +114,7 @@ def _write_state(case, state):
 
 
 def _run_piso(case, max_steps, with_turbulence: bool,
-              control_name: str = "PISO") -> None:
+              control_name: str = "PISO", nu_fn=None) -> None:
     mesh = case.mesh
     tp = case.transport_properties()
     _, nu = dimensioned_scalar(tp["nu"])
@@ -145,6 +145,7 @@ def _run_piso(case, max_steps, with_turbulence: bool,
         u_controls=case.solver_controls("U"),
         turb=model,
         turb_controls=turb_ctl,
+        nu_fn=nu_fn,
     )
     step = piso_mod.make_step(mesh, cfg)
     state = piso_mod.initial_state(mesh, U, p, turb_state=tstate)
@@ -174,6 +175,23 @@ def _run_piso(case, max_steps, with_turbulence: bool,
 def icofoam(case, max_steps: Optional[int] = None) -> None:
     """icoFoam (reference: incompressible/icoFoam/icoFoam.C)."""
     _run_piso(case, max_steps, with_turbulence=False, control_name="PISO")
+
+
+def non_newtonian_icofoam(case, max_steps: Optional[int] = None) -> None:
+    """nonNewtonianIcoFoam (reference:
+    incompressible/nonNewtonianIcoFoam/) — icoFoam with a
+    strain-rate-dependent viscosity model selected from
+    transportProperties."""
+    from ..models import transport as transport_mod
+
+    props = case.transport_properties()
+    nu_model = transport_mod.select(props)
+
+    def nu_fn(mesh, U):
+        return nu_model(mesh, U)
+
+    _run_piso(case, max_steps, with_turbulence=False, control_name="PISO",
+              nu_fn=nu_fn)
 
 
 def pisofoam(case, max_steps: Optional[int] = None) -> None:
@@ -521,6 +539,7 @@ def rhocentralfoam_app(case, max_steps: Optional[int] = None) -> None:
 
 
 case_mod.register_application("icoFoam", icofoam)
+case_mod.register_application("nonNewtonianIcoFoam", non_newtonian_icofoam)
 case_mod.register_application("interFoam", interfoam_app)
 case_mod.register_application("rhoCentralFoam", rhocentralfoam_app)
 case_mod.register_application("pisoFoam", pisofoam)

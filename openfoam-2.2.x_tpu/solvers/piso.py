@@ -44,6 +44,7 @@ class PisoConfig(NamedTuple):
     u_controls: Dict = None
     turb: Any = None        # TurbulenceModel (static; fields live in state["turb"])
     turb_controls: Dict = None
+    nu_fn: Any = None       # non-Newtonian viscosity model: (mesh, U) -> nu [nC]
 
 
 def _default_controls():
@@ -108,6 +109,14 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
         visc_mat, visc_expl = cfg.turb.div_dev_reff(mesh, state["turb"], U)
         UEqn = UEqn + visc_mat
         UEqn = UEqn.add_source(-visc_expl, mesh)
+    elif cfg.nu_fn is not None:
+        # non-Newtonian viscosity (reference: nonNewtonianIcoFoam +
+        # singlePhaseTransportModel): nu(strainRate) updated each step
+        nu_cell = cfg.nu_fn(mesh, U)
+        nu_face = face_interp_cell(mesh, nu_cell)
+        UEqn = UEqn - fvm.laplacian(
+            mesh, nu_face, U, corrected=cfg.corrected,
+            gamma_dims=dimViscosity)
     else:
         UEqn = UEqn - fvm.laplacian(
             mesh, jnp.asarray(cfg.nu, mesh.v.dtype), U,

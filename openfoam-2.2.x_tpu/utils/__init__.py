@@ -1,1 +1,1 @@
-from . import logging  # noqa: F401
+from . import foamlog, logging  # noqa: F401
