@@ -159,8 +159,25 @@ def set_fields(argv) -> int:
     return 0
 
 
+def renumber_mesh(argv) -> int:
+    """renumberMesh: RCM cell renumbering for bandwidth/locality
+    (reference: applications/utilities/mesh/manipulation/renumberMesh/)."""
+    args = _case_arg(argv)
+    from ..io import polymesh as mesh_io
+    from ..mesh import renumber as rn
+
+    mdir = os.path.join(args.case, "constant", "polyMesh")
+    mesh = mesh_io.read(mdir)
+    bw0 = rn.bandwidth(mesh)
+    new, order = rn.renumber(mesh)
+    mesh_io.write(new, mdir)
+    print(f"renumberMesh: bandwidth {bw0} -> {rn.bandwidth(new)}")
+    return 0
+
+
 COMMANDS = {
     "blockMesh": block_mesh,
+    "renumberMesh": renumber_mesh,
     "checkMesh": check_mesh,
     "run": run,
     "decomposePar": decompose_par,
