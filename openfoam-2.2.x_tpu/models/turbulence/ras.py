@@ -161,6 +161,7 @@ class KEpsilon(TurbulenceModel):
         self.Cmu = float(c.get("Cmu", self.Cmu))
         self.C1 = float(c.get("C1", self.C1))
         self.C2 = float(c.get("C2", self.C2))
+        self.sigma_k = float(c.get("sigmak", self.sigma_k))
         self.sigma_eps = float(c.get("sigmaEps", self.sigma_eps))
 
     def nut(self, mesh, tstate):
@@ -173,7 +174,10 @@ class KEpsilon(TurbulenceModel):
         return self.Cmu * k * k / jnp.maximum(eps, EPS_MIN)
 
     def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
-                controls=None):
+                controls=None, c1_field=None):
+        """c1_field: optional per-cell override of C1 (used by RNG's
+        strain-dependent C1eff) — passed explicitly instead of mutating
+        self, which is static jit config shared across traces."""
         k_f: VolField = tstate["k"]
         eps_f: VolField = tstate["epsilon"]
         nut_f: VolField = tstate["nut"]
@@ -212,8 +216,9 @@ class KEpsilon(TurbulenceModel):
                             gamma_dims=dimViscosity)
             + fvm.Sp(mesh, self.C2 * eps / jnp.maximum(k, K_MIN), eps_f)
         )
+        c1 = self.C1 if c1_field is None else c1_field
         eps_eqn = eps_eqn.add_source(
-            self.C1 * G * eps / jnp.maximum(k, K_MIN), mesh)
+            c1 * G * eps / jnp.maximum(k, K_MIN), mesh)
         if steady and relax < 1.0:
             eps_eqn = eps_eqn.relax(mesh, relax, eps)
         if wall_fn:
@@ -262,13 +267,17 @@ class RNGkEpsilon(KEpsilon):
     Cmu = 0.0845
     C1 = 1.42
     C2 = 1.68
-    sigma_eps = 1.39 ** -1 * 1.39  # sigmaEps = 1.39 in 2.2 coeffs
+    # reference RNGkEpsilon.C coeffs: sigmak = sigmaEps = 0.71942
+    # (i.e. Dk/DepsEff = nu + nut/0.71942 ~ nu + 1.39*nut)
+    sigma_k = 0.71942
+    sigma_eps = 0.71942
     eta0 = 4.38
     beta = 0.012
 
     def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
-                controls=None):
-        # fold the RNG modification into C1 via eta
+                controls=None, c1_field=None):
+        # fold the RNG modification into C1 via eta, passed explicitly
+        # (no self-mutation: the model object is static jit config)
         k = tstate["k"].data
         eps = tstate["epsilon"].data
         nut = tstate["nut"].data
@@ -276,14 +285,8 @@ class RNGkEpsilon(KEpsilon):
         eta = jnp.sqrt(S2) * k / jnp.maximum(eps, EPS_MIN)
         c1_eff = self.C1 - eta * (1.0 - eta / self.eta0) / (
             1.0 + self.beta * eta ** 3)
-        orig_c1 = self.C1
-        self.C1 = c1_eff  # array broadcast through add_source
-        try:
-            out = super().correct(mesh, tstate, U, phi, dt, steady, relax,
-                                  controls)
-        finally:
-            self.C1 = orig_c1
-        return out
+        return super().correct(mesh, tstate, U, phi, dt, steady, relax,
+                               controls, c1_field=c1_eff)
 
 
 class RealizableKE(KEpsilon):

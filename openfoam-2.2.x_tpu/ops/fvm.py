@@ -133,6 +133,7 @@ def laplacian(
 
     nc = _ncmp(field)
     src = jnp.zeros((mesh.n_cells,) if nc == 1 else (mesh.n_cells, nc), diag.dtype)
+    fcorr = None
     if corrected:
         # explicit correction: op += sum_f gamma |Sf| (k . grad_f psi)
         g = fvc.grad(mesh, field)
@@ -157,6 +158,10 @@ def laplacian(
         # full operator, so the explicit part moves to the source with a
         # MINUS sign relative to the implicit part:
         src = src - corr_cell
+        # stash the per-face correction so fvMatrix::flux stays
+        # consistent with the solved operator on non-orthogonal meshes
+        # (reference: faceFluxCorrectionPtr_; ADVICE.md r1 #4)
+        fcorr = corr_full
 
     gb = gamma_f * mesh.mag_sf * act
     ics, bcs = [], []
@@ -174,7 +179,7 @@ def laplacian(
     dims = gdims * field.dims * dimLength
     return FvMatrix(
         diag=diag, lower=lower, upper=upper, source=src, ic=ic, bc=bcc,
-        dims=dims, symmetric=True,
+        fcorr=fcorr, dims=dims, symmetric=True,
     )
 
 

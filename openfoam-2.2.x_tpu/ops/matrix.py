@@ -52,6 +52,10 @@ class FvMatrix:
     source: Any     # [nC] or [nC,C]
     ic: Any         # internalCoeffs  [nBf] or [nBf,C] (adds to diag)
     bc: Any         # boundaryCoeffs  [nBf] or [nBf,C] (adds to source)
+    # per-face explicit flux correction [nF] stashed by corrected
+    # laplacians (reference: fvMatrix::faceFluxCorrectionPtr_, set by
+    # gaussLaplacianScheme::fvmLaplacian, consumed by fvMatrix::flux)
+    fcorr: Any = None
     dims: DimensionSet = _static(default=dimless)   # of source (= op * volume)
     symmetric: bool = _static(default=True)
 
@@ -62,6 +66,12 @@ class FvMatrix:
     def __add__(self, other: "FvMatrix") -> "FvMatrix":
         if isinstance(other, FvMatrix):
             d = self.dims + other.dims  # raises on mismatch
+            if self.fcorr is None:
+                fc = other.fcorr
+            elif other.fcorr is None:
+                fc = self.fcorr
+            else:
+                fc = self.fcorr + other.fcorr
             return FvMatrix(
                 diag=self.diag + other.diag,
                 lower=self.lower + other.lower,
@@ -69,6 +79,7 @@ class FvMatrix:
                 source=self.source + other.source,
                 ic=self.ic + other.ic,
                 bc=self.bc + other.bc,
+                fcorr=fc,
                 dims=d,
                 symmetric=self.symmetric and other.symmetric,
             )
@@ -78,6 +89,7 @@ class FvMatrix:
         return FvMatrix(
             diag=-self.diag, lower=-self.lower, upper=-self.upper,
             source=-self.source, ic=-self.ic, bc=-self.bc,
+            fcorr=None if self.fcorr is None else -self.fcorr,
             dims=self.dims, symmetric=self.symmetric,
         )
 
@@ -168,7 +180,12 @@ class FvMatrix:
         bcells = mesh.owner[nif:]
         ic, bc = self.ic, self.bc
         f_bnd = ic * psi[bcells] - bc
-        return jnp.concatenate([f_int, f_bnd], axis=0)
+        out = jnp.concatenate([f_int, f_bnd], axis=0)
+        if self.fcorr is not None:
+            # non-orthogonal deferred correction is part of the operator
+            # flux (reference: flux += *faceFluxCorrectionPtr_)
+            out = out + self.fcorr
+        return out
 
     # ---- constraints ---------------------------------------------------------
     def set_reference(self, cell: int, value: float) -> "FvMatrix":

@@ -201,9 +201,74 @@ def pisofoam(case, max_steps: Optional[int] = None) -> None:
 
 
 def pimplefoam(case, max_steps: Optional[int] = None) -> None:
-    """pimpleFoam: merged PISO-SIMPLE; nOuterCorrectors=1 reduces to
-    PISO (reference: incompressible/pimpleFoam/pimpleFoam.C)."""
-    _run_piso(case, max_steps, with_turbulence=True, control_name="PIMPLE")
+    """pimpleFoam: merged PISO-SIMPLE with nOuterCorrectors outer
+    iterations, inter-iteration relaxation, and final-iteration
+    semantics (reference: incompressible/pimpleFoam/pimpleFoam.C +
+    pimpleControl). nOuterCorrectors=1 reduces to PISO."""
+    from . import pimple as pimple_mod
+
+    mesh = case.mesh
+    tp = case.transport_properties()
+    _, nu = dimensioned_scalar(tp["nu"])
+    U = case.read_field("U")
+    p = case.read_field("p")
+    model, tstate = _load_turbulence(case, nu)
+
+    pdict = case.pimple_controls("PIMPLE")
+    relax = _relaxation(case)
+    turb_ctl = None
+    try:
+        turb_ctl = case.solver_controls("k")
+    except KeyError:
+        pass
+    try:
+        p_final = case.solver_controls("pFinal")
+    except KeyError:
+        p_final = None
+    cfg = pimple_mod.PimpleConfig(
+        nu=nu,
+        n_outer=int(pdict.get("nOuterCorrectors", 1)),
+        n_correctors=int(pdict.get("nCorrectors", 2)),
+        n_non_orth=int(pdict.get("nNonOrthogonalCorrectors", 0)),
+        momentum_predictor=str(pdict.get("momentumPredictor", "yes")) in (
+            "yes", "true", "on", "1"),
+        corrected=case.laplacian_corrected(),
+        div_scheme=case.div_scheme("div(phi,U)"),
+        p_ref_cell=int(pdict.get("pRefCell", 0)),
+        p_ref_value=float(pdict.get("pRefValue", 0.0)),
+        alpha_u=relax.get("U", 1.0),
+        alpha_p=relax.get("p", 1.0),
+        p_controls=case.solver_controls("p"),
+        p_controls_final=p_final,
+        u_controls=case.solver_controls("U"),
+        turb=model,
+        turb_controls=turb_ctl,
+        turb_on_final_only=str(pdict.get("turbOnFinalIterOnly", "yes")) in (
+            "yes", "true", "on", "1"),
+    )
+    step = pimple_mod.make_step(mesh, cfg)
+    state = piso_mod.initial_state(mesh, U, p, turb_state=tstate)
+
+    from ..functionobjects import make_function_objects
+
+    fol = make_function_objects(case)
+    extra = model.field_names[:-1] if model else ()
+    log.info(f"Starting time loop: pimpleFoam, {mesh.n_cells} cells\n")
+    cumulative = 0.0
+    for t in case.time.loop():
+        dt = jnp.asarray(t.current_dt, mesh.v.dtype)
+        state, diag = step(state, dt)
+        cumulative = _log_step(case, t, diag, cumulative, extra)
+        fol.execute(t.name, state)
+        t.adjust_delta_t(float(diag["courant_max"]))
+        if t.write_time():
+            _write_state(case, state)
+            log.info(f"Writing fields at time {t.name}\n")
+        if max_steps is not None and t.index >= max_steps:
+            break
+    _write_state(case, state)
+    log.info("End\n")
+    case.final_state = state
 
 
 # ---------------------------------------------------------------------------

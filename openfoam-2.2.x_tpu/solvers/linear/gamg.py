@@ -423,7 +423,11 @@ class GAMG:
         ref_cell, ref_value = controls.get("_ref", (0, 0.0))
 
         def solve_one(psi1, d_eff, b):
-            mats = self.coarsen_all(d_eff, mat.lower, mat.upper)
+            # NOTE argument order: coarsen_all(diag, UPPER, LOWER).
+            # Passing (lower, upper) here built the TRANSPOSE of every
+            # level — invisible on symmetric pressure Laplacians, wrong
+            # for any convection-bearing matrix (ADVICE.md r1 #1).
+            mats = self.coarsen_all(d_eff, mat.upper, mat.lower)
             ops = self._ops(mesh, mats)
             fine_op = ops[0]
 

@@ -1,0 +1,191 @@
+"""pimpleFoam — transient incompressible merged PISO-SIMPLE solver.
+
+Rebuild of reference: applications/solvers/incompressible/pimpleFoam/
+(pimpleFoam.C, UEqn.H, pEqn.H) + pimpleControl
+(src/finiteVolume/cfdTools/general/solutionControl/pimpleControl/).
+
+Semantics mirrored:
+- nOuterCorrectors outer (SIMPLE-like) iterations per time step; each
+  rebuilds the momentum equation from the latest phi and re-enters the
+  PISO corrector loop (nCorrectors).
+- Under-relaxation applies on NON-final outer iterations only: UEqn
+  relaxed implicitly with alpha_u, p relaxed explicitly with alpha_p
+  after the flux correction. The final outer iteration runs unrelaxed
+  (reference: relaxationFactors "<field>Final" defaulting to 1) and
+  uses the "pFinal"/"UFinal" solver controls.
+- nOuterCorrectors=1 marks the single iteration final, so the step
+  reduces EXACTLY to PISO (verified by tests/test_pimple.py).
+- turbOnFinalIterOnly (default yes): turbulence corrected after the
+  final outer iteration only.
+
+The whole time step (all outer/inner correctors) traces into one XLA
+program; loop counts are static config exactly as in fvSolution.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dimensions import dimTime, dimViscosity
+from ..core.fields import VolField
+from ..ops import fvc, fvm, surface
+from . import linear
+from .piso import (boundary_flux, div_weights, face_interp_cell,
+                   needs_reference)
+from .simple import adjust_phi
+
+
+class PimpleConfig(NamedTuple):
+    nu: float
+    n_outer: int = 1             # nOuterCorrectors
+    n_correctors: int = 2        # nCorrectors
+    n_non_orth: int = 0
+    momentum_predictor: bool = True
+    corrected: bool = False
+    div_scheme: str = "linear"
+    p_ref_cell: int = 0
+    p_ref_value: float = 0.0
+    alpha_u: float = 1.0         # relaxationFactors on non-final outer iters
+    alpha_p: float = 1.0
+    p_controls: Dict = None
+    p_controls_final: Dict = None
+    u_controls: Dict = None
+    turb: Any = None
+    turb_controls: Dict = None
+    turb_on_final_only: bool = True
+    nu_fn: Any = None
+
+
+def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
+                ) -> Tuple[Dict, Dict]:
+    """One PIMPLE time step. state: {"U","p","phi","U0"(,"turb")}."""
+    p_ctrl = cfg.p_controls or {"solver": "PCG", "preconditioner": "diagonal",
+                                "tolerance": 1e-6, "relTol": 0.0,
+                                "maxIter": 1000}
+    u_ctrl = cfg.u_controls or {"solver": "smoothSolver", "tolerance": 1e-5,
+                                "relTol": 0.0, "maxIter": 1000, "nSweeps": 2}
+    U: VolField = state["U"]
+    p: VolField = state["p"]
+    phi = state["phi"]
+    U0 = state.get("U0", U.data)
+    rdt = 1.0 / dt
+    diag: Dict[str, Any] = {}
+    new_turb = state.get("turb")
+
+    for outer in range(cfg.n_outer):
+        final_outer = outer == cfg.n_outer - 1
+
+        # -- momentum predictor (rebuilt each outer iteration) -------------
+        w_div = div_weights(mesh, phi, cfg.div_scheme, U)
+        UEqn = (
+            fvm.ddt(mesh, U, U0, rdt)
+            + fvm.div(mesh, phi, U, weights=w_div)
+        )
+        if cfg.turb is not None:
+            visc_mat, visc_expl = cfg.turb.div_dev_reff(
+                mesh, new_turb, U)
+            UEqn = UEqn + visc_mat
+            UEqn = UEqn.add_source(-visc_expl, mesh)
+        elif cfg.nu_fn is not None:
+            nu_cell = cfg.nu_fn(mesh, U)
+            nu_face = face_interp_cell(mesh, nu_cell)
+            UEqn = UEqn - fvm.laplacian(
+                mesh, nu_face, U, corrected=cfg.corrected,
+                gamma_dims=dimViscosity)
+        else:
+            UEqn = UEqn - fvm.laplacian(
+                mesh, jnp.asarray(cfg.nu, mesh.v.dtype), U,
+                corrected=cfg.corrected, gamma_dims=dimViscosity)
+        if not final_outer and cfg.alpha_u < 1.0:
+            UEqn = UEqn.relax(mesh, cfg.alpha_u, U.data)
+        grad_p = fvc.grad(mesh, p)
+        if cfg.momentum_predictor:
+            Umat = UEqn.add_source(-grad_p, mesh)
+            Udata, uperf = linear.solve(mesh, Umat, U.data, u_ctrl)
+            U = U.with_data(Udata)
+            if outer == 0:
+                diag["Ux"] = uperf
+        elif outer == 0:
+            diag["Ux"] = None
+
+        # -- PISO corrector loop -------------------------------------------
+        rA = 1.0 / UEqn.A(mesh)
+        for corr in range(cfg.n_correctors):
+            HbyA = rA[:, None] * UEqn.H(mesh, U.data)
+            hf = surface.interpolate_internal(mesh, HbyA)
+            nif = mesh.n_internal_faces
+            phiHbyA_i = (jnp.sum(mesh.sf[:nif] * hf, axis=1)
+                         * mesh.face_active[:nif])
+            phiHbyA_b = boundary_flux(mesh, U)
+            closed = needs_reference(p, mesh)
+            if closed:
+                phiHbyA_b = adjust_phi(mesh, phiHbyA_b, U)
+            phiHbyA = jnp.concatenate([phiHbyA_i, phiHbyA_b], axis=0)
+            rAf = face_interp_cell(mesh, rA)
+
+            p_before = p.data
+            for nonorth in range(cfg.n_non_orth + 1):
+                pEqn = fvm.laplacian(
+                    mesh, rAf, p,
+                    corrected=cfg.corrected and nonorth > 0,
+                    gamma_dims=dimTime)
+                pEqn = pEqn.replace_fields(
+                    source=pEqn.source + surface.surface_sum(mesh, phiHbyA))
+                final = (final_outer and corr == cfg.n_correctors - 1
+                         and nonorth == cfg.n_non_orth)
+                ctl = (cfg.p_controls_final or p_ctrl) if final else p_ctrl
+                pEqn, ctl = linear.prep_pressure(
+                    pEqn, closed, ctl, cfg.p_ref_cell, cfg.p_ref_value)
+                pdata, pperf = linear.solve(mesh, pEqn, p.data, ctl)
+                p = p.with_data(pdata)
+                if outer == 0 and corr == 0 and nonorth == 0:
+                    diag["p_initial"] = pperf.initial_residual
+                    diag["p_iters"] = pperf.n_iterations
+                diag["p_final"] = pperf.final_residual
+                if nonorth == cfg.n_non_orth:
+                    phi = phiHbyA - pEqn.flux(mesh, p.data)
+
+            # explicit p relaxation on non-final outer iterations, AFTER
+            # the conservative flux update (reference: pEqn.H p.relax())
+            if not final_outer and cfg.alpha_p < 1.0:
+                p = p.with_data(
+                    p_before + cfg.alpha_p * (p.data - p_before))
+            grad_p = fvc.grad(mesh, p)
+            U = U.with_data(HbyA - rA[:, None] * grad_p)
+            U = U.correct_boundary_conditions(mesh, phi=phi)
+
+        # -- turbulence ------------------------------------------------------
+        if cfg.turb is not None and (
+                final_outer or not cfg.turb_on_final_only):
+            new_turb, tdiag = cfg.turb.correct(
+                mesh, new_turb, U, phi, dt, controls=cfg.turb_controls)
+            if final_outer:
+                diag.update({f"turb_{k}": v for k, v in tdiag.items()})
+
+    # -- diagnostics ----------------------------------------------------------
+    div_phi = surface.surface_sum(mesh, phi)
+    diag["continuity"] = jnp.sum(jnp.abs(div_phi)) / jnp.sum(mesh.v)
+    diag["continuity_global"] = jnp.sum(div_phi) / jnp.sum(mesh.v)
+    sum_phi = jnp.sum(jnp.abs(phi)[mesh.cface] * jnp.abs(mesh.csign), axis=1)
+    diag["courant_max"] = 0.5 * jnp.max(sum_phi / mesh.v) * dt
+    diag["courant_mean"] = 0.5 * (jnp.sum(jnp.abs(phi) * mesh.face_active) /
+                                  jnp.sum(mesh.v)) * dt
+
+    new_state = dict(state)
+    new_state.update(U=U, p=p, phi=phi, U0=U.data)
+    if new_turb is not None:
+        new_state["turb"] = new_turb
+    return new_state, diag
+
+
+def make_step(mesh, cfg: PimpleConfig):
+    """Returns a jitted (state, dt) -> (state, diag) PIMPLE step."""
+
+    @jax.jit
+    def step(state, dt):
+        return pimple_step(mesh, state, dt, cfg)
+
+    return step

@@ -139,6 +139,15 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
         nif = mesh.n_internal_faces
         phiHbyA_i = jnp.sum(mesh.sf[:nif] * hf, axis=1) * mesh.face_active[:nif]
         phiHbyA_b = boundary_flux(mesh, U)
+        if needs_reference(p, mesh):
+            # global flux balance before the singular pressure solve
+            # (reference: adjustPhi(phiHbyA, U, p) in icoFoam/pisoFoam
+            # pEqn.H; cfdTools/general/adjustPhi/) — without it an
+            # inlet/outlet imbalance makes the all-Neumann RHS
+            # inconsistent and mass drifts (ADVICE.md r1 #3).
+            from .simple import adjust_phi
+
+            phiHbyA_b = adjust_phi(mesh, phiHbyA_b, U)
         phiHbyA = jnp.concatenate([phiHbyA_i, phiHbyA_b], axis=0)
 
         rAf = face_interp_cell(mesh, rA)

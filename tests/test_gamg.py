@@ -83,3 +83,49 @@ def test_gamg_beats_pcg_iterations(mesh40):
     np.testing.assert_allclose(
         np.asarray(x_g), np.asarray(x_p), atol=5e-3 * float(jnp.abs(x_p).max())
     )
+
+
+def test_gamg_asymmetric_convection_diffusion(mesh40):
+    """GAMG on a convection-bearing (asymmetric) matrix must agree with
+    BiCGStab — regression for the r1 upper/lower transpose bug where
+    every coarse level was built from A^T (ADVICE.md r1 #1)."""
+    from foamtpu.ops import fvc
+    from foamtpu.solvers import linear
+
+    cf = np.asarray(mesh40.cf)
+    bcs = []
+    for p in mesh40.patches:
+        if p.type == "empty":
+            bcs.append(pf.PatchField(kind="empty", vfrac=0.0))
+        else:
+            bcs.append(pf.fixed_value(
+                jnp.asarray(cf[p.slice, 0], mesh40.v.dtype)))
+    psi = vol_scalar(mesh40, 0.0, bcs=tuple(bcs))
+    # a swirling flux field -> strongly asymmetric convection matrix
+    from foamtpu.core.fields import vol_vector
+    from foamtpu.core.dimensions import dimVelocity
+
+    c = np.asarray(mesh40.c)
+    Uc = np.stack([-(c[:, 1] - 0.05), c[:, 0] - 0.05,
+                   np.zeros(mesh40.n_cells)], axis=1) * 20.0
+    U = vol_vector(mesh40, jnp.zeros(3), dims=dimVelocity).with_data(
+        jnp.asarray(Uc, mesh40.v.dtype))
+    from foamtpu.core.dimensions import dimViscosity
+
+    phi = fvc.flux(mesh40, U)
+    mat = fvm.div(mesh40, phi, psi) - fvm.laplacian(
+        mesh40, 0.05, psi, corrected=False, gamma_dims=dimViscosity)
+    assert not mat.symmetric
+
+    g = GAMG(mesh40)
+    x_g, perf_g = g.solve(mesh40, mat, psi.data,
+                          {"tolerance": 1e-8, "relTol": 0.0, "maxIter": 100})
+    x_b, _ = linear.solve(
+        mesh40, mat, psi.data,
+        {"solver": "PBiCGStab", "tolerance": 1e-10, "relTol": 0.0,
+         "maxIter": 4000},
+    )
+    scale = float(jnp.abs(x_b).max())
+    np.testing.assert_allclose(np.asarray(x_g), np.asarray(x_b),
+                               atol=1e-4 * scale)
+    assert int(perf_g.n_iterations) <= 60

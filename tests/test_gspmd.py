@@ -1,0 +1,126 @@
+"""Multi-device sharding tests (the reference's only parallel axis:
+SPMD domain decomposition, SURVEY.md §2b).
+
+Runs on the conftest-provided 8 virtual CPU devices — the analogue of
+the reference's "mpirun -np 8 on one box" testing (SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from foamtpu.apps.cases import make_cavity
+from foamtpu.parallel import gspmd
+from foamtpu.solvers import piso
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _run(mesh, state, cfg, dt, nsteps):
+    step = jax.jit(lambda s, d: piso.piso_step(mesh, s, d, cfg))
+    diag = None
+    for _ in range(nsteps):
+        state, diag = step(state, dt)
+    jax.block_until_ready(state["U"].data)
+    return state, diag
+
+
+def test_sharded_equals_single_device():
+    """Cavity on 1 device vs sharded over 8 must produce identical
+    fields (same program, different partitioning — GSPMD correctness)."""
+    mesh, state, cfg = make_cavity(16)
+    dt = jnp.asarray(0.005, mesh.v.dtype)
+
+    ref_state, ref_diag = _run(mesh, state, cfg, dt, 3)
+
+    mesh2, state2, cfg2 = make_cavity(16)
+    jmesh = gspmd.space_mesh(8)
+    mesh_s, state_s = gspmd.shard_case(mesh2, state2, jmesh)
+    sh_state, sh_diag = _run(mesh_s, state_s, cfg2, dt, 3)
+
+    np.testing.assert_allclose(
+        np.asarray(ref_state["U"].data), np.asarray(sh_state["U"].data),
+        atol=5e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_state["p"].data), np.asarray(sh_state["p"].data),
+        atol=5e-5,
+    )
+    assert float(sh_diag["continuity"]) < 1e-4
+
+
+def test_sharded_outputs_stay_sharded():
+    """The jitted step must keep cell arrays sharded over the space
+    axis (no silent all-gather of the state between steps)."""
+    mesh, state, cfg = make_cavity(16)
+    jmesh = gspmd.space_mesh(8)
+    mesh_s, state_s = gspmd.shard_case(mesh, state, jmesh)
+    dt = jnp.asarray(0.005, mesh.v.dtype)
+    step = jax.jit(lambda s, d: piso.piso_step(mesh_s, s, d, cfg))
+    out, _ = step(state_s, dt)
+    sh = out["p"].data.sharding
+    # the output sharding must still be distributed (not fully
+    # replicated) over the 8 devices
+    assert len(sh.device_set) == 8
+    assert not sh.is_fully_replicated
+
+
+def test_partitioned_ordering_sharded_run():
+    """decomposePar-as-relabelling: run the cavity with the RCB
+    partition ordering applied, sharded, and check it matches the
+    unpartitioned solution physically (probe the lid-driven vortex)."""
+    from foamtpu.core.dictionary import parse_string
+    from foamtpu.mesh import blockmesh, to_device
+    from foamtpu.parallel import partition
+    from foamtpu.apps.cases import CAVITY_BLOCKMESH
+    from foamtpu.bc import patchfields as pf
+    from foamtpu.core.dimensions import DimensionSet, dimVelocity
+    from foamtpu.core.fields import vol_scalar, vol_vector
+
+    from foamtpu.mesh.renumber import apply_ordering
+
+    d = parse_string(CAVITY_BLOCKMESH.replace("{n}", "16"))
+    hmesh = blockmesh.generate(d)
+    order = partition.renumber_for(hmesh, 8)
+    hmesh = apply_ordering(hmesh, order)
+    mesh = to_device(hmesh)
+
+    ubcs, pbcs = [], []
+    for patch in mesh.patches:
+        if patch.type == "empty":
+            ubcs.append(pf.PatchField(kind="empty", vfrac=0.0))
+            pbcs.append(pf.PatchField(kind="empty", vfrac=0.0))
+        elif patch.name == "movingWall":
+            ubcs.append(pf.fixed_value(jnp.asarray([1.0, 0.0, 0.0])))
+            pbcs.append(pf.zero_gradient())
+        else:
+            ubcs.append(pf.fixed_value(jnp.asarray([0.0, 0.0, 0.0])))
+            pbcs.append(pf.zero_gradient())
+    U = vol_vector(mesh, jnp.zeros(3), name="U", dims=dimVelocity,
+                   bcs=tuple(ubcs))
+    p = vol_scalar(mesh, 0.0, name="p",
+                   dims=DimensionSet.of(0, 2, -2), bcs=tuple(pbcs))
+    cfg = piso.PisoConfig(nu=0.01, n_correctors=2)
+    state = piso.initial_state(mesh, U, p)
+
+    jmesh = gspmd.space_mesh(8)
+    mesh_s, state_s = gspmd.shard_case(mesh, state, jmesh)
+    dt = jnp.asarray(0.005, mesh.v.dtype)
+    st, diag = _run(mesh_s, state_s, cfg, dt, 3)
+    assert float(diag["continuity"]) < 1e-4
+
+    # compare against the default-ordered case via cell centres
+    mesh0, state0, cfg0 = make_cavity(16)
+    ref, _ = _run(mesh0, state0, cfg0, dt, 3)
+    c_part = np.asarray(mesh.c).round(9)
+    c_ref = np.asarray(mesh0.c).round(9)
+    # build index map partitioned -> reference ordering
+    key = {tuple(x): i for i, x in enumerate(c_ref)}
+    idx = np.array([key[tuple(x)] for x in c_part])
+    np.testing.assert_allclose(
+        np.asarray(st["U"].data), np.asarray(ref["U"].data)[idx], atol=5e-6
+    )
