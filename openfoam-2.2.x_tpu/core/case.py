@@ -113,6 +113,30 @@ class Case:
             toks = toks[1:]
         return " ".join(toks) if toks else "linear"
 
+    def ddt_scheme(self) -> str:
+        """ddtSchemes/default keyword (reference: fv::ddtScheme::New).
+        Returns e.g. 'Euler', 'backward', 'CrankNicolson 0.9',
+        'steadyState'."""
+        dd = self.fv_schemes.get("ddtSchemes")
+        entry = dd.get("default", "Euler") if isinstance(dd, FoamDict) \
+            else "Euler"
+        toks = [str(t) for t in (entry if isinstance(entry, list) else [entry])]
+        return " ".join(toks) if toks else "Euler"
+
+    def grad_scheme(self, keyword: str = "default") -> str:
+        """gradSchemes keyword lookup (reference: fv::gradScheme::New).
+        Returns e.g. 'Gauss linear', 'leastSquares',
+        'cellLimited Gauss linear 1'."""
+        gs = self.fv_schemes.get("gradSchemes")
+        if not isinstance(gs, FoamDict):
+            return "Gauss linear"
+        try:
+            entry = gs.match(keyword)
+        except KeyError:
+            entry = gs.get("default", ["Gauss", "linear"])
+        toks = [str(t) for t in (entry if isinstance(entry, list) else [entry])]
+        return " ".join(toks) if toks else "Gauss linear"
+
     def laplacian_corrected(self) -> bool:
         lap = self.fv_schemes.subdict("laplacianSchemes")
         entry = lap.get("default", ["Gauss", "linear", "corrected"])

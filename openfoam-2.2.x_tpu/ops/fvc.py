@@ -64,6 +64,141 @@ def grad(mesh, field: VolField) -> Any:
     return g / mesh.v[:, None, None]
 
 
+def grad_least_squares(mesh, field: VolField) -> Any:
+    """Least-squares gradient (reference:
+    src/finiteVolume/finiteVolume/gradSchemes/leastSquaresGrad/):
+    inverse-distance-squared weighted fit over face neighbours plus
+    boundary faces. Exact for linear fields on ANY mesh (Gauss linear
+    is only exact on uniform meshes). scalar -> [nC,3];
+    vector -> [nC,3,3] with g[c,i,j] = d(u_j)/d(x_i)."""
+    data = field.data
+    c = mesh.c
+    tiny = 1e-30
+    vec = data.ndim == 2
+
+    # internal neighbours via the cell tables
+    valid = mesh.cnbr_valid                          # [nC,K]
+    d = (c[mesh.cnbr] - c[:, None, :]) * valid[:, :, None]
+    w2 = valid / jnp.maximum(jnp.sum(d * d, axis=2), tiny)
+    G = jnp.sum(w2[:, :, None, None] * d[:, :, :, None] * d[:, :, None, :],
+                axis=1)                              # [nC,3,3]
+    dpsi = data[mesh.cnbr] - data[:, None]           # [nC,K(,C)]
+    if vec:
+        rhs = jnp.sum((w2[:, :, None] * d)[:, :, :, None]
+                      * dpsi[:, :, None, :], axis=1)  # [nC,3,C]
+    else:
+        rhs = jnp.sum(w2[:, :, None] * d * dpsi[:, :, None], axis=1)
+
+    # boundary faces: d = Cf - C(own), value from the BC
+    nif = mesh.n_internal_faces
+    act = mesh.face_active
+    for p, bc in zip(mesh.patches, field.bcs):
+        cells = mesh.owner[p.slice]
+        a = act[p.slice]
+        db = (mesh.cf[p.slice] - c[cells]) * a[:, None]
+        w2b = a / jnp.maximum(jnp.sum(db * db, axis=1), tiny)
+        vb = pf.evaluate(bc, mesh, p, data)
+        dvb = vb - data[cells]
+        Gb = w2b[:, None, None] * db[:, :, None] * db[:, None, :]
+        G = G.at[cells].add(Gb)
+        if vec:
+            rb = (w2b[:, None] * db)[:, :, None] * dvb[:, None, :]
+        else:
+            rb = w2b[:, None] * db * dvb[:, None]
+        rhs = rhs.at[cells].add(rb)
+
+    # regularise null directions (2D empty-masked meshes: z row/col is
+    # exactly zero with a zero rhs -> clean 0 gradient, not NaN)
+    tr = jnp.trace(G, axis1=1, axis2=2)
+    eps = (1e-9 * tr + tiny)[:, None, None] * jnp.eye(3, dtype=G.dtype)
+    if vec:
+        return jnp.linalg.solve(G + eps, rhs)
+    return jnp.linalg.solve(G + eps, rhs[..., None])[..., 0]
+
+
+def grad_cell_limited(mesh, field: VolField, g: Any, k: float) -> Any:
+    """cellLimited gradient limiter (reference: gradSchemes/
+    limitedGradSchemes/cellLimitedGrad/): scale each cell's gradient so
+    face-extrapolated values stay within the min/max over the cell's
+    neighbours (and boundary faces). k in (0,1]; k=1 = full limiting."""
+    data = field.data
+    vec = data.ndim == 2
+    big = jnp.asarray(1e30, data.dtype)
+    valid = mesh.cnbr_valid                           # [nC,K]
+    vn = data[mesh.cnbr]                              # [nC,K(,C)]
+    if vec:
+        vmask = valid[:, :, None]
+        vmax = jnp.max(jnp.where(vmask > 0, vn, -big), axis=1)
+        vmin = jnp.min(jnp.where(vmask > 0, vn, big), axis=1)
+    else:
+        vmax = jnp.max(jnp.where(valid > 0, vn, -big), axis=1)
+        vmin = jnp.min(jnp.where(valid > 0, vn, big), axis=1)
+    # boundary face values extend the extrema (reference includes
+    # boundary patch neighbour-field values)
+    act = mesh.face_active
+    for p, bc in zip(mesh.patches, field.bcs):
+        cells = mesh.owner[p.slice]
+        a = act[p.slice]
+        vb = pf.evaluate(bc, mesh, p, data)
+        if vec:
+            vb_hi = jnp.where(a[:, None] > 0, vb, -big)
+            vb_lo = jnp.where(a[:, None] > 0, vb, big)
+        else:
+            vb_hi = jnp.where(a > 0, vb, -big)
+            vb_lo = jnp.where(a > 0, vb, big)
+        vmax = vmax.at[cells].max(vb_hi)
+        vmin = vmin.at[cells].min(vb_lo)
+
+    max_d = vmax - data
+    min_d = vmin - data
+    if k < 1.0:
+        rk = (1.0 / max(k, 1e-3) - 1.0)
+        span = rk * (max_d - min_d)
+        max_d = max_d + span
+        min_d = min_d - span
+
+    # extrapolation to every face of the cell (incl. boundary faces)
+    pres = jnp.abs(mesh.csign)                        # [nC,K] presence
+    rvec = (mesh.cf[mesh.cface] - mesh.c[:, None, :]) * pres[:, :, None]
+    if vec:
+        ext = jnp.einsum("cki,cij->ckj", rvec, g)     # [nC,K,C]
+        md, nd = max_d[:, None, :], min_d[:, None, :]
+        pm = pres[:, :, None]
+    else:
+        ext = jnp.sum(rvec * g[:, None, :], axis=2)   # [nC,K]
+        md, nd = max_d[:, None], min_d[:, None]
+        pm = pres
+    tinyx = 1e-30
+    lim_hi = jnp.where(ext > md + tinyx, md / jnp.maximum(ext, tinyx), 1.0)
+    lim_lo = jnp.where(ext < nd - tinyx, nd / jnp.minimum(ext, -tinyx), 1.0)
+    lim = jnp.clip(jnp.minimum(lim_hi, lim_lo), 0.0, 1.0)
+    lim = jnp.where(pm > 0, lim, 1.0)
+    limiter = jnp.min(lim, axis=1)                    # [nC(,C)]
+    if vec:
+        return g * limiter[:, None, :]
+    return g * limiter[:, None]
+
+
+def grad_of(mesh, field: VolField, scheme: str = "Gauss linear") -> Any:
+    """Gradient dispatch by fvSchemes keyword (reference:
+    gradScheme::New). Supported: 'Gauss linear', 'leastSquares',
+    'cellLimited <base...> <k>', 'faceLimited ...' (mapped to
+    cellLimited — documented approximation)."""
+    toks = str(scheme).split()
+    if not toks or toks == ["linear"]:
+        return grad(mesh, field)
+    if toks[0] in ("cellLimited", "faceLimited"):
+        k = float(toks[-1])
+        base = " ".join(toks[1:-1]) or "Gauss linear"
+        g = grad_of(mesh, field, base)
+        return grad_cell_limited(mesh, field, g, k)
+    if toks[0] == "leastSquares":
+        return grad_least_squares(mesh, field)
+    if toks[0] == "Gauss":
+        return grad(mesh, field)
+    raise ValueError(f"unknown gradScheme {scheme!r}")
+
+
 def grad_component(mesh, data: Any, bvals: Any) -> Any:
     """Gauss gradient of raw per-cell scalar data with given boundary
     face values (used inside solvers for lagged corrections)."""

@@ -61,6 +61,71 @@ def ddt_steady(mesh, field: VolField) -> FvMatrix:
     return zero_matrix(mesh, _ncmp(field), dims=field.dims * dimVolume / dimTime)
 
 
+def ddt_backward(mesh, field: VolField, old: Any, old_old: Any,
+                 rdt: Any, rdt0: Any) -> FvMatrix:
+    """Second-order backward (BDF2) implicit d/dt (reference:
+    ddtSchemes/backwardDdtScheme/backwardDdtScheme.C), variable-dt
+    coefficients:
+        coefft   = 1 + dt/(dt+dt0)
+        coefft00 = dt^2 / (dt0 (dt+dt0))
+        coefft0  = coefft + coefft00
+        diag = coefft V/dt;  source = V/dt (coefft0 old - coefft00 old_old)
+    First step: initialise dt0 huge (reference: deltaT0_ = GREAT when
+    oldTime.oldTime is unset) -> coefft -> 1, coefft00 -> 0 = Euler."""
+    dt = 1.0 / rdt
+    dt0 = 1.0 / jnp.maximum(rdt0, 1e-30)
+    coefft = 1.0 + dt / (dt + dt0)
+    coefft00 = dt * dt / (dt0 * (dt + dt0))
+    coefft0 = coefft + coefft00
+    m = zero_matrix(mesh, _ncmp(field), dims=field.dims * dimVolume / dimTime)
+    vdt = mesh.v * rdt
+    vdt_c = _colv(vdt, field.data)
+    return m.replace_fields(
+        diag=coefft * vdt,
+        source=vdt_c * (coefft0 * old - coefft00 * old_old),
+    )
+
+
+def _cn_active(oc: float, rdt0: Any) -> Any:
+    """Reference CrankNicolsonDdtScheme::coef_: the off-centre term is
+    active only AFTER the first step (ddt0 undefined at startup -> the
+    first step runs as pure Euler). rdt0 <= tiny marks startup."""
+    if rdt0 is None:
+        return oc
+    return oc * jnp.where(jnp.asarray(rdt0) > 1e-20, 1.0, 0.0)
+
+
+def ddt_crank_nicolson(mesh, field: VolField, old: Any, ddt0: Any,
+                       rdt: Any, oc: float = 1.0,
+                       rdt0: Any = None) -> FvMatrix:
+    """Crank-Nicolson implicit d/dt (reference: ddtSchemes/
+    CrankNicolsonDdtScheme/, 2.2 convention: the dict coefficient oc in
+    [0,1] blends Euler (0) to pure CN (1)):
+        ddt(psi) = (1+oc)(psi - old)/dt - oc*ddt0
+    where ddt0 is the PREVIOUS step's ddt, updated after the solve via
+    ddt_cn_update; the caller carries ddt0 (and rdt0, the previous
+    step's 1/dt, tiny at startup) in the solver state."""
+    oc_eff = _cn_active(oc, rdt0)
+    m = zero_matrix(mesh, _ncmp(field), dims=field.dims * dimVolume / dimTime)
+    rc = (1.0 + oc_eff) * rdt
+    vrc = mesh.v * rc
+    vrc_c = _colv(vrc, field.data)
+    v_c = _colv(mesh.v, field.data)
+    return m.replace_fields(
+        diag=vrc,
+        source=vrc_c * old + oc_eff * v_c * ddt0,
+    )
+
+
+def ddt_cn_update(new: Any, old: Any, ddt0: Any, rdt: Any,
+                  oc: float = 1.0, rdt0: Any = None) -> Any:
+    """Advance the stored ddt0 at the END of a CN step (reference:
+    DDt0Field evaluation): ddt0 <- (1+oc')*rdt*(new-old) - oc'*ddt0
+    with oc' gated off on the startup step (matching the matrix)."""
+    oc_eff = _cn_active(oc, rdt0)
+    return (1.0 + oc_eff) * rdt * (new - old) - oc_eff * ddt0
+
+
 def div(
     mesh,
     phi: Any,

@@ -139,6 +139,8 @@ def _run_piso(case, max_steps, with_turbulence: bool,
             "yes", "true", "on", "1"),
         corrected=case.laplacian_corrected(),
         div_scheme=case.div_scheme("div(phi,U)"),
+        ddt_scheme=case.ddt_scheme(),
+        grad_scheme=case.grad_scheme("grad(p)"),
         p_ref_cell=int(pdict.get("pRefCell", 0)),
         p_ref_value=float(pdict.get("pRefValue", 0.0)),
         p_controls=case.solver_controls("p"),
@@ -148,7 +150,8 @@ def _run_piso(case, max_steps, with_turbulence: bool,
         nu_fn=nu_fn,
     )
     step = piso_mod.make_step(mesh, cfg)
-    state = piso_mod.initial_state(mesh, U, p, turb_state=tstate)
+    state = piso_mod.initial_state(mesh, U, p, turb_state=tstate,
+                                   ddt_scheme=cfg.ddt_scheme)
 
     from ..functionobjects import make_function_objects
 
@@ -234,6 +237,8 @@ def pimplefoam(case, max_steps: Optional[int] = None) -> None:
             "yes", "true", "on", "1"),
         corrected=case.laplacian_corrected(),
         div_scheme=case.div_scheme("div(phi,U)"),
+        ddt_scheme=case.ddt_scheme(),
+        grad_scheme=case.grad_scheme("grad(p)"),
         p_ref_cell=int(pdict.get("pRefCell", 0)),
         p_ref_value=float(pdict.get("pRefValue", 0.0)),
         alpha_u=relax.get("U", 1.0),
@@ -247,7 +252,8 @@ def pimplefoam(case, max_steps: Optional[int] = None) -> None:
             "yes", "true", "on", "1"),
     )
     step = pimple_mod.make_step(mesh, cfg)
-    state = piso_mod.initial_state(mesh, U, p, turb_state=tstate)
+    state = piso_mod.initial_state(mesh, U, p, turb_state=tstate,
+                                   ddt_scheme=cfg.ddt_scheme)
 
     from ..functionobjects import make_function_objects
 
@@ -297,6 +303,7 @@ def simplefoam(case, max_steps: Optional[int] = None) -> None:
         n_non_orth=int(sdict.get("nNonOrthogonalCorrectors", 0)),
         corrected=case.laplacian_corrected(),
         div_scheme=case.div_scheme("div(phi,U)"),
+        grad_scheme=case.grad_scheme("grad(p)"),
         p_ref_cell=int(sdict.get("pRefCell", 0)),
         p_ref_value=float(sdict.get("pRefValue", 0.0)),
         alpha_u=relax.get("U", 0.7),

@@ -33,8 +33,8 @@ from ..core.dimensions import dimTime, dimViscosity
 from ..core.fields import VolField
 from ..ops import fvc, fvm, surface
 from . import linear
-from .piso import (boundary_flux, div_weights, face_interp_cell,
-                   needs_reference)
+from .piso import (advance_time_state, boundary_flux, ddt_matrix,
+                   div_weights, face_interp_cell, needs_reference)
 from .simple import adjust_phi
 
 
@@ -46,6 +46,8 @@ class PimpleConfig(NamedTuple):
     momentum_predictor: bool = True
     corrected: bool = False
     div_scheme: str = "linear"
+    ddt_scheme: str = "Euler"
+    grad_scheme: str = "Gauss linear"
     p_ref_cell: int = 0
     p_ref_value: float = 0.0
     alpha_u: float = 1.0         # relaxationFactors on non-final outer iters
@@ -70,7 +72,6 @@ def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
     U: VolField = state["U"]
     p: VolField = state["p"]
     phi = state["phi"]
-    U0 = state.get("U0", U.data)
     rdt = 1.0 / dt
     diag: Dict[str, Any] = {}
     new_turb = state.get("turb")
@@ -81,7 +82,7 @@ def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
         # -- momentum predictor (rebuilt each outer iteration) -------------
         w_div = div_weights(mesh, phi, cfg.div_scheme, U)
         UEqn = (
-            fvm.ddt(mesh, U, U0, rdt)
+            ddt_matrix(mesh, U, state, rdt, cfg.ddt_scheme)
             + fvm.div(mesh, phi, U, weights=w_div)
         )
         if cfg.turb is not None:
@@ -101,7 +102,7 @@ def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
                 corrected=cfg.corrected, gamma_dims=dimViscosity)
         if not final_outer and cfg.alpha_u < 1.0:
             UEqn = UEqn.relax(mesh, cfg.alpha_u, U.data)
-        grad_p = fvc.grad(mesh, p)
+        grad_p = fvc.grad_of(mesh, p, cfg.grad_scheme)
         if cfg.momentum_predictor:
             Umat = UEqn.add_source(-grad_p, mesh)
             Udata, uperf = linear.solve(mesh, Umat, U.data, u_ctrl)
@@ -153,7 +154,7 @@ def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
             if not final_outer and cfg.alpha_p < 1.0:
                 p = p.with_data(
                     p_before + cfg.alpha_p * (p.data - p_before))
-            grad_p = fvc.grad(mesh, p)
+            grad_p = fvc.grad_of(mesh, p, cfg.grad_scheme)
             U = U.with_data(HbyA - rA[:, None] * grad_p)
             U = U.correct_boundary_conditions(mesh, phi=phi)
 
@@ -175,7 +176,8 @@ def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
                                   jnp.sum(mesh.v)) * dt
 
     new_state = dict(state)
-    new_state.update(U=U, p=p, phi=phi, U0=U.data)
+    new_state.update(U=U, p=p, phi=phi)
+    advance_time_state(state, new_state, U, rdt, cfg.ddt_scheme)
     if new_turb is not None:
         new_state["turb"] = new_turb
     return new_state, diag

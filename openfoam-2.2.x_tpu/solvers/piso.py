@@ -37,6 +37,8 @@ class PisoConfig(NamedTuple):
     momentum_predictor: bool = True
     corrected: bool = False          # non-orthogonal laplacian correction
     div_scheme: str = "linear"       # for div(phi, U)
+    ddt_scheme: str = "Euler"        # Euler | backward | CrankNicolson <oc>
+    grad_scheme: str = "Gauss linear"  # for grad(p)
     p_ref_cell: int = 0
     p_ref_value: float = 0.0
     p_controls: Dict = None
@@ -45,6 +47,46 @@ class PisoConfig(NamedTuple):
     turb: Any = None        # TurbulenceModel (static; fields live in state["turb"])
     turb_controls: Dict = None
     nu_fn: Any = None       # non-Newtonian viscosity model: (mesh, U) -> nu [nC]
+
+
+def ddt_matrix(mesh, field, state: Dict, rdt, scheme: str,
+               key: str = "U") -> Any:
+    """fvm ddt dispatch on the fvSchemes keyword (reference:
+    fv::ddtScheme::New). State layout per scheme (set up by
+    initial_state): Euler: {key}0; backward: {key}0, {key}00, rdt0;
+    CrankNicolson <oc>: {key}0, ddt0_{key}, rdt0."""
+    toks = scheme.split()
+    old = state.get(f"{key}0", field.data)
+    if toks[0] == "Euler":
+        return fvm.ddt(mesh, field, old, rdt)
+    if toks[0] == "backward":
+        return fvm.ddt_backward(
+            mesh, field, old, state.get(f"{key}00", old),
+            rdt, state.get("rdt0", rdt))
+    if toks[0] == "CrankNicolson":
+        oc = float(toks[1]) if len(toks) > 1 else 1.0
+        return fvm.ddt_crank_nicolson(
+            mesh, field, old, state[f"ddt0_{key}"], rdt, oc,
+            rdt0=state.get("rdt0"))
+    if toks[0] == "steadyState":
+        return fvm.ddt_steady(mesh, field)
+    raise ValueError(f"unknown ddtScheme {scheme!r}")
+
+
+def advance_time_state(state: Dict, new_state: Dict, U, rdt,
+                       scheme: str) -> None:
+    """Update the old-time entries in new_state after a completed step."""
+    toks = scheme.split()
+    new_state["U0"] = U.data
+    if toks[0] == "backward":
+        new_state["U00"] = state.get("U0", U.data)
+        new_state["rdt0"] = rdt
+    elif toks[0] == "CrankNicolson":
+        oc = float(toks[1]) if len(toks) > 1 else 1.0
+        new_state["ddt0_U"] = fvm.ddt_cn_update(
+            U.data, state.get("U0", U.data), state["ddt0_U"], rdt, oc,
+            rdt0=state.get("rdt0"))
+        new_state["rdt0"] = rdt
 
 
 def _default_controls():
@@ -102,7 +144,7 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
     # -- momentum equation (laminar diffusion or turbulence divDevReff) -------
     w_div = div_weights(mesh, phi, cfg.div_scheme, U)
     UEqn = (
-        fvm.ddt(mesh, U, state.get("U0", U.data), rdt)
+        ddt_matrix(mesh, U, state, rdt, cfg.ddt_scheme)
         + fvm.div(mesh, phi, U, weights=w_div)
     )
     if cfg.turb is not None:
@@ -121,7 +163,7 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
         UEqn = UEqn - fvm.laplacian(
             mesh, jnp.asarray(cfg.nu, mesh.v.dtype), U,
             corrected=cfg.corrected, gamma_dims=dimViscosity)
-    grad_p = fvc.grad(mesh, p)
+    grad_p = fvc.grad_of(mesh, p, cfg.grad_scheme)
     if cfg.momentum_predictor:
         Umat = UEqn.add_source(-grad_p, mesh)
         Udata, uperf = linear.solve(mesh, Umat, U.data, u_ctrl)
@@ -176,7 +218,7 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
             if nonorth == cfg.n_non_orth:
                 phi = phiHbyA - pEqn.flux(mesh, p.data)
 
-        grad_p = fvc.grad(mesh, p)
+        grad_p = fvc.grad_of(mesh, p, cfg.grad_scheme)
         U = U.with_data(HbyA - rA[:, None] * grad_p)
         U = U.correct_boundary_conditions(mesh, phi=phi)
 
@@ -198,7 +240,8 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
                                   jnp.sum(mesh.v)) * dt
 
     new_state = dict(state)
-    new_state.update(U=U, p=p, phi=phi, U0=U.data)
+    new_state.update(U=U, p=p, phi=phi)
+    advance_time_state(state, new_state, U, rdt, cfg.ddt_scheme)
     if new_turb is not None:
         new_state["turb"] = new_turb
     return new_state, diag
@@ -250,13 +293,23 @@ def project_initial_flux(mesh, p: VolField, phi: Any,
 
 def initial_state(mesh, U: VolField, p: VolField,
                   turb_state: Optional[Dict] = None,
-                  project: bool = True) -> Dict:
+                  project: bool = True,
+                  ddt_scheme: str = "Euler") -> Dict:
     phi = fvc.flux(mesh, U)
     if project:
         phi = jax.jit(
             lambda ph: project_initial_flux(mesh, p, ph)
         )(phi)
     st = {"U": U, "p": p, "phi": phi, "U0": U.data}
+    toks = ddt_scheme.split()
+    if toks[0] == "backward":
+        # reference: deltaT0_ = GREAT until oldTime.oldTime exists ->
+        # the first step degenerates to Euler
+        st["U00"] = U.data
+        st["rdt0"] = jnp.asarray(1e-30, mesh.v.dtype)
+    elif toks[0] == "CrankNicolson":
+        st["ddt0_U"] = jnp.zeros_like(U.data)
+        st["rdt0"] = jnp.asarray(1e-30, mesh.v.dtype)
     if turb_state is not None:
         st["turb"] = turb_state
     return st

@@ -29,6 +29,7 @@ class SimpleConfig(NamedTuple):
     n_non_orth: int = 0
     corrected: bool = False
     div_scheme: str = "linear"
+    grad_scheme: str = "Gauss linear"  # for grad(p)
     p_ref_cell: int = 0
     p_ref_value: float = 0.0
     alpha_u: float = 0.7
@@ -87,7 +88,7 @@ def simple_step(mesh, state: Dict, cfg: SimpleConfig) -> Tuple[Dict, Dict]:
             mesh, jnp.asarray(cfg.nu, mesh.v.dtype), U,
             corrected=cfg.corrected, gamma_dims=dimViscosity)
     UEqn = UEqn.relax(mesh, cfg.alpha_u, U.data)
-    grad_p = fvc.grad(mesh, p)
+    grad_p = fvc.grad_of(mesh, p, cfg.grad_scheme)
     Umat = UEqn.add_source(-grad_p, mesh)
     Udata, uperf = linear.solve(mesh, Umat, U.data, u_ctrl)
     U = U.with_data(Udata)
@@ -127,7 +128,7 @@ def simple_step(mesh, state: Dict, cfg: SimpleConfig) -> Tuple[Dict, Dict]:
     # explicit pressure relaxation AFTER the flux correction (reference:
     # pEqn.H: p.relax() after phi update keeps the flux conservative)
     p = p.with_data(p_old + cfg.alpha_p * (p.data - p_old))
-    grad_p = fvc.grad(mesh, p)
+    grad_p = fvc.grad_of(mesh, p, cfg.grad_scheme)
     U = U.with_data(HbyA - rA[:, None] * grad_p)
     U = U.correct_boundary_conditions(mesh, phi=phi)
 
