@@ -69,14 +69,19 @@ class Case:
     def read_field(self, name: str, time: Optional[str] = None):
         t = time or runtime.time_name(self.time.start_time)
         path = os.path.join(self.dir, t, name)
-        if not os.path.exists(path) and t == "0.0":
+        if (not os.path.exists(path) and not os.path.exists(path + ".gz")
+                and t == "0.0"):
             path = os.path.join(self.dir, "0", name)
         return field_io.read_field(path, self.mesh, name=name)
 
     def write_fields(self, fields, time_name: Optional[str] = None) -> None:
         t = time_name or self.time.name
+        fmt = str(self.control_dict.get("writeFormat", "ascii"))
+        compress = str(self.control_dict.get("writeCompression", "off")) in (
+            "on", "yes", "true", "compressed")
         for f in fields:
-            field_io.write_field(f, self.mesh, self.dir, t)
+            field_io.write_field(f, self.mesh, self.dir, t,
+                                 fmt=fmt, compress=compress)
         self.time.register_write(t)
 
     # -- solver controls ---------------------------------------------------------

@@ -7,7 +7,9 @@ readable by reference tooling (paraFoam/foamLog interop, SURVEY.md §5.4).
 
 from __future__ import annotations
 
+import gzip
 import os
+import re
 from fractions import Fraction
 from typing import Optional
 
@@ -15,14 +17,88 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bc import factory
-from ..core.dictionary import FoamDict, Word, parse_file
+from ..core.dictionary import FoamDict, Word, parse_file, parse_string
 from ..core.dimensions import DimensionSet
 from ..core.fields import VolField
 from ..core.precision import scalar_np
 
+# ---------------------------------------------------------------------------
+# Binary format support (reference: src/OpenFOAM/db/IOstreams/, writeFormat
+# binary): everything is ASCII except List<...> payloads, which are raw
+# little-endian float64 between the parentheses.
+# ---------------------------------------------------------------------------
+
+_NCOMP = {"scalar": 1, "vector": 3, "symmTensor": 6, "tensor": 9, "label": 1}
+_BLOB_RE = re.compile(rb"List<(scalar|vector|symmTensor|tensor)>\s*(\d+)\s*\(")
+
+
+def _debinarize(raw: bytes):
+    """Replace binary List payloads with placeholder words; returns
+    (ascii_text, arrays)."""
+    parts = []
+    arrays = []
+    i = 0
+    while True:
+        m = _BLOB_RE.search(raw, i)
+        if not m:
+            break
+        kind = m.group(1).decode()
+        n = int(m.group(2))
+        nc = _NCOMP[kind]
+        start = m.end()
+        nbytes = n * nc * 8
+        blob = raw[start:start + nbytes]
+        arr = np.frombuffer(blob, dtype="<f8", count=n * nc)
+        if nc > 1:
+            arr = arr.reshape(n, nc)
+        close = raw[start + nbytes:start + nbytes + 1]
+        if close != b")":
+            raise ValueError(
+                f"binary List<{kind}> {n}: expected ')' after payload")
+        parts.append(raw[i:m.start()].decode("latin-1"))
+        idx = len(arrays)
+        arrays.append(arr)
+        parts.append(f"List<{kind}> {n} __BLOB{idx}__")
+        i = start + nbytes + 1
+    parts.append(raw[i:].decode("latin-1"))
+    return "".join(parts), arrays
+
+
+_BLOB_WORD = re.compile(r"__BLOB(\d+)__$")
+
+
+def _subst_blobs(node, arrays):
+    if isinstance(node, FoamDict):
+        for k in list(node.keys()):
+            node[k] = _subst_blobs(node[k], arrays)
+        return node
+    if isinstance(node, list):
+        return [_subst_blobs(x, arrays) for x in node]
+    if isinstance(node, (Word, str)):
+        m = _BLOB_WORD.match(str(node))
+        if m:
+            return arrays[int(m.group(1))]
+    return node
+
+
+def load_field_dict(path: str) -> FoamDict:
+    """parse_file that also understands `format binary` field files
+    (plain or gzipped)."""
+    if not os.path.exists(path) and os.path.exists(str(path) + ".gz"):
+        path = str(path) + ".gz"
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "rb") as f:
+        raw = f.read()
+    src_dir = os.path.dirname(os.path.abspath(path))
+    if re.search(rb"format\s+binary", raw[:4096]):
+        text, arrays = _debinarize(raw)
+        d = parse_string(text, src_dir=src_dir)
+        return _subst_blobs(d, arrays)
+    return parse_string(raw.decode("latin-1"), src_dir=src_dir)
+
 
 def read_field(path: str, mesh, name: Optional[str] = None) -> VolField:
-    d = parse_file(path)
+    d = load_field_dict(path)
     name = name or os.path.basename(path)
     dims = d.get("dimensions", DimensionSet.of())
     if not isinstance(dims, DimensionSet):
@@ -52,7 +128,7 @@ _HEADER = """/*--------------------------------*- C++ -*------------------------
 FoamFile
 {{
     version     2.0;
-    format      ascii;
+    format      {fmt};
     class       {cls};
     location    "{loc}";
     object      {obj};
@@ -62,6 +138,22 @@ FoamFile
 """
 
 
+def _list_parts(arr: np.ndarray, binary: bool):
+    """`List<kind> N (payload)` as a list of str/bytes parts."""
+    kind = "scalar" if arr.ndim == 1 else "vector"
+    n = arr.shape[0]
+    if binary:
+        raw = np.ascontiguousarray(arr, dtype="<f8").tobytes()
+        return [f"List<{kind}> {n}(", raw, ")"]
+    if arr.ndim == 1:
+        body = "\n".join(repr(float(x)) for x in arr)
+    else:
+        body = "\n".join(
+            "(" + " ".join(repr(float(x)) for x in row) + ")" for row in arr
+        )
+    return [f"List<{kind}>\n{n}\n(\n{body}\n)"]
+
+
 def _fmt_dims(dims: DimensionSet) -> str:
     def fmt(x: Fraction) -> str:
         return str(int(x)) if x.denominator == 1 else str(float(x))
@@ -69,44 +161,37 @@ def _fmt_dims(dims: DimensionSet) -> str:
     return "[" + " ".join(fmt(e) for e in dims.exponents()) + "]"
 
 
-def _fmt_internal(data: np.ndarray) -> str:
-    if data.ndim == 1:
-        body = "\n".join(repr(float(x)) for x in data)
-        return (f"internalField   nonuniform List<scalar>\n{data.shape[0]}\n"
-                f"(\n{body}\n)\n;\n")
-    body = "\n".join(
-        "(" + " ".join(repr(float(x)) for x in row) + ")" for row in data
-    )
-    return (f"internalField   nonuniform List<vector>\n{data.shape[0]}\n"
-            f"(\n{body}\n)\n;\n")
+def _fmt_internal(data: np.ndarray, binary: bool = False):
+    return (["internalField   nonuniform "]
+            + _list_parts(data, binary) + [";\n"])
 
 
-def _fmt_bvalue(vals: np.ndarray) -> str:
+def _fmt_bvalue(vals: np.ndarray, binary: bool = False):
     if vals.ndim == 1:
         u = np.unique(np.round(vals, 12))
         if u.shape[0] == 1:
-            return f"uniform {repr(float(u[0]))}"
-        body = "\n".join(repr(float(x)) for x in vals)
-        return f"nonuniform List<scalar>\n{vals.shape[0]}\n(\n{body}\n)\n"
-    if np.allclose(vals, vals[0:1], atol=0.0):
-        return "uniform (" + " ".join(repr(float(x)) for x in vals[0]) + ")"
-    body = "\n".join(
-        "(" + " ".join(repr(float(x)) for x in r) + ")" for r in vals
-    )
-    return f"nonuniform List<vector>\n{vals.shape[0]}\n(\n{body}\n)\n"
+            return [f"uniform {repr(float(u[0]))}"]
+    elif np.allclose(vals, vals[0:1], atol=0.0):
+        return ["uniform (" + " ".join(repr(float(x)) for x in vals[0]) + ")"]
+    return ["nonuniform "] + _list_parts(vals, binary) + ["\n"]
 
 
-def write_field(field: VolField, mesh, case_dir: str, time_name: str) -> str:
-    """Write in OpenFOAM format under <case>/<time>/<name>."""
+def write_field(field: VolField, mesh, case_dir: str, time_name: str,
+                fmt: str = "ascii", compress: bool = False) -> str:
+    """Write in OpenFOAM format under <case>/<time>/<name>.
+    fmt: 'ascii' | 'binary' (controlDict writeFormat); compress: gzip
+    (controlDict writeCompression) — both readable back by read_field
+    and by reference tooling."""
     data = np.asarray(field.data)
+    binary = fmt == "binary"
     cls = "volScalarField" if data.ndim == 1 else "volVectorField"
     out_dir = os.path.join(case_dir, time_name)
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, field.name)
 
-    parts = [_HEADER.format(cls=cls, loc=time_name, obj=field.name)]
+    parts = [_HEADER.format(fmt=fmt, cls=cls, loc=time_name, obj=field.name)]
     parts.append(f"dimensions      {_fmt_dims(field.dims)};\n\n")
-    parts.append(_fmt_internal(data))
+    parts.extend(_fmt_internal(data, binary))
     parts.append("\nboundaryField\n{\n")
     from ..bc import patchfields as pf
 
@@ -128,7 +213,9 @@ def write_field(field: VolField, mesh, case_dir: str, time_name: str) -> str:
         parts.append(f"        type            {out_type};\n")
         if kind in ("fixedValue", "calculated") or kind.endswith("WallFunction"):
             vals = np.asarray(pf.evaluate(bc, mesh, p, field.data))
-            parts.append(f"        value           {_fmt_bvalue(vals)};\n")
+            parts.append("        value           ")
+            parts.extend(_fmt_bvalue(vals, binary))
+            parts.append(";\n")
         elif kind == "inletOutlet":
             iv = np.asarray(
                 jnp.broadcast_to(
@@ -136,11 +223,23 @@ def write_field(field: VolField, mesh, case_dir: str, time_name: str) -> str:
                     (p.size,) if data.ndim == 1 else (p.size, 3),
                 )
             )
-            parts.append(f"        inletValue      {_fmt_bvalue(iv)};\n")
+            parts.append("        inletValue      ")
+            parts.extend(_fmt_bvalue(iv, binary))
+            parts.append(";\n")
             vals = np.asarray(pf.evaluate(bc, mesh, p, field.data))
-            parts.append(f"        value           {_fmt_bvalue(vals)};\n")
+            parts.append("        value           ")
+            parts.extend(_fmt_bvalue(vals, binary))
+            parts.append(";\n")
         parts.append("    }\n")
     parts.append("}\n")
-    with open(path, "w") as f:
-        f.write("".join(parts))
+    blob = b"".join(
+        x if isinstance(x, bytes) else x.encode("latin-1") for x in parts
+    )
+    if compress:
+        path = path + ".gz"
+        with gzip.open(path, "wb") as f:
+            f.write(blob)
+    else:
+        with open(path, "wb") as f:
+            f.write(blob)
     return path
