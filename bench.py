@@ -73,7 +73,101 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
+    try:
+        out["detail"]["pitzDaily"] = bench_pitz()
+    except Exception as e:  # keep the primary metric robust
+        out["detail"]["pitzDaily"] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(out))
+
+
+def bench_pitz():
+    """Second half of the driver metric: GAMG pressure-solve time on the
+    pitzDaily mesh (12k cells, graded/unstructured-ish) + SIMPLE
+    iteration throughput."""
+    import shutil
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(repo, "tutorials", "incompressible", "simpleFoam",
+                       "pitzDaily")
+    dst = os.path.join(tempfile.mkdtemp(prefix="bench_pitz"), "pitzDaily")
+    shutil.copytree(src, dst)
+    from foamtpu.apps.cli import main as cli_main
+
+    assert cli_main(["blockMesh", "-case", dst]) == 0
+
+    from foamtpu.core.case import Case
+    from foamtpu.core.dictionary import dimensioned_scalar
+    from foamtpu.solvers import piso, simple
+    from foamtpu.solvers.apps import _load_turbulence, _relaxation
+
+    case = Case(dst)
+    mesh = case.mesh
+    _, nu = dimensioned_scalar(case.transport_properties()["nu"])
+    model, tstate = _load_turbulence(case, nu)
+    relax = _relaxation(case)
+    cfg = simple.SimpleConfig(
+        nu=nu, div_scheme=case.div_scheme("div(phi,U)"),
+        corrected=case.laplacian_corrected(),
+        grad_scheme=case.grad_scheme("grad(p)"),
+        alpha_u=relax.get("U", 0.7), alpha_p=relax.get("p", 0.3),
+        p_controls=case.solver_controls("p"),
+        u_controls=case.solver_controls("U"),
+        turb=model, turb_relax=relax.get("k", 0.7))
+    state = piso.initial_state(mesh, case.read_field("U"),
+                               case.read_field("p"), turb_state=tstate)
+    niter = int(os.environ.get("BENCH_PITZ_ITERS", "50"))
+    chunk = simple.make_chunk(mesh, cfg, niter)
+    state, diag = chunk(state)             # warmup/compile + develop flow
+    jax.block_until_ready(state["U"].data)
+    t0 = time.perf_counter()
+    state, diag = chunk(state)
+    jax.block_until_ready(state["U"].data)
+    t1 = time.perf_counter()
+    sec_per_iter = (t1 - t0) / niter
+
+    # isolated GAMG pressure solve (the reference's hottest kernel):
+    # assemble the pEqn once, time repeated jitted solves
+    from foamtpu.core.dimensions import dimTime
+    from foamtpu.ops import fvm as fvm_ops
+    from foamtpu.solvers import linear as linear_mod
+    from foamtpu.solvers.piso import face_interp_cell
+
+    import jax.numpy as jnp
+
+    p_f = state["p"]
+    rAf = face_interp_cell(mesh, jnp.ones(mesh.n_cells, mesh.v.dtype))
+    ctl = dict(case.solver_controls("p"))
+
+    @jax.jit
+    def solve_p(b_seed, p0):
+        pEqn = fvm_ops.laplacian(mesh, rAf, p_f, corrected=False,
+                                 gamma_dims=dimTime)
+        pEqn = pEqn.replace_fields(source=pEqn.source + b_seed)
+        x, perf = linear_mod.solve(mesh, pEqn, p0, ctl)
+        return x, perf
+
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(mesh.n_cells) * 1e-3, mesh.v.dtype)
+    x, perf = solve_p(b, p_f.data)         # compile
+    jax.block_until_ready(x)
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x, perf = solve_p(b, x)
+    jax.block_until_ready(x)
+    t1 = time.perf_counter()
+    return {
+        "n_cells": mesh.n_cells,
+        "simple_sec_per_iter": round(sec_per_iter, 5),
+        "simple_cells_per_sec": round(mesh.n_cells / sec_per_iter, 1),
+        "gamg_p_solve_ms": round((t1 - t0) / reps * 1e3, 3),
+        "gamg_p_iters": int(perf.n_iterations),
+        "p_initial_residual": float(np.asarray(diag["p_initial"])),
+    }
 
 
 if __name__ == "__main__":

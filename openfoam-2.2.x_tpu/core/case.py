@@ -148,6 +148,28 @@ class Case:
         toks = [str(t) for t in (entry if isinstance(entry, list) else [entry])]
         return "corrected" in toks or "limited" in " ".join(toks)
 
+    def corr_limit(self) -> float:
+        """snGrad correction limiter coefficient (reference:
+        snGradSchemes/limitedSnGrad): 'corrected' -> 1.0 (unlimited),
+        'limited <c>' / 'limited corrected <c>' -> c. Taken from the
+        laplacianSchemes default (falling back to snGradSchemes)."""
+        for dname in ("laplacianSchemes", "snGradSchemes"):
+            d = self.fv_schemes.get(dname)
+            if not isinstance(d, FoamDict):
+                continue
+            entry = d.get("default")
+            if entry is None:
+                continue
+            toks = [str(t) for t in
+                    (entry if isinstance(entry, list) else [entry])]
+            if "limited" in toks:
+                for t in reversed(toks):
+                    try:
+                        return float(t)
+                    except ValueError:
+                        continue
+        return 1.0
+
 
 # ---------------------------------------------------------------------------
 # Application registry

@@ -38,6 +38,10 @@ class TurbulenceModel:
         # convection scheme for the model's transport equations
         # (reference default: div(phi,k) Gauss upwind/limitedLinear)
         self.div_scheme = "upwind"
+        # non-orthogonal deferred correction in the model's laplacians
+        # (set from the case's laplacianSchemes at load)
+        self.corrected = False
+        self.corr_limit = 1.0
 
     # -- state ----------------------------------------------------------------
     def init_state(self, mesh, case=None) -> Dict[str, VolField]:
@@ -63,8 +67,9 @@ class TurbulenceModel:
         (reference: incompressible RASModel/LESModel divDevReff).
         Returns (FvMatrix implicit, explicit source [nC,3] per volume)."""
         nu_eff_f = self.nu_eff_face(mesh, tstate)
-        mat = -fvm.laplacian(mesh, nu_eff_f, U, corrected=False,
-                             gamma_dims=dimViscosity)
+        mat = -fvm.laplacian(mesh, nu_eff_f, U, corrected=self.corrected,
+                             gamma_dims=dimViscosity,
+                             limit=self.corr_limit)
         g = fvc.grad(mesh, U)  # [nC,3,3], g[i,j] = d_i u_j
         gT = jnp.swapaxes(g, 1, 2)
         tr = jnp.trace(g, axis1=1, axis2=2)

@@ -86,7 +86,7 @@ def _wall_data(mesh):
     """Static wall-adjacency arrays from the device mesh (wall patches:
     type 'wall'). Returns (mask [nC], y [nC])."""
     isw = np.zeros(mesh.n_cells)
-    yw = np.ones(mesh.n_cells)
+    yw_acc = np.zeros(mesh.n_cells)  # sum of face distances (avg below)
     cnt = np.zeros(mesh.n_cells)
     own = np.asarray(mesh.owner)
     dc = np.asarray(mesh.delta_coeffs)
@@ -95,10 +95,11 @@ def _wall_data(mesh):
             continue
         cells = own[p.slice]
         y = 1.0 / np.maximum(dc[p.slice], 1e-300)
-        np.add.at(yw, cells, y)
+        np.add.at(yw_acc, cells, y)
         np.add.at(cnt, cells, 1.0)
         isw[cells] = 1.0
-    yw = np.where(cnt > 0, yw / np.maximum(cnt, 1.0), 1.0)
+    # non-wall cells get a harmless 1.0 (masked out by isw everywhere)
+    yw = np.where(cnt > 0, yw_acc / np.maximum(cnt, 1.0), 1.0)
     dt = np.asarray(mesh.v).dtype
     return jnp.asarray(isw.astype(dt)), jnp.asarray(yw.astype(dt))
 
@@ -212,8 +213,8 @@ class KEpsilon(TurbulenceModel):
         eps_eqn = (
             ddt_op
             + fvm.div(mesh, phi, eps_f, weights=w_eps)
-            - fvm.laplacian(mesh, eps_face, eps_f, corrected=False,
-                            gamma_dims=dimViscosity)
+            - fvm.laplacian(mesh, eps_face, eps_f, corrected=self.corrected,
+                            gamma_dims=dimViscosity, limit=self.corr_limit)
             + fvm.Sp(mesh, self.C2 * eps / jnp.maximum(k, K_MIN), eps_f)
         )
         c1 = self.C1 if c1_field is None else c1_field
@@ -224,7 +225,7 @@ class KEpsilon(TurbulenceModel):
         if wall_fn:
             eps_eqn = eps_eqn.replace_fields(
                 diag=eps_eqn.diag, source=eps_eqn.source)
-            eps_eqn = eps_eqn.set_values(mask, eps_wall)
+            eps_eqn = eps_eqn.set_values(mask, eps_wall, mesh)
         eps_new, perf_e = _solve_transport(mesh, eps_f, eps_eqn, controls)
         eps_new = bound_below(eps_new, EPS_MIN)
         diag["epsilon"] = perf_e
@@ -236,8 +237,8 @@ class KEpsilon(TurbulenceModel):
         k_eqn = (
             ddt_op
             + fvm.div(mesh, phi, k_f, weights=w_k)
-            - fvm.laplacian(mesh, k_face, k_f, corrected=False,
-                            gamma_dims=dimViscosity)
+            - fvm.laplacian(mesh, k_face, k_f, corrected=self.corrected,
+                            gamma_dims=dimViscosity, limit=self.corr_limit)
             + fvm.Sp(mesh, eps_new / jnp.maximum(k, K_MIN), k_f)
         )
         k_eqn = k_eqn.add_source(G, mesh)
@@ -344,8 +345,8 @@ class RealizableKE(KEpsilon):
         eps_eqn = (
             ddt_e
             + fvm.div(mesh, phi, eps_f, weights=w_eps)
-            - fvm.laplacian(mesh, eps_face, eps_f, corrected=False,
-                            gamma_dims=dimViscosity)
+            - fvm.laplacian(mesh, eps_face, eps_f, corrected=self.corrected,
+                            gamma_dims=dimViscosity, limit=self.corr_limit)
             + fvm.Sp(mesh, self.C2r * eps / (
                 k + jnp.sqrt(self.nu * jnp.maximum(eps, EPS_MIN))), eps_f)
         )
@@ -353,7 +354,7 @@ class RealizableKE(KEpsilon):
         if steady and relax < 1.0:
             eps_eqn = eps_eqn.relax(mesh, relax, eps)
         if wall_fn:
-            eps_eqn = eps_eqn.set_values(mask, eps_wall)
+            eps_eqn = eps_eqn.set_values(mask, eps_wall, mesh)
         eps_new, perf_e = _solve_transport(mesh, eps_f, eps_eqn, controls)
         eps_new = bound_below(eps_new, EPS_MIN)
         diag["epsilon"] = perf_e
@@ -365,8 +366,8 @@ class RealizableKE(KEpsilon):
         k_eqn = (
             ddt_k
             + fvm.div(mesh, phi, k_f, weights=w_k)
-            - fvm.laplacian(mesh, k_face, k_f, corrected=False,
-                            gamma_dims=dimViscosity)
+            - fvm.laplacian(mesh, k_face, k_f, corrected=self.corrected,
+                            gamma_dims=dimViscosity, limit=self.corr_limit)
             + fvm.Sp(mesh, eps_new / jnp.maximum(k, K_MIN), k_f)
         )
         k_eqn = k_eqn.add_source(G, mesh)
@@ -483,7 +484,7 @@ class KOmegaSST(TurbulenceModel):
         if steady and relax < 1.0:
             w_eqn = w_eqn.relax(mesh, relax, omega)
         if wall_fn:
-            w_eqn = w_eqn.set_values(mask, omega_wall)
+            w_eqn = w_eqn.set_values(mask, omega_wall, mesh)
         w_new, perf_w = _solve_transport(mesh, w_f, w_eqn, controls)
         w_new = bound_below(w_new, OMEGA_MIN)
         diag["omega"] = perf_w
@@ -498,8 +499,8 @@ class KOmegaSST(TurbulenceModel):
         k_eqn = (
             ddt_k
             + fvm.div(mesh, phi, k_f, weights=w_k)
-            - fvm.laplacian(mesh, k_face, k_f, corrected=False,
-                            gamma_dims=dimViscosity)
+            - fvm.laplacian(mesh, k_face, k_f, corrected=self.corrected,
+                            gamma_dims=dimViscosity, limit=self.corr_limit)
             + fvm.Sp(mesh, self.betaStar * w_new, k_f)
         )
         k_eqn = k_eqn.add_source(Gk, mesh)

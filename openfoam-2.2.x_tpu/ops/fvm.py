@@ -176,13 +176,17 @@ def laplacian(
     field: VolField,
     corrected: bool = True,
     gamma_dims: Optional[DimensionSet] = None,
+    limit: float = 1.0,
 ) -> FvMatrix:
     """Implicit Gauss Laplacian laplacian(gamma, psi)
     (reference: gaussLaplacianScheme::fvmLaplacian). gamma_f is a face
     field [nF] (interpolate cell gamma first) or a scalar.
 
     corrected=True adds the explicit non-orthogonality correction to the
-    source (reference: correctedSnGrad deferred correction)."""
+    source (reference: correctedSnGrad deferred correction).
+    limit < 1 clips the correction magnitude to
+    limit/(1-limit) * |orthogonal part| per face (reference:
+    snGradSchemes/limitedSnGrad — 'limited corrected <c>')."""
     from ..core.dimensions import dimless
 
     nif = mesh.n_internal_faces
@@ -210,6 +214,12 @@ def laplacian(
             corr_f = gamsf_i[:, None] * jnp.sum(
                 mesh.correction_vecs[:nif, :, None] * gf, axis=1
             )
+        if limit < 1.0:
+            # limitedSnGrad clip: |corr| <= limit/(1-limit) * |orth|
+            d = surface.delta(mesh, field.data)
+            orth = coef_i[:, None] * d if d.ndim == 2 else coef_i * d
+            cap = (limit / (1.0 - limit)) * jnp.abs(orth)
+            corr_f = jnp.clip(corr_f, -cap, cap)
         # pad to full faces (boundary correction handled via BC coeffs)
         if corr_f.ndim == 2:
             corr_full = jnp.zeros((mesh.n_faces, corr_f.shape[1]), corr_f.dtype)

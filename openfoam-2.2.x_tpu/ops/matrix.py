@@ -199,29 +199,63 @@ class FvMatrix:
             diag=self.diag.at[cell].add(d),
         )
 
-    def set_values(self, mask: Any, values: Any, strength: float = 1e8
-                   ) -> "FvMatrix":
-        """Constrain psi to `values` where mask==1 via a diagonal
-        penalty (the TPU-friendly equivalent of the reference's
-        fvMatrix::setValues row replacement, used by wall functions
-        to fix near-wall epsilon/omega)."""
-        big = strength * jnp.maximum(jnp.abs(self.diag), 1e-30)
+    def set_values(self, mask: Any, values: Any, mesh=None) -> "FvMatrix":
+        """Constrain psi to `values` where mask==1 by exact row
+        replacement + column elimination (reference:
+        fvMatrix::setValues): the constrained row becomes
+        diag*psi = diag*value (scale-preserving — a large penalty
+        instead wrecks the f32 Krylov normalisation), its off-diagonals
+        are zeroed, and its known value is eliminated from the free
+        rows' sources. Used by wall functions to fix near-wall
+        epsilon/omega."""
+        if mesh is None:
+            raise TypeError("set_values now requires the mesh argument")
+        nif = mesh.n_internal_faces
+        own = mesh.owner[:nif]
+        nei = mesh.neighbour
+        m_o = mask[own]
+        m_n = mask[nei]
+        # eliminate constrained neighbours into the free rows' sources
+        off = self.off_coeffs(mesh)                       # [nC,K]
+        nbr_mask = mask[mesh.cnbr] * mesh.cnbr_valid
+        elim = jnp.sum(off * nbr_mask * values[mesh.cnbr], axis=1)
+        keep_f = (1.0 - m_o) * (1.0 - m_n)
+        # zero boundary coupling on constrained rows
+        bcells = mesh.owner[nif:]
+        keep_b = 1.0 - mask[bcells]
+        if self.ic.ndim == 2:
+            keep_b = keep_b[:, None]
+        src = self.source
+        if src.ndim == 2:
+            msk = mask[:, None]
+            src = jnp.where(msk > 0, self.diag[:, None] * values,
+                            src - elim[:, None])
+        else:
+            src = jnp.where(mask > 0, self.diag * values, src - elim)
         return dataclasses.replace(
             self,
-            diag=self.diag + mask * big,
-            source=self.source + mask * big * values,
+            upper=self.upper * keep_f,
+            lower=self.lower * keep_f,
+            source=src,
+            ic=self.ic * keep_b,
+            bc=self.bc * keep_b,
         )
 
     def relax(self, mesh, alpha: float, psi: Any) -> "FvMatrix":
-        """Under-relaxation (reference: fvMatrix::relax): floor the
-        diagonal by the off-diagonal magnitude sum, divide by alpha, and
-        compensate the source with the current solution."""
+        """Under-relaxation (reference: fvMatrix::relax): add the
+        boundary internal coefficients to the diagonal, FORCE it
+        positive and diagonally dominant ("assumes that the central
+        coefficient is positive and ensures it is" — a convection
+        matrix can have locally negative diags, which would make
+        rAU = 1/A(U) negative and the pressure operator indefinite),
+        divide by alpha, and compensate the source with the current
+        solution."""
         sum_off = jnp.sum(jnp.abs(self.off_coeffs(mesh)), axis=1)
-        ic_mag = self.ic if self.ic.ndim == 1 else jnp.max(jnp.abs(self.ic), axis=1)
-        sum_off = sum_off + surface.boundary_sum(mesh, jnp.abs(ic_mag))
+        ic_min = self.ic if self.ic.ndim == 1 else jnp.min(self.ic, axis=1)
+        b_ic = surface.boundary_sum(mesh, ic_min)
         d0 = self.diag
-        d1 = jnp.maximum(jnp.abs(d0), sum_off) * jnp.sign(d0 + 1e-300)
-        d1 = d1 / alpha
+        d_tot = jnp.maximum(jnp.abs(d0 + b_ic), sum_off) / alpha
+        d1 = d_tot - b_ic
         dd = d1 - d0
         if psi.ndim == 2:
             src = self.source + dd[:, None] * psi

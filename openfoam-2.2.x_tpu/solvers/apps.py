@@ -44,6 +44,12 @@ def _load_turbulence(case, nu: float):
     else:
         return None, None
     model = turb_mod.select(props, nu, kind=kind)
+    model.corrected = case.laplacian_corrected()
+    model.corr_limit = case.corr_limit()
+    try:
+        model.div_scheme = case.div_scheme("div(phi,k)")
+    except KeyError:
+        pass
     if not model.field_names:
         return None, None
     tstate = {}

@@ -168,7 +168,7 @@ def interfoam_step(mesh, state: Dict, dt: Any, cfg: InterConfig
 
         for nonorth in range(cfg.n_non_orth + 1):
             pEqn = fvm.laplacian(mesh, rAf, p_rgh,
-                                 corrected=cfg.corrected and nonorth > 0,
+                                 corrected=cfg.corrected,
                                  gamma_dims=dimTime)
             pEqn = pEqn.replace_fields(
                 source=pEqn.source + surface.surface_sum(mesh, phiHbyA))

@@ -45,6 +45,7 @@ class PimpleConfig(NamedTuple):
     n_non_orth: int = 0
     momentum_predictor: bool = True
     corrected: bool = False
+    corr_limit: float = 1.0
     div_scheme: str = "linear"
     ddt_scheme: str = "Euler"
     grad_scheme: str = "Gauss linear"
@@ -95,11 +96,12 @@ def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
             nu_face = face_interp_cell(mesh, nu_cell)
             UEqn = UEqn - fvm.laplacian(
                 mesh, nu_face, U, corrected=cfg.corrected,
-                gamma_dims=dimViscosity)
+                gamma_dims=dimViscosity, limit=cfg.corr_limit)
         else:
             UEqn = UEqn - fvm.laplacian(
                 mesh, jnp.asarray(cfg.nu, mesh.v.dtype), U,
-                corrected=cfg.corrected, gamma_dims=dimViscosity)
+                corrected=cfg.corrected, gamma_dims=dimViscosity,
+                limit=cfg.corr_limit)
         if not final_outer and cfg.alpha_u < 1.0:
             UEqn = UEqn.relax(mesh, cfg.alpha_u, U.data)
         grad_p = fvc.grad_of(mesh, p, cfg.grad_scheme)
@@ -131,8 +133,8 @@ def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
             for nonorth in range(cfg.n_non_orth + 1):
                 pEqn = fvm.laplacian(
                     mesh, rAf, p,
-                    corrected=cfg.corrected and nonorth > 0,
-                    gamma_dims=dimTime)
+                    corrected=cfg.corrected,
+                    gamma_dims=dimTime, limit=cfg.corr_limit)
                 pEqn = pEqn.replace_fields(
                     source=pEqn.source + surface.surface_sum(mesh, phiHbyA))
                 final = (final_outer and corr == cfg.n_correctors - 1

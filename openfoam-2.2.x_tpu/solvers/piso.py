@@ -36,6 +36,7 @@ class PisoConfig(NamedTuple):
     n_non_orth: int = 0
     momentum_predictor: bool = True
     corrected: bool = False          # non-orthogonal laplacian correction
+    corr_limit: float = 1.0          # limitedSnGrad coefficient (1 = plain corrected)
     div_scheme: str = "linear"       # for div(phi, U)
     ddt_scheme: str = "Euler"        # Euler | backward | CrankNicolson <oc>
     grad_scheme: str = "Gauss linear"  # for grad(p)
@@ -158,11 +159,12 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
         nu_face = face_interp_cell(mesh, nu_cell)
         UEqn = UEqn - fvm.laplacian(
             mesh, nu_face, U, corrected=cfg.corrected,
-            gamma_dims=dimViscosity)
+            gamma_dims=dimViscosity, limit=cfg.corr_limit)
     else:
         UEqn = UEqn - fvm.laplacian(
             mesh, jnp.asarray(cfg.nu, mesh.v.dtype), U,
-            corrected=cfg.corrected, gamma_dims=dimViscosity)
+            corrected=cfg.corrected, gamma_dims=dimViscosity,
+            limit=cfg.corr_limit)
     grad_p = fvc.grad_of(mesh, p, cfg.grad_scheme)
     if cfg.momentum_predictor:
         Umat = UEqn.add_source(-grad_p, mesh)
@@ -197,8 +199,8 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
 
         for nonorth in range(cfg.n_non_orth + 1):
             pEqn = fvm.laplacian(
-                mesh, rAf, p, corrected=cfg.corrected and nonorth > 0,
-                gamma_dims=rAf_dims,
+                mesh, rAf, p, corrected=cfg.corrected,
+                gamma_dims=rAf_dims, limit=cfg.corr_limit,
             )
             pEqn = pEqn.replace_fields(
                 source=pEqn.source + surface.surface_sum(mesh, phiHbyA)

