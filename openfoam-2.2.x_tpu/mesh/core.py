@@ -416,6 +416,29 @@ class FvMesh:
     fb_signs: Any
     fb_nbrs: Any
 
+    # slot-form geometry (host-gathered once at load): face quantities
+    # addressed [nC, M] so the hot path touches faces through ROLLS, not
+    # gathers (TPU gathers are index-rate-bound at ~150M idx/s — every
+    # [nF]-gather costs ms at 100k+ cells; rolls run at full bandwidth).
+    st_wself: Any      # [nC,M] interpolation weight of the CELL's side
+    st_magsf: Any      # [nC,M]
+    st_dc: Any         # [nC,M] delta coeffs
+    st_nodc: Any       # [nC,M] non-orthogonal delta coeffs
+    st_sf: Any         # [nC,M,3] OUTWARD-signed face area vector
+    st_corr: Any       # [nC,M,3] non-orthogonality correction vectors
+    fb_wself: Any      # fallback twins [nfb,...]
+    fb_magsf: Any
+    fb_dc: Any
+    fb_nodc: Any
+    fb_sf: Any
+    fb_corr: Any
+    # slot -> flat extraction: for each internal face, the linear index
+    # of its OWNER side in the [nC*M] slot array (-1 if the owner side
+    # lives in the fallback), plus the fallback extraction pairs
+    ex_own_lin: Any    # [nIf] int32
+    ex_fb_faces: Any   # [nfb_own] int32 face ids
+    ex_fb_idx: Any     # [nfb_own] int32 fb-entry ids
+
     # static metadata
     st_deltas: Tuple[int, ...] = _static()
     n_cells: int = _static()
@@ -423,6 +446,11 @@ class FvMesh:
     n_internal_faces: int = _static()
     max_faces: int = _static()
     patches: Tuple[Patch, ...] = _static()
+    # True when every internal face is orthogonal (|k| ~ 0): corrected
+    # snGrad/laplacian schemes then skip the explicit correction
+    # entirely at trace time (it is identically zero — reference:
+    # orthogonal meshes take the uncorrected path for free)
+    orthogonal: bool = _static(default=False)
 
     @property
     def n_boundary_faces(self) -> int:
@@ -452,6 +480,55 @@ def to_device(mesh: PolyMesh) -> FvMesh:
     for p in mesh.patches:
         if p.type == "empty":
             face_active[p.slice] = 0.0
+
+    nif = mesh.n_internal_faces
+    corr_int = mesh.correction_vecs[:nif]
+    orthogonal = bool(
+        corr_int.size == 0 or np.max(np.linalg.norm(corr_int, axis=1)) < 1e-6
+    )
+
+    # -- slot-form geometry (host gathers, free at load) ----------------------
+    st_cf = tabs["st_cface"]          # [nC,M] internal face ids (clamped)
+    st_v = tabs["st_valid"]
+    st_s = tabs["st_sign"]
+    w_i = mesh.weights[st_cf]
+    st_wself = np.where(st_s > 0, w_i, 1.0 - w_i) * st_v
+    st_magsf = mesh.mag_sf[st_cf] * st_v
+    st_dc = mesh.delta_coeffs[st_cf] * st_v
+    st_nodc = mesh.non_orth_delta_coeffs[st_cf] * st_v
+    st_sf = mesh.sf[st_cf] * (st_v * st_s)[:, :, None]
+    st_corr_t = mesh.correction_vecs[st_cf] * st_v[:, :, None]
+
+    fb_f = tabs["fb_faces"]
+    fb_s = tabs["fb_signs"]
+    if fb_f.shape[0]:
+        fb_w = mesh.weights[fb_f]
+        fb_wself = np.where(fb_s > 0, fb_w, 1.0 - fb_w)
+        fb_magsf = mesh.mag_sf[fb_f]
+        fb_dc = mesh.delta_coeffs[fb_f]
+        fb_nodc = mesh.non_orth_delta_coeffs[fb_f]
+        fb_sf = mesh.sf[fb_f] * fb_s[:, None]
+        fb_corr = mesh.correction_vecs[fb_f]
+    else:
+        fb_wself = np.zeros((0,))
+        fb_magsf = np.zeros((0,))
+        fb_dc = np.zeros((0,))
+        fb_nodc = np.zeros((0,))
+        fb_sf = np.zeros((0, 3))
+        fb_corr = np.zeros((0, 3))
+
+    # slot -> flat extraction tables (every internal face's OWNER side
+    # lives either in the st tables or in the fallback)
+    M = st_cf.shape[1]
+    ex_own_lin = np.full(nif, -1, dtype=np.int64)
+    rows, slots = np.nonzero((st_s > 0) & (st_v > 0))
+    ex_own_lin[st_cf[rows, slots]] = rows * M + slots
+    own_fb = np.nonzero(fb_s > 0)[0]
+    ex_fb_faces = fb_f[own_fb]
+    ex_fb_idx = own_fb
+    missing = int(np.sum(ex_own_lin < 0)) - ex_fb_faces.shape[0]
+    assert missing == 0, f"{missing} internal faces lack an owner side"
+    ex_own_lin = np.maximum(ex_own_lin, 0)
 
     def farr(a):
         return np.asarray(a, dtype=sdt)
@@ -485,11 +562,27 @@ def to_device(mesh: PolyMesh) -> FvMesh:
         fb_faces=iarr(tabs["fb_faces"]),
         fb_signs=farr(tabs["fb_signs"]),
         fb_nbrs=iarr(tabs["fb_nbrs"]),
+        st_wself=farr(st_wself),
+        st_magsf=farr(st_magsf),
+        st_dc=farr(st_dc),
+        st_nodc=farr(st_nodc),
+        st_sf=farr(st_sf),
+        st_corr=farr(st_corr_t),
+        fb_wself=farr(fb_wself),
+        fb_magsf=farr(fb_magsf),
+        fb_dc=farr(fb_dc),
+        fb_nodc=farr(fb_nodc),
+        fb_sf=farr(fb_sf),
+        fb_corr=farr(fb_corr),
+        ex_own_lin=iarr(ex_own_lin),
+        ex_fb_faces=iarr(ex_fb_faces),
+        ex_fb_idx=iarr(ex_fb_idx),
         st_deltas=tabs["st_deltas"],
         n_cells=mesh.n_cells,
         n_faces=mesh.n_faces,
         n_internal_faces=mesh.n_internal_faces,
         max_faces=int(tabs["max_faces"]),
         patches=tuple(mesh.patches),
+        orthogonal=orthogonal,
     )
     return jax.device_put(fv)

@@ -62,34 +62,61 @@ class TurbulenceModel:
             return self.nu + nut_f
         return jnp.full((mesh.n_faces,), self.nu, mesh.v.dtype)
 
+    def nu_eff_slot(self, mesh, tstate):
+        """(SlotFace of nuEff over internal faces, boundary values) —
+        the gather-free twin of nu_eff_face (ops/slot.py)."""
+        from ...ops import slot as slot_mod
+
+        if "nut" in tstate:
+            nut: VolField = tstate["nut"]
+            bv = self.nu + nut.boundary_values(mesh)
+            f = slot_mod.interpolate(mesh, nut.data, bv=bv)
+            return slot_mod.SlotFace(self.nu + f.sv, self.nu + f.fb, bv)
+        dt = mesh.v.dtype
+        return slot_mod.SlotFace(
+            jnp.full(mesh.st_wself.shape, self.nu, dt),
+            jnp.full(mesh.fb_wself.shape, self.nu, dt),
+            jnp.full((mesh.n_boundary_faces,), self.nu, dt))
+
     def div_dev_reff(self, mesh, tstate, U: VolField):
         """-laplacian(nuEff, U) - div(nuEff dev(grad(U)^T))
         (reference: incompressible RASModel/LESModel divDevReff).
         Returns (FvMatrix implicit, explicit source [nC,3] per volume)."""
-        nu_eff_f = self.nu_eff_face(mesh, tstate)
+        from ...ops import slot as slot_mod
+
+        nu_slot = self.nu_eff_slot(mesh, tstate)
+        nu_eff_f = slot_mod.to_flat(mesh, nu_slot)
         mat = -fvm.laplacian(mesh, nu_eff_f, U, corrected=self.corrected,
                              gamma_dims=dimViscosity,
-                             limit=self.corr_limit)
+                             limit=self.corr_limit, gamma_slot=nu_slot)
         g = fvc.grad(mesh, U)  # [nC,3,3], g[i,j] = d_i u_j
         gT = jnp.swapaxes(g, 1, 2)
         tr = jnp.trace(g, axis1=1, axis2=2)
         dev_t = gT - (tr / 3.0)[:, None, None] * jnp.eye(3, dtype=g.dtype)
         nu_eff_c = self.nu_eff_cell(mesh, tstate)
         tau = nu_eff_c[:, None, None] * dev_t
-        # div of a tensor: (1/V) sum_f Sf . tau_f  -> [nC,3]
-        tau_f_i = surface.interpolate_internal(mesh, tau)
+        # div of a tensor: (1/V) sum_f Sf . tau_f -> [nC,3], slot form
         nif = mesh.n_internal_faces
+        tau_f = slot_mod.interpolate(mesh, tau.reshape(-1, 9))
+        sv = tau_f.sv.reshape(tau_f.sv.shape[:2] + (3, 3))
+        flux_sv = jnp.einsum("cmi,cmij->cmj", mesh.st_sf, sv)
+        div_tau = jnp.sum(flux_sv * mesh.st_valid[:, :, None], axis=1)
+        if mesh.fb_cells.shape[0]:
+            fbt = tau_f.fb.reshape(-1, 3, 3)
+            flux_fb = jnp.einsum("fi,fij->fj", mesh.fb_sf, fbt)
+            div_tau = div_tau.at[mesh.fb_cells].add(flux_fb)
         bcells = mesh.owner[nif:]
-        tau_f = jnp.concatenate([tau_f_i, tau[bcells]], axis=0)
-        sf = mesh.sf * mesh.face_active[:, None]
-        flux = jnp.einsum("fi,fij->fj", sf, tau_f)
-        div_tau = surface.surface_sum(mesh, flux) / mesh.v[:, None]
+        sfb = mesh.sf[nif:] * mesh.face_active[nif:, None]
+        flux_b = jnp.einsum("fi,fij->fj", sfb, tau[bcells])
+        div_tau = div_tau.at[bcells].add(flux_b)
+        div_tau = div_tau / mesh.v[:, None]
         return mat, -div_tau
 
     # -- per-step update -------------------------------------------------------
     def correct(self, mesh, tstate, U: VolField, phi, dt,
                 steady: bool = False, relax: float = 1.0,
-                controls: Optional[Dict] = None) -> Tuple[Dict, Dict]:
+                controls: Optional[Dict] = None,
+                phi_slot=None) -> Tuple[Dict, Dict]:
         return tstate, {}
 
 

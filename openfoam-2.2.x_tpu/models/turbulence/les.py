@@ -41,7 +41,7 @@ class Smagorinsky(TurbulenceModel):
         return self.nu + fvc.interpolate(mesh, tstate["nut"])
 
     def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
-                controls=None):
+                controls=None, phi_slot=None):
         nut_f: VolField = tstate["nut"]
         delta = jnp.cbrt(mesh.v)
         _, S2 = production(mesh, jnp.zeros_like(mesh.v), U)
@@ -65,21 +65,24 @@ class OneEqEddy(Smagorinsky):
     field_names = ("k", "nut")
 
     def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
-                controls=None):
+                controls=None, phi_slot=None):
         k_f: VolField = tstate["k"]
         nut_f: VolField = tstate["nut"]
         k, nut = k_f.data, nut_f.data
         delta = jnp.cbrt(mesh.v)
         rdt = 1.0 / dt
 
+        from .ras import _gamma_forms, _phi_slotform
+
         G, S2 = production(mesh, nut, U)
         eps_coeff = self.Ce * jnp.sqrt(jnp.maximum(k, K_MIN)) / delta
-        k_face = self.nu + fvc.interpolate(mesh, nut_f)
+        phi_sl = _phi_slotform(mesh, phi, phi_slot)
+        k_flat, k_slot = _gamma_forms(mesh, self.nu, nut_f)
         k_eqn = (
             fvm.ddt(mesh, k_f, k, rdt)
-            + fvm.div(mesh, phi, k_f)
-            - fvm.laplacian(mesh, k_face, k_f, corrected=False,
-                            gamma_dims=dimViscosity)
+            + fvm.div(mesh, phi, k_f, phi_slot=phi_sl)
+            - fvm.laplacian(mesh, k_flat, k_f, corrected=False,
+                            gamma_dims=dimViscosity, gamma_slot=k_slot)
             + fvm.Sp(mesh, eps_coeff, k_f)
         )
         k_eqn = k_eqn.add_source(G, mesh)

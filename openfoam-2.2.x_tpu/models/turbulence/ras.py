@@ -133,6 +133,38 @@ def _div_weights(mesh, phi, field, scheme="upwind"):
     return schemes.weights(mesh, phi, scheme, field)
 
 
+def _phi_slotform(mesh, phi, phi_slot):
+    """Slot-form flux (ops/slot.py): reuse the solver's, else derive."""
+    from ...ops import slot as slot_mod
+
+    if phi_slot is not None:
+        return phi_slot
+    return slot_mod.from_flat(mesh, phi)
+
+
+def _gamma_forms(mesh, nu, nut_f: VolField, sigma=1.0):
+    """Effective diffusivity nu + nut/sigma as (flat [nF], SlotFace) —
+    the slot form drives the gather-free laplacian assembly."""
+    from ...ops import slot as slot_mod
+
+    bv = nu + nut_f.boundary_values(mesh) / sigma
+    f = slot_mod.interpolate(mesh, nut_f.data / sigma)
+    gs = slot_mod.SlotFace(nu + f.sv, nu + f.fb, bv)
+    return slot_mod.to_flat(mesh, gs), gs
+
+
+def _transport_ops(mesh, phi, phi_sl, field, div_scheme, gamma_flat,
+                   gamma_slot, corrected, corr_limit):
+    """div(phi, psi) - laplacian(gammaEff, psi) with slot assembly."""
+    from ...ops import schemes
+
+    ws = schemes.weights_slot(mesh, phi_sl, div_scheme, field)
+    return (fvm.div(mesh, phi, field, phi_slot=phi_sl, slot_weights=ws)
+            - fvm.laplacian(mesh, gamma_flat, field, corrected=corrected,
+                            gamma_dims=dimViscosity, limit=corr_limit,
+                            gamma_slot=gamma_slot))
+
+
 def _solve_transport(mesh, field, mat, controls, default_tol=1e-8):
     ctl = dict(controls or {})
     ctl.setdefault("solver", "PBiCGStab")
@@ -175,7 +207,7 @@ class KEpsilon(TurbulenceModel):
         return self.Cmu * k * k / jnp.maximum(eps, EPS_MIN)
 
     def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
-                controls=None, c1_field=None):
+                controls=None, c1_field=None, phi_slot=None):
         """c1_field: optional per-cell override of C1 (used by RNG's
         strain-dependent C1eff) — passed explicitly instead of mutating
         self, which is static jit config shared across traces."""
@@ -185,6 +217,7 @@ class KEpsilon(TurbulenceModel):
         k, eps, nut = k_f.data, eps_f.data, nut_f.data
         rdt = 1.0 / dt
         diag = {}
+        phi_sl = _phi_slotform(mesh, phi, phi_slot)
 
         G, S2 = production(mesh, nut, U)
         # production limiter (Menter-style, as in the SST k-equation):
@@ -205,16 +238,15 @@ class KEpsilon(TurbulenceModel):
                       * (self.Cmu ** 0.25) * sqrtk / (_KAPPA * y))
             G = jnp.where(mask > 0, G_wall, G)
 
-        nu_eff_eps = self.nu + nut / self.sigma_eps
-        eps_face = self.nu + fvc.interpolate(mesh, nut_f) / self.sigma_eps
+        eps_flat, eps_slot = _gamma_forms(mesh, self.nu, nut_f,
+                                          self.sigma_eps)
         ddt_op = (fvm.ddt(mesh, eps_f, eps, rdt) if not steady
                   else fvm.ddt_steady(mesh, eps_f))
-        w_eps = _div_weights(mesh, phi, eps_f, self.div_scheme)
         eps_eqn = (
             ddt_op
-            + fvm.div(mesh, phi, eps_f, weights=w_eps)
-            - fvm.laplacian(mesh, eps_face, eps_f, corrected=self.corrected,
-                            gamma_dims=dimViscosity, limit=self.corr_limit)
+            + _transport_ops(mesh, phi, phi_sl, eps_f, self.div_scheme,
+                             eps_flat, eps_slot, self.corrected,
+                             self.corr_limit)
             + fvm.Sp(mesh, self.C2 * eps / jnp.maximum(k, K_MIN), eps_f)
         )
         c1 = self.C1 if c1_field is None else c1_field
@@ -230,15 +262,14 @@ class KEpsilon(TurbulenceModel):
         eps_new = bound_below(eps_new, EPS_MIN)
         diag["epsilon"] = perf_e
 
-        k_face = self.nu + fvc.interpolate(mesh, nut_f) / self.sigma_k
+        k_flat, k_slot = _gamma_forms(mesh, self.nu, nut_f, self.sigma_k)
         ddt_op = (fvm.ddt(mesh, k_f, k, rdt) if not steady
                   else fvm.ddt_steady(mesh, k_f))
-        w_k = _div_weights(mesh, phi, k_f, self.div_scheme)
         k_eqn = (
             ddt_op
-            + fvm.div(mesh, phi, k_f, weights=w_k)
-            - fvm.laplacian(mesh, k_face, k_f, corrected=self.corrected,
-                            gamma_dims=dimViscosity, limit=self.corr_limit)
+            + _transport_ops(mesh, phi, phi_sl, k_f, self.div_scheme,
+                             k_flat, k_slot, self.corrected,
+                             self.corr_limit)
             + fvm.Sp(mesh, eps_new / jnp.maximum(k, K_MIN), k_f)
         )
         k_eqn = k_eqn.add_source(G, mesh)
@@ -276,7 +307,7 @@ class RNGkEpsilon(KEpsilon):
     beta = 0.012
 
     def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
-                controls=None, c1_field=None):
+                controls=None, c1_field=None, phi_slot=None):
         # fold the RNG modification into C1 via eta, passed explicitly
         # (no self-mutation: the model object is static jit config)
         k = tstate["k"].data
@@ -287,7 +318,8 @@ class RNGkEpsilon(KEpsilon):
         c1_eff = self.C1 - eta * (1.0 - eta / self.eta0) / (
             1.0 + self.beta * eta ** 3)
         return super().correct(mesh, tstate, U, phi, dt, steady, relax,
-                               controls, c1_field=c1_eff)
+                               controls, c1_field=c1_eff,
+                               phi_slot=phi_slot)
 
 
 class RealizableKE(KEpsilon):
@@ -299,13 +331,14 @@ class RealizableKE(KEpsilon):
     C2r = 1.9
 
     def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
-                controls=None):
+                controls=None, phi_slot=None):
         k_f = tstate["k"]
         eps_f = tstate["epsilon"]
         nut_f = tstate["nut"]
         k, eps, nut = k_f.data, eps_f.data, nut_f.data
         rdt = 1.0 / dt
         diag = {}
+        phi_sl = _phi_slotform(mesh, phi, phi_slot)
 
         g = fvc.grad(mesh, U)
         s = 0.5 * (g + jnp.swapaxes(g, 1, 2))
@@ -338,15 +371,15 @@ class RealizableKE(KEpsilon):
                           (nutw + self.nu) * magUp * (_CMU ** 0.25) * sqrtk
                           / (_KAPPA * y), G)
 
-        eps_face = self.nu + fvc.interpolate(mesh, nut_f) / self.sigma_eps
+        eps_flat, eps_slot = _gamma_forms(mesh, self.nu, nut_f,
+                                          self.sigma_eps)
         ddt_e = (fvm.ddt(mesh, eps_f, eps, rdt) if not steady
                  else fvm.ddt_steady(mesh, eps_f))
-        w_eps = _div_weights(mesh, phi, eps_f, self.div_scheme)
         eps_eqn = (
             ddt_e
-            + fvm.div(mesh, phi, eps_f, weights=w_eps)
-            - fvm.laplacian(mesh, eps_face, eps_f, corrected=self.corrected,
-                            gamma_dims=dimViscosity, limit=self.corr_limit)
+            + _transport_ops(mesh, phi, phi_sl, eps_f, self.div_scheme,
+                             eps_flat, eps_slot, self.corrected,
+                             self.corr_limit)
             + fvm.Sp(mesh, self.C2r * eps / (
                 k + jnp.sqrt(self.nu * jnp.maximum(eps, EPS_MIN))), eps_f)
         )
@@ -359,15 +392,14 @@ class RealizableKE(KEpsilon):
         eps_new = bound_below(eps_new, EPS_MIN)
         diag["epsilon"] = perf_e
 
-        k_face = self.nu + fvc.interpolate(mesh, nut_f) / self.sigma_k
+        k_flat, k_slot = _gamma_forms(mesh, self.nu, nut_f, self.sigma_k)
         ddt_k = (fvm.ddt(mesh, k_f, k, rdt) if not steady
                  else fvm.ddt_steady(mesh, k_f))
-        w_k = _div_weights(mesh, phi, k_f, self.div_scheme)
         k_eqn = (
             ddt_k
-            + fvm.div(mesh, phi, k_f, weights=w_k)
-            - fvm.laplacian(mesh, k_face, k_f, corrected=self.corrected,
-                            gamma_dims=dimViscosity, limit=self.corr_limit)
+            + _transport_ops(mesh, phi, phi_sl, k_f, self.div_scheme,
+                             k_flat, k_slot, self.corrected,
+                             self.corr_limit)
             + fvm.Sp(mesh, eps_new / jnp.maximum(k, K_MIN), k_f)
         )
         k_eqn = k_eqn.add_source(G, mesh)
@@ -434,11 +466,12 @@ class KOmegaSST(TurbulenceModel):
         return F1, F2, cd
 
     def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
-                controls=None):
+                controls=None, phi_slot=None):
         k_f, w_f, nut_f = tstate["k"], tstate["omega"], tstate["nut"]
         k, omega, nut = k_f.data, w_f.data, nut_f.data
         rdt = 1.0 / dt
         diag = {}
+        phi_sl = _phi_slotform(mesh, phi, phi_slot)
 
         gk = fvc.grad(mesh, k_f)
         gw = fvc.grad(mesh, w_f)
@@ -467,16 +500,15 @@ class KOmegaSST(TurbulenceModel):
             G = jnp.where(mask > 0, G_wall, G)
 
         # omega equation
-        w_face = self.nu + fvc.interpolate(
-            mesh, nut_f.with_data(mix(self.alphaOmega1, self.alphaOmega2) * nut))
+        w_flat, w_slot = _gamma_forms(
+            mesh, self.nu,
+            nut_f.with_data(mix(self.alphaOmega1, self.alphaOmega2) * nut))
         ddt_w = (fvm.ddt(mesh, w_f, omega, rdt) if not steady
                  else fvm.ddt_steady(mesh, w_f))
-        w_w = _div_weights(mesh, phi, w_f, self.div_scheme)
         w_eqn = (
             ddt_w
-            + fvm.div(mesh, phi, w_f, weights=w_w)
-            - fvm.laplacian(mesh, w_face, w_f, corrected=False,
-                            gamma_dims=dimViscosity)
+            + _transport_ops(mesh, phi, phi_sl, w_f, self.div_scheme,
+                             w_flat, w_slot, False, self.corr_limit)
             + fvm.Sp(mesh, beta * omega, w_f)
         )
         src_w = gamma * S2 + (1.0 - F1) * cd
@@ -491,16 +523,16 @@ class KOmegaSST(TurbulenceModel):
 
         # k equation with limited production
         Gk = jnp.minimum(G, self.c1 * self.betaStar * k * w_new)
-        k_face = self.nu + fvc.interpolate(
-            mesh, nut_f.with_data(mix(self.alphaK1, self.alphaK2) * nut))
+        k_flat, k_slot = _gamma_forms(
+            mesh, self.nu,
+            nut_f.with_data(mix(self.alphaK1, self.alphaK2) * nut))
         ddt_k = (fvm.ddt(mesh, k_f, k, rdt) if not steady
                  else fvm.ddt_steady(mesh, k_f))
-        w_k = _div_weights(mesh, phi, k_f, self.div_scheme)
         k_eqn = (
             ddt_k
-            + fvm.div(mesh, phi, k_f, weights=w_k)
-            - fvm.laplacian(mesh, k_face, k_f, corrected=self.corrected,
-                            gamma_dims=dimViscosity, limit=self.corr_limit)
+            + _transport_ops(mesh, phi, phi_sl, k_f, self.div_scheme,
+                             k_flat, k_slot, self.corrected,
+                             self.corr_limit)
             + fvm.Sp(mesh, self.betaStar * w_new, k_f)
         )
         k_eqn = k_eqn.add_source(Gk, mesh)

@@ -51,17 +51,12 @@ def div(mesh, phi: Any, field: VolField, weights: Optional[Any] = None) -> Any:
 
 def grad(mesh, field: VolField) -> Any:
     """Gauss gradient. scalar -> [nC,3]; vector -> [nC,3,3] with
-    g[c,i,j] = d(u_j)/d(x_i) (reference: gaussGrad)."""
-    vf = interpolate(mesh, field)
-    sf = mesh.sf * mesh.face_active[:, None]
-    if vf.ndim == 1:
-        g = surface.surface_sum(mesh, sf * vf[:, None])
-        return g / mesh.v[:, None]
-    # outer product Sf_i * vf_j
-    prod = sf[:, :, None] * vf[:, None, :]  # [nF,3,3]
-    gathered = prod[mesh.cface]             # [nC,K,3,3]
-    g = jnp.sum(gathered * mesh.csign[:, :, None, None], axis=1)
-    return g / mesh.v[:, None, None]
+    g[c,i,j] = d(u_j)/d(x_i) (reference: gaussGrad). Computed on the
+    slot layout (ops/slot.py) — rolls instead of gathers."""
+    from . import slot as slot_mod
+
+    bv = field.boundary_values(mesh)
+    return slot_mod.grad(mesh, field.data, bv)
 
 
 def grad_least_squares(mesh, field: VolField) -> Any:
@@ -202,11 +197,9 @@ def grad_of(mesh, field: VolField, scheme: str = "Gauss linear") -> Any:
 def grad_component(mesh, data: Any, bvals: Any) -> Any:
     """Gauss gradient of raw per-cell scalar data with given boundary
     face values (used inside solvers for lagged corrections)."""
-    vi = surface.interpolate_internal(mesh, data)
-    vf = jnp.concatenate([vi, bvals], axis=0)
-    sf = mesh.sf * mesh.face_active[:, None]
-    g = surface.surface_sum(mesh, sf * vf[:, None])
-    return g / mesh.v[:, None]
+    from . import slot as slot_mod
+
+    return slot_mod.grad(mesh, data, bvals)
 
 
 def sn_grad(mesh, field: VolField, corrected: bool = False) -> Any:

@@ -132,23 +132,56 @@ def div(
     field: VolField,
     weights: Optional[Any] = None,
     phi_dims: Optional[DimensionSet] = None,
+    phi_slot: Any = None,
+    slot_weights: Any = None,
 ) -> FvMatrix:
     """Implicit Gauss convection div(phi, psi)
     (reference: gaussConvectionScheme::fvmDiv). `weights` are owner-side
     interpolation weights on internal faces (from ops.schemes; default
-    linear)."""
+    linear).
+
+    Fast path: when `phi_slot` (ops/slot.py SlotFace of the flux) is
+    given, the diagonal and the slot off-diagonal coefficients assemble
+    elementwise over [nC,M] — zero gathers. `slot_weights` =
+    (wself [nC,M], fb_wself [nfb]) self-side scheme weights (default:
+    linear, mesh.st_wself)."""
     from ..core.dimensions import dimFlux
+    from . import slot as slot_mod
 
     nif = mesh.n_internal_faces
-    w = mesh.weights[:nif] if weights is None else weights
-    phi_i = phi[:nif]
     act = mesh.face_active
+    phi_i = phi[:nif]
 
-    lower = -phi_i * w
-    upper = phi_i * (1.0 - w)
-    # negSumDiag in gather form: diag[own] -= lower ; diag[nei] -= upper
-    own_side = jnp.where(mesh.csign > 0, lower[mesh.cface_i], upper[mesh.cface_i])
-    diag = -jnp.sum(own_side * mesh.cnbr_valid, axis=1)
+    soff = sfb = None
+    if phi_slot is not None:
+        if slot_weights is None:
+            wself, fb_wself = mesh.st_wself, mesh.fb_wself
+        else:
+            wself, fb_wself = slot_weights
+        phi_out = mesh.st_sign * phi_slot.sv
+        soff = phi_out * (1.0 - wself) * mesh.st_valid
+        sdiagc = phi_out * wself * mesh.st_valid
+        diag = jnp.sum(sdiagc, axis=1)
+        if mesh.fb_cells.shape[0]:
+            phi_ofb = mesh.fb_signs * phi_slot.fb
+            sfb = phi_ofb * (1.0 - fb_wself)
+            diag = diag.at[mesh.fb_cells].add(phi_ofb * fb_wself)
+        else:
+            sfb = jnp.zeros((0,), diag.dtype)
+        if weights is None and slot_weights is not None:
+            weights = slot_mod.to_flat_internal(
+                mesh, slot_mod.SlotFace(wself, fb_wself))
+        w = mesh.weights[:nif] if weights is None else weights
+        lower = -phi_i * w
+        upper = phi_i * (1.0 - w)
+    else:
+        w = mesh.weights[:nif] if weights is None else weights
+        lower = -phi_i * w
+        upper = phi_i * (1.0 - w)
+        # negSumDiag in gather form: diag[own] -= lower; diag[nei] -= upper
+        own_side = jnp.where(mesh.csign > 0, lower[mesh.cface_i],
+                             upper[mesh.cface_i])
+        diag = -jnp.sum(own_side * mesh.cnbr_valid, axis=1)
 
     # boundary: term phi_b * (vic*psi_c + vbc)
     ics, bcs = [], []
@@ -166,8 +199,47 @@ def div(
     src = jnp.zeros((mesh.n_cells,) if nc == 1 else (mesh.n_cells, nc), diag.dtype)
     return FvMatrix(
         diag=diag, lower=lower, upper=upper, source=src, ic=ic, bc=bcc,
-        dims=dims, symmetric=False,
+        soff=soff, sfb=sfb, dims=dims, symmetric=False,
     )
+
+
+def laplacian_correction(mesh, gamma_f: Any, field: VolField,
+                         limit: float = 1.0, coef_i: Any = None):
+    """Explicit non-orthogonal deferred correction of the Gauss
+    laplacian (reference: correctedSnGrad::correction). Returns
+    (corr_full [nF,(C)], corr_cell [nC,(C)]) — the per-face correction
+    flux (for fvMatrix::flux consistency) and its cell integral (to
+    subtract from the source). Split out of laplacian() so pressure
+    solvers can reuse CONSTANT matrix coefficients across correctors
+    while re-evaluating only this field-dependent term."""
+    nif = mesh.n_internal_faces
+    act = mesh.face_active
+    gamma_f = jnp.broadcast_to(jnp.asarray(gamma_f, mesh.v.dtype),
+                               (mesh.n_faces,))
+    g = fvc.grad(mesh, field)
+    gf = surface.interpolate_internal(mesh, g)
+    gamsf_i = (gamma_f * mesh.mag_sf * act)[:nif]
+    if field.data.ndim == 1:
+        corr_f = gamsf_i * jnp.sum(mesh.correction_vecs[:nif] * gf, axis=1)
+    else:
+        corr_f = gamsf_i[:, None] * jnp.sum(
+            mesh.correction_vecs[:nif, :, None] * gf, axis=1
+        )
+    if limit < 1.0:
+        if coef_i is None:
+            coef_i = (gamma_f * mesh.mag_sf * act
+                      * mesh.non_orth_delta_coeffs)[:nif]
+        d = surface.delta(mesh, field.data)
+        orth = coef_i[:, None] * d if d.ndim == 2 else coef_i * d
+        cap = (limit / (1.0 - limit)) * jnp.abs(orth)
+        corr_f = jnp.clip(corr_f, -cap, cap)
+    if corr_f.ndim == 2:
+        corr_full = jnp.zeros((mesh.n_faces, corr_f.shape[1]), corr_f.dtype)
+    else:
+        corr_full = jnp.zeros((mesh.n_faces,), corr_f.dtype)
+    corr_full = corr_full.at[:nif].set(corr_f)
+    corr_cell = surface.surface_sum(mesh, corr_full)
+    return corr_full, corr_cell
 
 
 def laplacian(
@@ -177,6 +249,8 @@ def laplacian(
     corrected: bool = True,
     gamma_dims: Optional[DimensionSet] = None,
     limit: float = 1.0,
+    defer_correction: bool = False,
+    gamma_slot: Any = None,
 ) -> FvMatrix:
     """Implicit Gauss Laplacian laplacian(gamma, psi)
     (reference: gaussLaplacianScheme::fvmLaplacian). gamma_f is a face
@@ -189,8 +263,13 @@ def laplacian(
     snGradSchemes/limitedSnGrad — 'limited corrected <c>')."""
     from ..core.dimensions import dimless
 
+    if corrected and getattr(mesh, "orthogonal", False):
+        # the correction is identically zero on an orthogonal mesh (and
+        # non_orth_delta_coeffs == delta_coeffs); skip it at trace time
+        corrected = False
     nif = mesh.n_internal_faces
     act = mesh.face_active
+    gamma_scalar = jnp.ndim(gamma_f) == 0
     gamma_f = jnp.broadcast_to(jnp.asarray(gamma_f, mesh.v.dtype), (mesh.n_faces,))
     dc = mesh.non_orth_delta_coeffs if corrected else mesh.delta_coeffs
     coef = gamma_f * mesh.mag_sf * act * dc
@@ -198,39 +277,36 @@ def laplacian(
 
     upper = coef_i
     lower = coef_i
-    diag = -jnp.sum(coef_i[mesh.cface_i] * mesh.cnbr_valid, axis=1)
+    if gamma_slot is not None or gamma_scalar:
+        # slot fast path (elementwise, zero gathers; internal faces are
+        # never empty-masked so face_active is not needed here)
+        dcs = mesh.st_nodc if corrected else mesh.st_dc
+        dcf = mesh.fb_nodc if corrected else mesh.fb_dc
+        if gamma_scalar:
+            g_sv = gamma_f[0]
+            g_fb = gamma_f[0]
+        else:
+            g_sv, g_fb = gamma_slot.sv, gamma_slot.fb
+        soff = g_sv * mesh.st_magsf * dcs * mesh.st_valid
+        diag = -jnp.sum(soff, axis=1)
+        if mesh.fb_cells.shape[0]:
+            sfb = g_fb * mesh.fb_magsf * dcf
+            diag = diag.at[mesh.fb_cells].add(-sfb)
+        else:
+            sfb = jnp.zeros((0,), diag.dtype)
+    else:
+        soff = sfb = None
+        diag = -jnp.sum(coef_i[mesh.cface_i] * mesh.cnbr_valid, axis=1)
 
     nc = _ncmp(field)
     src = jnp.zeros((mesh.n_cells,) if nc == 1 else (mesh.n_cells, nc), diag.dtype)
     fcorr = None
-    if corrected:
-        # explicit correction: op += sum_f gamma |Sf| (k . grad_f psi)
-        g = fvc.grad(mesh, field)
-        gf = surface.interpolate_internal(mesh, g)
-        gamsf_i = (gamma_f * mesh.mag_sf * act)[:nif]
-        if field.data.ndim == 1:
-            corr_f = gamsf_i * jnp.sum(mesh.correction_vecs[:nif] * gf, axis=1)
-        else:
-            corr_f = gamsf_i[:, None] * jnp.sum(
-                mesh.correction_vecs[:nif, :, None] * gf, axis=1
-            )
-        if limit < 1.0:
-            # limitedSnGrad clip: |corr| <= limit/(1-limit) * |orth|
-            d = surface.delta(mesh, field.data)
-            orth = coef_i[:, None] * d if d.ndim == 2 else coef_i * d
-            cap = (limit / (1.0 - limit)) * jnp.abs(orth)
-            corr_f = jnp.clip(corr_f, -cap, cap)
-        # pad to full faces (boundary correction handled via BC coeffs)
-        if corr_f.ndim == 2:
-            corr_full = jnp.zeros((mesh.n_faces, corr_f.shape[1]), corr_f.dtype)
-        else:
-            corr_full = jnp.zeros((mesh.n_faces,), corr_f.dtype)
-        corr_full = corr_full.at[:nif].set(corr_f)
-        corr_cell = surface.surface_sum(mesh, corr_full)
-        # operator value includes +corr -> RHS gets -(-corr)? row form:
-        # implicit(psi) + corr = RHS  =>  source -= corr ... but fvm terms
-        # conventionally sit on the LHS with the matrix representing the
-        # full operator, so the explicit part moves to the source with a
+    if corrected and not defer_correction:
+        corr_full, corr_cell = laplacian_correction(
+            mesh, gamma_f, field, limit=limit, coef_i=coef_i
+        )
+        # fvm terms sit on the LHS with the matrix representing the full
+        # operator, so the explicit part moves to the source with a
         # MINUS sign relative to the implicit part:
         src = src - corr_cell
         # stash the per-face correction so fvMatrix::flux stays
@@ -254,7 +330,7 @@ def laplacian(
     dims = gdims * field.dims * dimLength
     return FvMatrix(
         diag=diag, lower=lower, upper=upper, source=src, ic=ic, bc=bcc,
-        fcorr=fcorr, dims=dims, symmetric=True,
+        fcorr=fcorr, soff=soff, sfb=sfb, dims=dims, symmetric=True,
     )
 
 

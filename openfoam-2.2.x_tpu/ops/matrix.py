@@ -56,6 +56,14 @@ class FvMatrix:
     # laplacians (reference: fvMatrix::faceFluxCorrectionPtr_, set by
     # gaussLaplacianScheme::fvmLaplacian, consumed by fvMatrix::flux)
     fcorr: Any = None
+    # slot-form off-diagonal coefficients (ops/slot.py): soff [nC,M] is
+    # the coefficient multiplying psi[c + d_m] in row c, sfb [nfb] the
+    # COO-fallback twin. When present, solvers/H/relax run gather-free
+    # (rolls); None falls back to gathering upper/lower through the
+    # mesh tables. Assembled elementwise by fvm when the caller supplies
+    # slot-form inputs.
+    soff: Any = None
+    sfb: Any = None
     dims: DimensionSet = _static(default=dimless)   # of source (= op * volume)
     symmetric: bool = _static(default=True)
 
@@ -72,6 +80,11 @@ class FvMatrix:
                 fc = self.fcorr
             else:
                 fc = self.fcorr + other.fcorr
+            if self.soff is None or other.soff is None:
+                so, sf = None, None
+            else:
+                so = self.soff + other.soff
+                sf = self.sfb + other.sfb
             return FvMatrix(
                 diag=self.diag + other.diag,
                 lower=self.lower + other.lower,
@@ -80,6 +93,8 @@ class FvMatrix:
                 ic=self.ic + other.ic,
                 bc=self.bc + other.bc,
                 fcorr=fc,
+                soff=so,
+                sfb=sf,
                 dims=d,
                 symmetric=self.symmetric and other.symmetric,
             )
@@ -90,6 +105,8 @@ class FvMatrix:
             diag=-self.diag, lower=-self.lower, upper=-self.upper,
             source=-self.source, ic=-self.ic, bc=-self.bc,
             fcorr=None if self.fcorr is None else -self.fcorr,
+            soff=None if self.soff is None else -self.soff,
+            sfb=None if self.sfb is None else -self.sfb,
             dims=self.dims, symmetric=self.symmetric,
         )
 
@@ -154,20 +171,29 @@ class FvMatrix:
         d = self.diag + surface.boundary_sum(mesh, ic)
         return d / mesh.v
 
+    def off_mul(self, mesh, psi: Any) -> Any:
+        """Off-diagonal product sum_f off(f)*psi[nbr(f)] — slot (roll)
+        path when soff is present, gather path otherwise."""
+        if self.soff is not None:
+            from . import slot as slot_mod
+
+            return slot_mod.off_apply(mesh, self.soff, self.sfb, psi)
+        off = self.off_coeffs(mesh)
+        if psi.ndim == 2:
+            return jnp.sum(off[:, :, None] * psi[mesh.cnbr], axis=1)
+        return jnp.sum(off * psi[mesh.cnbr], axis=1)
+
     def H(self, mesh, psi: Any) -> Any:
         """(source_eff - offdiag*psi + (Dav - Dc)*psi) / V
         (reference: fvMatrix::H) — the correction term keeps
         psi == H()/A() exact at the segregated solution whenever the
         boundary coefficients are component-symmetric."""
-        off = self.off_coeffs(mesh)
+        offpsi = self.off_mul(mesh, psi)
         if psi.ndim == 2:
-            npsi = psi[mesh.cnbr]  # [nC,K,C]
-            offpsi = jnp.sum(off[:, :, None] * npsi, axis=1)
             d_c = surface.boundary_sum(mesh, self.ic)        # [nC,C]
             d_av = jnp.mean(d_c, axis=1, keepdims=True)
             corr = (d_av - d_c) * psi
             return (self.source_eff(mesh) - offpsi + corr) / mesh.v[:, None]
-        offpsi = jnp.sum(off * psi[mesh.cnbr], axis=1)
         return (self.source_eff(mesh) - offpsi) / mesh.v
 
     def flux(self, mesh, psi: Any) -> Any:
@@ -216,10 +242,17 @@ class FvMatrix:
         m_o = mask[own]
         m_n = mask[nei]
         # eliminate constrained neighbours into the free rows' sources
-        off = self.off_coeffs(mesh)                       # [nC,K]
-        nbr_mask = mask[mesh.cnbr] * mesh.cnbr_valid
-        elim = jnp.sum(off * nbr_mask * values[mesh.cnbr], axis=1)
+        elim = self.off_mul(mesh, mask * values)
         keep_f = (1.0 - m_o) * (1.0 - m_n)
+        so, sf = self.soff, self.sfb
+        if so is not None:
+            from . import slot as slot_mod
+
+            nbm = slot_mod.nbr_values(mesh, mask)
+            keep_s = (1.0 - mask[:, None]) * (1.0 - nbm)
+            so = so * keep_s
+            if mesh.fb_cells.shape[0]:
+                sf = sf * (1.0 - mask[mesh.fb_cells]) * (1.0 - mask[mesh.fb_nbrs])
         # zero boundary coupling on constrained rows
         bcells = mesh.owner[nif:]
         keep_b = 1.0 - mask[bcells]
@@ -239,7 +272,18 @@ class FvMatrix:
             source=src,
             ic=self.ic * keep_b,
             bc=self.bc * keep_b,
+            soff=so,
+            sfb=sf,
         )
+
+    def off_abs_sum(self, mesh) -> Any:
+        """sum_f |off(f)| per row (slot path when available)."""
+        if self.soff is not None:
+            s = jnp.sum(jnp.abs(self.soff), axis=1)
+            if mesh.fb_cells.shape[0]:
+                s = s.at[mesh.fb_cells].add(jnp.abs(self.sfb))
+            return s
+        return jnp.sum(jnp.abs(self.off_coeffs(mesh)), axis=1)
 
     def relax(self, mesh, alpha: float, psi: Any) -> "FvMatrix":
         """Under-relaxation (reference: fvMatrix::relax): add the
@@ -250,7 +294,7 @@ class FvMatrix:
         rAU = 1/A(U) negative and the pressure operator indefinite),
         divide by alpha, and compensate the source with the current
         solution."""
-        sum_off = jnp.sum(jnp.abs(self.off_coeffs(mesh)), axis=1)
+        sum_off = self.off_abs_sum(mesh)
         ic_min = self.ic if self.ic.ndim == 1 else jnp.min(self.ic, axis=1)
         b_ic = surface.boundary_sum(mesh, ic_min)
         d0 = self.diag
@@ -285,5 +329,7 @@ def zero_matrix(mesh, n_cmpts: int = 1, dims: DimensionSet = dimless) -> FvMatri
         source=jnp.zeros(shape_c, dt),
         ic=jnp.zeros(shape_b, dt),
         bc=jnp.zeros(shape_b, dt),
+        soff=jnp.zeros((mesh.n_cells, len(mesh.st_deltas)), dt),
+        sfb=jnp.zeros((mesh.fb_cells.shape[0],), dt),
         dims=dims,
     )

@@ -122,3 +122,105 @@ def weights(mesh, phi: Any, scheme: str, field: Optional[VolField] = None) -> An
 
 def register_limiter(name: str, fn: Callable) -> None:
     _LIMITERS[name] = fn
+
+
+def _limiter_fn(scheme: str):
+    """Resolve the scheme keyword to (limiter_fn|None, w_cd_only bool,
+    upwind bool). None fn with flags covers linear/upwind/midPoint."""
+    parts = scheme.split()
+    name = parts[0]
+    if name.endswith("V") and (name[:-1] in _LIMITERS
+                               or name[:-1] == "limitedLinear"):
+        name = name[:-1]
+    if name == "linearUpwind":
+        name, parts = "limitedLinear", ["limitedLinear", "1"]
+    if name == "linear":
+        return None, "linear"
+    if name == "upwind":
+        return None, "upwind"
+    if name == "midPoint":
+        return None, "midPoint"
+    if name == "limitedLinear":
+        k = float(parts[1]) if len(parts) > 1 else 1.0
+        return limited_linear(k), None
+    if name in _LIMITERS:
+        return _LIMITERS[name], None
+    raise ValueError(f"unknown interpolation scheme {scheme!r}")
+
+
+def weights_slot(mesh, phi_slot, scheme: str,
+                 field: Optional[VolField] = None):
+    """Self-side interpolation weights in SLOT form (ops/slot.py):
+    returns (wself [nC,M], fb_wself [nfb]) such that
+    vf = wself*psi_self + (1-wself)*psi_nbr — gather-free twin of
+    weights(); both sides of a face compute the same value (the TVD
+    ratio r is invariant under the side flip since d, gradf and the
+    upwind-cell choice all flip together)."""
+    from . import slot as slot_mod
+
+    lam_fn, simple = _limiter_fn(scheme)
+    dt = mesh.v.dtype
+    if simple == "linear":
+        return mesh.st_wself, mesh.fb_wself
+    phi_out = mesh.st_sign * phi_slot.sv       # outward flux per slot
+    # self is the upwind cell iff the flux leaves the cell; break the
+    # phi==0 tie toward the owner side so both copies stay consistent
+    wud = jnp.where(phi_out > 0, 1.0, 0.0) + (
+        (phi_out == 0) * (mesh.st_sign > 0)).astype(dt)
+    if mesh.fb_cells.shape[0]:
+        phi_ofb = mesh.fb_signs * phi_slot.fb
+        wud_fb = jnp.where(phi_ofb > 0, 1.0, 0.0) + (
+            (phi_ofb == 0) * (mesh.fb_signs > 0)).astype(dt)
+    else:
+        wud_fb = jnp.zeros((0,), dt)
+    if simple == "upwind":
+        return wud, wud_fb
+    if simple == "midPoint":
+        return (jnp.full_like(mesh.st_wself, 0.5),
+                jnp.full_like(mesh.fb_wself, 0.5))
+    if field is None:
+        raise ValueError(f"scheme {scheme!r} needs the transported field")
+
+    data = field.data
+    vec = data.ndim == 2
+    g = fvc.grad(mesh, field)                  # [nC,3] or [nC,3,3]
+    d = slot_mod.nbr_values(mesh, mesh.c) - mesh.c[:, None, :]  # [nC,M,3]
+    gradf = slot_mod.delta(mesh, data)         # nbr - self per slot
+    self_up = phi_out > 0                      # [nC,M]
+    g_nb = slot_mod.nbr_values(mesh, g)
+    if vec:
+        g_up = jnp.where(self_up[:, :, None, None], g[:, None], g_nb)
+        dg = jnp.einsum("cmi,cmij->cmj", d, g_up)       # [nC,M,C]
+        num = 2.0 * jnp.sum(dg * gradf.sv, axis=2)
+        den = jnp.sum(gradf.sv * gradf.sv, axis=2)
+        # orient owner->neighbour: d and gradf flip together, invariant
+        r = num / jnp.maximum(den, 1e-30) - 1.0
+    else:
+        gf = gradf.sv
+        g_up = jnp.where(self_up[:, :, None], g[:, None], g_nb)
+        ud = 2.0 * jnp.sum(d * g_up, axis=2)
+        r = ud / jnp.where(jnp.abs(gf) > 1e-30, gf,
+                           jnp.where(gf >= 0, 1e-30, -1e-30)) - 1.0
+    lam = jnp.clip(lam_fn(r), 0.0, 2.0).astype(dt)
+    wself = lam * mesh.st_wself + (1.0 - lam) * wud
+    if mesh.fb_cells.shape[0]:
+        df = mesh.c[mesh.fb_nbrs] - mesh.c[mesh.fb_cells]
+        s_fb, n_fb = data[mesh.fb_cells], data[mesh.fb_nbrs]
+        gffb = n_fb - s_fb
+        gs, gn = g[mesh.fb_cells], g[mesh.fb_nbrs]
+        up_fb = (mesh.fb_signs * phi_slot.fb) > 0
+        if vec:
+            gu = jnp.where(up_fb[:, None, None], gs, gn)
+            dgf = jnp.einsum("fi,fij->fj", df, gu)
+            rf = (2.0 * jnp.sum(dgf * gffb, axis=1)
+                  / jnp.maximum(jnp.sum(gffb * gffb, axis=1), 1e-30) - 1.0)
+        else:
+            gu = jnp.where(up_fb[:, None], gs, gn)
+            udf = 2.0 * jnp.sum(df * gu, axis=1)
+            rf = udf / jnp.where(jnp.abs(gffb) > 1e-30, gffb,
+                                 jnp.where(gffb >= 0, 1e-30, -1e-30)) - 1.0
+        lamf = jnp.clip(lam_fn(rf), 0.0, 2.0).astype(dt)
+        fb_wself = lamf * mesh.fb_wself + (1.0 - lamf) * wud_fb
+    else:
+        fb_wself = jnp.zeros((0,), dt)
+    return wself, fb_wself

@@ -37,16 +37,13 @@ def surface_sum(mesh, face_vals: Any, weight: Optional[Any] = None) -> Any:
 
 def boundary_sum(mesh, bvals: Any) -> Any:
     """Sum per-boundary-face values [nBf,(3)] into their owner cells.
-    Gather-form replacement for scatter-add over patch faceCells."""
+    Scatter-add over the (small) boundary-face set — nBf is O(nC^(2/3)),
+    so the scatter costs ~nothing next to any full-mesh gather (TPU
+    gathers/scatters are index-rate bound at ~150M idx/s, measured)."""
     nif = mesh.n_internal_faces
-    if bvals.ndim == 2:
-        full = jnp.zeros((mesh.n_faces, bvals.shape[1]), dtype=bvals.dtype)
-        full = full.at[nif:].set(bvals)
-        g = full[mesh.cface]
-        return jnp.sum(g * mesh.cbnd[:, :, None], axis=1)
-    full = jnp.zeros((mesh.n_faces,), dtype=bvals.dtype)
-    full = full.at[nif:].set(bvals)
-    return jnp.sum(full[mesh.cface] * mesh.cbnd, axis=1)
+    shape = (mesh.n_cells,) if bvals.ndim == 1 else (mesh.n_cells, bvals.shape[1])
+    out = jnp.zeros(shape, dtype=bvals.dtype)
+    return out.at[mesh.owner[nif:]].add(bvals)
 
 
 def interpolate_internal(mesh, data: Any, weights: Optional[Any] = None) -> Any:

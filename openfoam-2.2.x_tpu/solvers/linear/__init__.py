@@ -43,6 +43,27 @@ def prep_pressure(mat, needs_ref: bool, ctl: Dict, ref_cell: int,
     return mat, ctl2
 
 
+def prepare_controls(mesh, mat, *controls_list):
+    """For GAMG controls: build the coefficient-dependent prep (Galerkin
+    hierarchy, stencils, coarsest dense inverse) ONCE and share it across
+    the given control dicts — valid as long as the matrix COEFFICIENTS
+    (diag/upper/lower/ic) are unchanged (the PISO/SIMPLE pressure matrix
+    across correctors: only the source changes)."""
+    out = []
+    prep = None
+    for ctl in controls_list:
+        if ctl is None:
+            out.append(None)
+            continue
+        ctl2 = dict(ctl)
+        if str(ctl2.get("solver", "")) == "GAMG" and "_gamg" in ctl2:
+            if prep is None:
+                prep = ctl2["_gamg"].prepare(mesh, mat)
+            ctl2["_prep"] = prep
+        out.append(ctl2)
+    return out[0] if len(out) == 1 else tuple(out)
+
+
 def solve(mesh, mat, psi: Any, controls: Dict) -> Tuple[Any, SolverPerf]:
     """Solve mat*psi = source for the field data psi [nC,(3)];
     returns (new_psi, perf-of-first-component)."""
@@ -62,13 +83,41 @@ def solve(mesh, mat, psi: Any, controls: Dict) -> Tuple[Any, SolverPerf]:
     if name == "smoothSolver":
         kw["n_sweeps"] = int(controls.get("nSweeps", 1))
 
-    # roll-based stencil SpMV (ops/stencil.py) — gather-free iterations
+    # roll-based stencil SpMV (ops/stencil.py) — gather-free iterations.
+    # Slot-assembled matrices (fvm fast path) skip even the one-time
+    # coefficient gather.
     from ...ops import stencil as stencil_mod
 
-    st = stencil_mod.mesh_stencil(mesh, mat.upper, mat.lower)
+    if mat.soff is not None:
+        st = stencil_mod.StencilOp(
+            tuple(mesh.st_deltas), mat.soff, mesh.fb_cells, mesh.fb_nbrs,
+            mat.sfb)
+    else:
+        st = stencil_mod.mesh_stencil(mesh, mat.upper, mat.lower)
     row_off = st.off.sum(axis=1)
     if st.fb_cells.shape[0]:
         row_off = row_off.at[st.fb_cells].add(st.fb_coeffs)
+
+    if name == "smoothSolver":
+        if mat.symmetric:
+            # Gershgorin bound on D^-1 A for the Chebyshev smoother
+            row_abs = jnp.sum(jnp.abs(st.off), axis=1)
+            if st.fb_cells.shape[0]:
+                row_abs = row_abs.at[st.fb_cells].add(jnp.abs(st.fb_coeffs))
+            d_for_lam = mat.diag_eff(mesh)
+            if d_for_lam.ndim == 2:
+                row_abs = row_abs[:, None]
+            kw["lam_max"] = jnp.max(1.0 + row_abs / jnp.abs(d_for_lam))
+        else:
+            # sequential Gauss-Seidel has no TPU twin and plain Jacobi
+            # cannot be Chebyshev-accelerated on a convection-bearing
+            # (complex-spectrum) matrix — dispatch to Jacobi-
+            # preconditioned BiCGStab, converging to the same
+            # normFactor tolerances (documented deviation, SURVEY.md §7
+            # decision 4).
+            fn = krylov.bicgstab
+            kw.pop("n_sweeps", None)
+            kw["precond"] = "diagonal"
 
     if psi.ndim == 1:
         d = mat.diag_eff(mesh)

@@ -295,17 +295,35 @@ def _make_st_op(st: Dict[str, Any], upper, lower) -> stencil_mod.StencilOp:
     )
 
 
-def _dense_solve(st_op: stencil_mod.StencilOp, diag, b):
-    """Coarsest-level direct solve via dense assembly from the stencil
+def _dense_inverse(st_op: stencil_mod.StencilOp, diag):
+    """Coarsest-level dense inverse via assembly from the stencil
     (apply A to the identity — n is tiny and static). A tiny ridge
-    keeps the solve well-posed for singular (all-Neumann) systems."""
+    keeps the inverse well-posed for singular (all-Neumann) systems.
+    Computed ONCE per solve (hoisted out of the Krylov while_loop);
+    each V-cycle's coarsest solve is then a single [n,n]@[n] matmul on
+    the MXU instead of an LU factorisation per cycle."""
     n = diag.shape[0]
     eye = jnp.eye(n, dtype=diag.dtype)
     A = jax.vmap(lambda col: diag * col + st_op.apply_off(col),
                  in_axes=1, out_axes=1)(eye)
     ridge = 1e-6 * jnp.max(jnp.abs(diag))
     A = A + ridge * jnp.sign(jnp.mean(diag)) * eye
-    return jnp.linalg.solve(A, b)
+    return jnp.linalg.inv(A)
+
+
+class _CmptView:
+    """Per-component view of a vector FvMatrix for prepare()'s
+    diag_eff call (the coefficients are shared; only the boundary
+    internal coefficients are per-component)."""
+
+    def __init__(self, mat, cmpt):
+        self._mat = mat
+        self._cmpt = cmpt
+        self.upper = mat.upper
+        self.lower = mat.lower
+
+    def diag_eff(self, mesh):
+        return self._mat.diag_eff(mesh, self._cmpt)
 
 
 class GAMG:
@@ -327,12 +345,13 @@ class GAMG:
         self.smoother = smoother
         self.scale_correction = True
 
-    def _ops(self, mesh, mats):
+    def _ops(self, mesh, mats, fine_op=None):
         """StencilOps per level from the per-level (diag,upper,lower)."""
         ops = []
         for i, (diag, upper, lower) in enumerate(mats):
             if i == 0:
-                ops.append(stencil_mod.mesh_stencil(mesh, upper, lower))
+                ops.append(fine_op if fine_op is not None
+                           else stencil_mod.mesh_stencil(mesh, upper, lower))
             else:
                 ops.append(_make_st_op(self.levels[i - 1].st, upper, lower))
         return ops
@@ -345,7 +364,39 @@ class GAMG:
             mats.append((d, u, l))
         return mats
 
-    def vcycle(self, mesh, mats, ops, b, x, lam_max=None):
+    def prepare(self, mesh, mat):
+        """Hoist everything that depends only on the matrix COEFFICIENTS
+        (not the RHS) out of the solve: the Galerkin hierarchy, the
+        per-level stencil ops, Chebyshev spectral bounds, and the
+        coarsest-level dense inverse. Within a PISO/SIMPLE step the
+        pressure matrix is identical across correctors and non-ortho
+        iterations (only the source changes), so one prep serves 2-3+
+        solves (reference analogue: GAMGSolver caching + cacheAgglomeration)."""
+        d_eff = mat.diag_eff(mesh)
+        mats = self.coarsen_all(d_eff, mat.upper, mat.lower)
+        fine_op = None
+        if getattr(mat, "soff", None) is not None:
+            fine_op = stencil_mod.StencilOp(
+                tuple(mesh.st_deltas), mat.soff, mesh.fb_cells,
+                mesh.fb_nbrs, mat.sfb)
+        ops = self._ops(mesh, mats, fine_op=fine_op)
+
+        def lam_of(diag, op):
+            s = jnp.sum(jnp.abs(op.off), axis=1)
+            if op.fb_cells.shape[0]:
+                s = s.at[op.fb_cells].add(jnp.abs(op.fb_coeffs))
+            return jnp.max(1.0 + s / jnp.abs(diag))
+
+        lam_max = [lam_of(m[0], op) for m, op in zip(mats, ops)]
+        Ainv = _dense_inverse(ops[-1], mats[-1][0]) if len(mats) > 1 else None
+        fine_op = ops[0]
+        row_sum = d_eff + fine_op.off.sum(axis=1)
+        if fine_op.fb_cells.shape[0]:
+            row_sum = row_sum.at[fine_op.fb_cells].add(fine_op.fb_coeffs)
+        return dict(mats=mats, ops=ops, lam_max=lam_max, Ainv=Ainv,
+                    d_eff=d_eff, row_sum=row_sum)
+
+    def vcycle(self, mesh, mats, ops, b, x, lam_max=None, Ainv=None):
         levels = self.levels
         n_levels = len(mats)
 
@@ -389,8 +440,10 @@ class GAMG:
             xs.append(jnp.zeros(levels[i].n_coarse, x.dtype))
         if n_levels == 1:
             xs[0] = smooth(0, xs[0], bs[0], 8)
+        elif Ainv is not None:
+            xs[-1] = Ainv @ bs[-1]
         else:
-            xs[-1] = _dense_solve(ops[-1], mats[-1][0], bs[-1])
+            xs[-1] = _dense_inverse(ops[-1], mats[-1][0]) @ bs[-1]
         for i in range(n_levels - 2, -1, -1):
             c = _prolong(levels[i], xs[i + 1])
             if self.scale_correction:
@@ -422,37 +475,26 @@ class GAMG:
         singular = bool(controls.get("_singular", False))
         ref_cell, ref_value = controls.get("_ref", (0, 0.0))
 
-        def solve_one(psi1, d_eff, b):
-            # NOTE argument order: coarsen_all(diag, UPPER, LOWER).
-            # Passing (lower, upper) here built the TRANSPOSE of every
-            # level — invisible on symmetric pressure Laplacians, wrong
-            # for any convection-bearing matrix (ADVICE.md r1 #1).
-            mats = self.coarsen_all(d_eff, mat.upper, mat.lower)
-            ops = self._ops(mesh, mats)
+        def solve_one(psi1, b, prep):
+            # NOTE argument order: coarsen_all(diag, UPPER, LOWER) —
+            # see prepare(). Passing (lower, upper) built the TRANSPOSE
+            # of every level (ADVICE.md r1 #1).
+            mats, ops = prep["mats"], prep["ops"]
+            lam_max, Ainv = prep["lam_max"], prep["Ainv"]
+            d_eff, row_sum = prep["d_eff"], prep["row_sum"]
             fine_op = ops[0]
-
-            def lam_of(diag, op):
-                s = jnp.sum(jnp.abs(op.off), axis=1)
-                if op.fb_cells.shape[0]:
-                    s = s.at[op.fb_cells].add(jnp.abs(op.fb_coeffs))
-                return jnp.max(1.0 + s / jnp.abs(diag))
-
-            lam_max = [lam_of(m[0], op) for m, op in zip(mats, ops)]
 
             def amul(x):
                 return d_eff * x + fine_op.apply_off(x)
 
             def prec(r):
                 return self.vcycle(mesh, mats, ops, r, jnp.zeros_like(r),
-                                   lam_max=lam_max)
+                                   lam_max=lam_max, Ainv=Ainv)
 
             if singular:
                 b = b - jnp.mean(b)
 
             Apsi = amul(psi1)
-            row_sum = d_eff + fine_op.off.sum(axis=1)
-            if fine_op.fb_cells.shape[0]:
-                row_sum = row_sum.at[fine_op.fb_cells].add(fine_op.fb_coeffs)
             pA = row_sum * jnp.mean(psi1)
             norm = (jnp.sum(jnp.abs(Apsi - pA)) + jnp.sum(jnp.abs(b - pA))
                     + _small(psi1.dtype))
@@ -491,12 +533,12 @@ class GAMG:
             return x, SolverPerf(res0, res, it)
 
         if psi.ndim == 1:
-            return solve_one(psi, mat.diag_eff(mesh), mat.source_eff(mesh))
+            prep = controls.get("_prep") or self.prepare(mesh, mat)
+            return solve_one(psi, mat.source_eff(mesh), prep)
         cols, perf0 = [], None
         for c in range(psi.shape[1]):
-            col, perf = solve_one(
-                psi[:, c], mat.diag_eff(mesh, c), mat.source_eff(mesh, c)
-            )
+            prep = self.prepare(mesh, _CmptView(mat, c))
+            col, perf = solve_one(psi[:, c], mat.source_eff(mesh, c), prep)
             cols.append(col)
             perf0 = perf0 or perf
         return jnp.stack(cols, axis=1), perf0

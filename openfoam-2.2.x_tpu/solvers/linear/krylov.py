@@ -207,15 +207,53 @@ def smooth_solver(
     n_sweeps: int = 1,
     omega: float = 0.9,
     row_sum=None,
+    lam_max=None,
     **_,
 ):
-    """smoothSolver with damped-Jacobi sweeps (reference:
-    smoothSolver.C + GaussSeidelSmoother — GS replaced by weighted
-    Jacobi, the parallel-equivalent smoother)."""
+    """smoothSolver (reference: smoothSolver.C + GaussSeidelSmoother).
+
+    The reference's Gauss-Seidel sweep is sequential along the cell
+    ordering — no TPU twin exists. The parallel-equivalent iteration
+    used here is CHEBYSHEV-accelerated Jacobi: each outer iteration runs
+    n_sweeps Chebyshev steps on the D^-1 A operator with a Gershgorin
+    upper bound (lam_max, supplied by the dispatcher). Chebyshev gives
+    the sqrt(kappa) acceleration plain (damped) Jacobi lacks — measured
+    451 Jacobi sweeps -> ~tens of Chebyshev sweeps on the cavity
+    momentum equation at equal per-sweep cost. Falls back to damped
+    Jacobi when no spectral bound is available. Tolerance semantics
+    (normFactor residual) are the reference's exactly."""
     Apsi, norm = _norm_factor(amul, psi0, b, row_sum)
     r0 = b - Apsi
     res0 = _sum(jnp.abs(r0)) / norm
-    rdiag = omega / diag
+    rdiag = 1.0 / diag
+    # Chebyshev needs several steps per residual check to amortise; the
+    # reference's nSweeps plays the same role. Use at least 4.
+    n_in = max(int(n_sweeps), 4)
+
+    if lam_max is not None:
+        lmax = 1.05 * lam_max
+        lmin = lmax / 30.0
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        sigma = theta / delta
+
+        def sweeps(psi):
+            z = (b - amul(psi)) * rdiag
+            d = z / theta
+            psi = psi + d
+            rho = 1.0 / sigma
+            for _ in range(n_in - 1):
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                z = (b - amul(psi)) * rdiag
+                d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
+                psi = psi + d
+                rho = rho_new
+            return psi
+    else:
+        def sweeps(psi):
+            for _ in range(n_in):
+                psi = psi + (b - amul(psi)) * (omega * rdiag)
+            return psi
 
     def cond(state):
         psi, it, res = state
@@ -223,15 +261,13 @@ def smooth_solver(
 
     def body(state):
         psi, it, res = state
-        for _ in range(n_sweeps):
-            r = b - amul(psi)
-            psi = psi + r * rdiag
+        psi = sweeps(psi)
         res = _sum(jnp.abs(b - amul(psi))) / norm
         return psi, it + 1, res
 
     init = (psi0, jnp.zeros((), jnp.int32), res0)
     psi, it, res = jax.lax.while_loop(cond, body, init)
-    return psi, SolverPerf(res0, res, it)
+    return psi, SolverPerf(res0, res, it * n_in)
 
 
 def diagonal_solver(amul, psi0, b, diag, **kw):

@@ -136,17 +136,29 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
     p_ctrl = cfg.p_controls or _default_controls()[0]
     u_ctrl = cfg.u_controls or _default_controls()[1]
 
+    from ..ops import schemes as schemes_mod
+    from ..ops import slot as slot_mod
+
     U: VolField = state["U"]
     p: VolField = state["p"]
     phi = state["phi"]
+    nif = mesh.n_internal_faces
     rdt = 1.0 / dt
     diag: Dict[str, Any] = {}
 
+    # slot-form flux (gather-free hot path, ops/slot.py): carried in the
+    # state next to the flat flux; derived once if absent
+    if "phi_slot" in state:
+        phi_slot = slot_mod.SlotFace(*state["phi_slot"], bv=phi[nif:])
+    else:
+        phi_slot = slot_mod.from_flat(mesh, phi)
+
     # -- momentum equation (laminar diffusion or turbulence divDevReff) -------
-    w_div = div_weights(mesh, phi, cfg.div_scheme, U)
+    w_slot = (None if cfg.div_scheme == "linear" else
+              schemes_mod.weights_slot(mesh, phi_slot, cfg.div_scheme, U))
     UEqn = (
         ddt_matrix(mesh, U, state, rdt, cfg.ddt_scheme)
-        + fvm.div(mesh, phi, U, weights=w_div)
+        + fvm.div(mesh, phi, U, phi_slot=phi_slot, slot_weights=w_slot)
     )
     if cfg.turb is not None:
         visc_mat, visc_expl = cfg.turb.div_dev_reff(mesh, state["turb"], U)
@@ -156,10 +168,12 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
         # non-Newtonian viscosity (reference: nonNewtonianIcoFoam +
         # singlePhaseTransportModel): nu(strainRate) updated each step
         nu_cell = cfg.nu_fn(mesh, U)
-        nu_face = face_interp_cell(mesh, nu_cell)
+        nu_b = nu_cell[mesh.owner[nif:]]
+        nu_slot = slot_mod.interpolate(mesh, nu_cell, bv=nu_b)
         UEqn = UEqn - fvm.laplacian(
-            mesh, nu_face, U, corrected=cfg.corrected,
-            gamma_dims=dimViscosity, limit=cfg.corr_limit)
+            mesh, slot_mod.to_flat(mesh, nu_slot), U,
+            corrected=cfg.corrected, gamma_dims=dimViscosity,
+            limit=cfg.corr_limit, gamma_slot=nu_slot)
     else:
         UEqn = UEqn - fvm.laplacian(
             mesh, jnp.asarray(cfg.nu, mesh.v.dtype), U,
@@ -176,12 +190,25 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
 
     # -- PISO corrector loop ----------------------------------------------------
     rA = 1.0 / UEqn.A(mesh)
+    rA_b = rA[mesh.owner[nif:]]
+    rAf_slot = slot_mod.interpolate(mesh, rA, bv=rA_b)
+    rAf = slot_mod.to_flat(mesh, rAf_slot)   # flat view: GAMG coarsening
+    rAf_dims = dimTime
+    # the pressure-matrix COEFFICIENTS are identical for every corrector
+    # and non-ortho iteration (rAf is fixed once UEqn is assembled) —
+    # assemble once and share one GAMG prep across all solves; only the
+    # source and the deferred non-ortho correction change per iteration
+    use_corr = cfg.corrected and not getattr(mesh, "orthogonal", False)
+    pEqn0 = fvm.laplacian(
+        mesh, rAf, p, corrected=cfg.corrected, gamma_dims=rAf_dims,
+        limit=cfg.corr_limit, defer_correction=True, gamma_slot=rAf_slot,
+    )
+    ctl_final0 = cfg.p_controls_final or p_ctrl
+    p_ctrl_p, ctl_final_p = linear.prepare_controls(
+        mesh, pEqn0, p_ctrl, ctl_final0)
+
     for corr in range(cfg.n_correctors):
         HbyA = rA[:, None] * UEqn.H(mesh, U.data)
-        # phiHbyA: internal by interpolation, boundary from U's BC values
-        hf = surface.interpolate_internal(mesh, HbyA)
-        nif = mesh.n_internal_faces
-        phiHbyA_i = jnp.sum(mesh.sf[:nif] * hf, axis=1) * mesh.face_active[:nif]
         phiHbyA_b = boundary_flux(mesh, U)
         if needs_reference(p, mesh):
             # global flux balance before the singular pressure solve
@@ -192,22 +219,25 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
             from .simple import adjust_phi
 
             phiHbyA_b = adjust_phi(mesh, phiHbyA_b, U)
-        phiHbyA = jnp.concatenate([phiHbyA_i, phiHbyA_b], axis=0)
-
-        rAf = face_interp_cell(mesh, rA)
-        rAf_dims = dimTime
+        phiHbyA = slot_mod.flux_of(mesh, HbyA, bv=phiHbyA_b)
 
         for nonorth in range(cfg.n_non_orth + 1):
-            pEqn = fvm.laplacian(
-                mesh, rAf, p, corrected=cfg.corrected,
-                gamma_dims=rAf_dims, limit=cfg.corr_limit,
-            )
-            pEqn = pEqn.replace_fields(
-                source=pEqn.source + surface.surface_sum(mesh, phiHbyA)
-            )
+            corr_face = None
+            if use_corr:
+                corr_face, corr_cell = slot_mod.laplacian_correction(
+                    mesh, rAf_slot, p.data, p.boundary_values(mesh),
+                    limit=cfg.corr_limit)
+                pEqn = pEqn0.replace_fields(
+                    source=pEqn0.source - corr_cell
+                    + slot_mod.surface_sum(mesh, phiHbyA),
+                )
+            else:
+                pEqn = pEqn0.replace_fields(
+                    source=pEqn0.source + slot_mod.surface_sum(mesh, phiHbyA)
+                )
             final = (corr == cfg.n_correctors - 1
                      and nonorth == cfg.n_non_orth)
-            ctl = (cfg.p_controls_final or p_ctrl) if final else p_ctrl
+            ctl = ctl_final_p if final else p_ctrl_p
             pEqn, ctl = linear.prep_pressure(
                 pEqn, needs_reference(p, mesh), ctl,
                 cfg.p_ref_cell, cfg.p_ref_value)
@@ -218,31 +248,46 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
                 diag["p_iters"] = pperf.n_iterations
             diag["p_final"] = pperf.final_residual
             if nonorth == cfg.n_non_orth:
-                phi = phiHbyA - pEqn.flux(mesh, p.data)
+                # phi = phiHbyA - pEqn.flux (all in slot form; the
+                # boundary flux part stays flat and small)
+                F = slot_mod.laplacian_flux(
+                    mesh, rAf_slot, p.data, corrected=use_corr,
+                    corr=corr_face)
+                p_bc = p.data[mesh.owner[nif:]]
+                F_b = pEqn.ic * p_bc - pEqn.bc
+                phi_slot = slot_mod.SlotFace(
+                    phiHbyA.sv - F.sv, phiHbyA.fb - F.fb, phiHbyA_b - F_b)
 
         grad_p = fvc.grad_of(mesh, p, cfg.grad_scheme)
         U = U.with_data(HbyA - rA[:, None] * grad_p)
-        U = U.correct_boundary_conditions(mesh, phi=phi)
+        phi_for_bc = jnp.concatenate(
+            [jnp.zeros(nif, phi.dtype), phi_slot.bv], axis=0)
+        U = U.correct_boundary_conditions(mesh, phi=phi_for_bc)
+    phi = slot_mod.to_flat(mesh, phi_slot)
 
     # -- turbulence correction (pisoFoam: turbulence->correct()) --------------
     new_turb = state.get("turb")
     if cfg.turb is not None:
         new_turb, tdiag = cfg.turb.correct(
-            mesh, state["turb"], U, phi, dt, controls=cfg.turb_controls)
+            mesh, state["turb"], U, phi, dt, controls=cfg.turb_controls,
+            phi_slot=phi_slot)
         diag.update({f"turb_{k}": v for k, v in tdiag.items()})
 
     # -- diagnostics --------------------------------------------------------------
-    div_phi = surface.surface_sum(mesh, phi)  # absolute continuity error * V
+    div_phi = slot_mod.surface_sum(mesh, phi_slot)  # continuity error * V
     diag["continuity"] = jnp.sum(jnp.abs(div_phi)) / jnp.sum(mesh.v)
     diag["continuity_global"] = jnp.sum(div_phi) / jnp.sum(mesh.v)
     # Courant number: 0.5 * sum|phi| / V * dt
-    sum_phi = jnp.sum(jnp.abs(phi)[mesh.cface] * jnp.abs(mesh.csign), axis=1)
+    sum_phi = slot_mod.weighted_cell_sum(mesh, phi_slot, absolute=True)
     diag["courant_max"] = 0.5 * jnp.max(sum_phi / mesh.v) * dt
-    diag["courant_mean"] = 0.5 * (jnp.sum(jnp.abs(phi) * mesh.face_active) /
-                                  jnp.sum(mesh.v)) * dt
+    diag["courant_mean"] = 0.5 * (
+        (jnp.sum(jnp.abs(phi_slot.sv) * mesh.st_valid)
+         + jnp.sum(jnp.abs(phi_slot.fb)) + 2.0 * jnp.sum(jnp.abs(phi_slot.bv)))
+        / (2.0 * jnp.sum(mesh.v))) * dt
 
     new_state = dict(state)
-    new_state.update(U=U, p=p, phi=phi)
+    new_state.update(U=U, p=p, phi=phi,
+                     phi_slot=(phi_slot.sv, phi_slot.fb))
     advance_time_state(state, new_state, U, rdt, cfg.ddt_scheme)
     if new_turb is not None:
         new_state["turb"] = new_turb
@@ -297,12 +342,16 @@ def initial_state(mesh, U: VolField, p: VolField,
                   turb_state: Optional[Dict] = None,
                   project: bool = True,
                   ddt_scheme: str = "Euler") -> Dict:
+    from ..ops import slot as slot_mod
+
     phi = fvc.flux(mesh, U)
     if project:
         phi = jax.jit(
             lambda ph: project_initial_flux(mesh, p, ph)
         )(phi)
-    st = {"U": U, "p": p, "phi": phi, "U0": U.data}
+    phi_sl = slot_mod.from_flat(mesh, phi)
+    st = {"U": U, "p": p, "phi": phi, "U0": U.data,
+          "phi_slot": (phi_sl.sv, phi_sl.fb)}
     toks = ddt_scheme.split()
     if toks[0] == "backward":
         # reference: deltaT0_ = GREAT until oldTime.oldTime exists ->

@@ -71,15 +71,25 @@ def simple_step(mesh, state: Dict, cfg: SimpleConfig) -> Tuple[Dict, Dict]:
                                 "relTol": 0.01}
     u_ctrl = cfg.u_controls or {"solver": "smoothSolver", "tolerance": 1e-5,
                                 "relTol": 0.1, "maxIter": 200, "nSweeps": 2}
+    from ..ops import schemes as schemes_mod
+    from ..ops import slot as slot_mod
+
     U: VolField = state["U"]
     p: VolField = state["p"]
     phi = state["phi"]
+    nif = mesh.n_internal_faces
     diag: Dict[str, Any] = {}
     dt = jnp.asarray(1.0, mesh.v.dtype)  # pseudo-time for turb ddt (steady)
 
+    if "phi_slot" in state:
+        phi_slot = slot_mod.SlotFace(*state["phi_slot"], bv=phi[nif:])
+    else:
+        phi_slot = slot_mod.from_flat(mesh, phi)
+
     # -- momentum predictor with under-relaxation ------------------------------
-    w_div = div_weights(mesh, phi, cfg.div_scheme, U)
-    UEqn = fvm.div(mesh, phi, U, weights=w_div)
+    w_slot = (None if cfg.div_scheme == "linear" else
+              schemes_mod.weights_slot(mesh, phi_slot, cfg.div_scheme, U))
+    UEqn = fvm.div(mesh, phi, U, phi_slot=phi_slot, slot_weights=w_slot)
     if cfg.turb is not None:
         visc_mat, visc_expl = cfg.turb.div_dev_reff(mesh, state["turb"], U)
         UEqn = UEqn + visc_mat
@@ -99,25 +109,37 @@ def simple_step(mesh, state: Dict, cfg: SimpleConfig) -> Tuple[Dict, Dict]:
     # -- pressure correction -------------------------------------------------------
     rA = 1.0 / UEqn.A(mesh)
     HbyA = rA[:, None] * UEqn.H(mesh, U.data)
-    hf = surface.interpolate_internal(mesh, HbyA)
-    nif = mesh.n_internal_faces
-    phiHbyA_i = jnp.sum(mesh.sf[:nif] * hf, axis=1) * mesh.face_active[:nif]
     phiHbyA_b = boundary_flux(mesh, U)
     closed = needs_reference(p, mesh)
     if closed:
         phiHbyA_b = adjust_phi(mesh, phiHbyA_b, U)
-    phiHbyA = jnp.concatenate([phiHbyA_i, phiHbyA_b], axis=0)
-    rAf = face_interp_cell(mesh, rA)
+    phiHbyA = slot_mod.flux_of(mesh, HbyA, bv=phiHbyA_b)
+    rA_b = rA[mesh.owner[nif:]]
+    rAf_slot = slot_mod.interpolate(mesh, rA, bv=rA_b)
+    rAf = slot_mod.to_flat(mesh, rAf_slot)
 
     p_old = p.data
+    # constant pressure-matrix coefficients across non-ortho iterations:
+    # assemble once, share one GAMG prep (see piso_step)
+    use_corr = cfg.corrected and not getattr(mesh, "orthogonal", False)
+    pEqn0 = fvm.laplacian(mesh, rAf, p, corrected=cfg.corrected,
+                          gamma_dims=dimTime, limit=cfg.corr_limit,
+                          defer_correction=True, gamma_slot=rAf_slot)
+    p_ctrl_p = linear.prepare_controls(mesh, pEqn0, p_ctrl)
     for nonorth in range(cfg.n_non_orth + 1):
-        pEqn = fvm.laplacian(mesh, rAf, p,
-                             corrected=cfg.corrected,
-                             gamma_dims=dimTime, limit=cfg.corr_limit)
-        pEqn = pEqn.replace_fields(
-            source=pEqn.source + surface.surface_sum(mesh, phiHbyA))
+        corr_face = None
+        if use_corr:
+            corr_face, corr_cell = slot_mod.laplacian_correction(
+                mesh, rAf_slot, p.data, p.boundary_values(mesh),
+                limit=cfg.corr_limit)
+            pEqn = pEqn0.replace_fields(
+                source=pEqn0.source - corr_cell
+                + slot_mod.surface_sum(mesh, phiHbyA))
+        else:
+            pEqn = pEqn0.replace_fields(
+                source=pEqn0.source + slot_mod.surface_sum(mesh, phiHbyA))
         pEqn, ctl_p = linear.prep_pressure(
-            pEqn, closed, p_ctrl, cfg.p_ref_cell, cfg.p_ref_value)
+            pEqn, closed, p_ctrl_p, cfg.p_ref_cell, cfg.p_ref_value)
         pdata, pperf = linear.solve(mesh, pEqn, p.data, ctl_p)
         p = p.with_data(pdata)
         if nonorth == 0:
@@ -125,29 +147,39 @@ def simple_step(mesh, state: Dict, cfg: SimpleConfig) -> Tuple[Dict, Dict]:
             diag["p_iters"] = pperf.n_iterations
         diag["p_final"] = pperf.final_residual
         if nonorth == cfg.n_non_orth:
-            phi = phiHbyA - pEqn.flux(mesh, p.data)
+            F = slot_mod.laplacian_flux(mesh, rAf_slot, p.data,
+                                        corrected=use_corr, corr=corr_face)
+            p_bc = p.data[mesh.owner[nif:]]
+            F_b = pEqn.ic * p_bc - pEqn.bc
+            phi_slot = slot_mod.SlotFace(
+                phiHbyA.sv - F.sv, phiHbyA.fb - F.fb, phiHbyA_b - F_b)
 
     # explicit pressure relaxation AFTER the flux correction (reference:
     # pEqn.H: p.relax() after phi update keeps the flux conservative)
     p = p.with_data(p_old + cfg.alpha_p * (p.data - p_old))
     grad_p = fvc.grad_of(mesh, p, cfg.grad_scheme)
     U = U.with_data(HbyA - rA[:, None] * grad_p)
-    U = U.correct_boundary_conditions(mesh, phi=phi)
+    phi = slot_mod.to_flat(mesh, phi_slot)
+    phi_for_bc = jnp.concatenate(
+        [jnp.zeros(nif, phi.dtype), phi_slot.bv], axis=0)
+    U = U.correct_boundary_conditions(mesh, phi=phi_for_bc)
 
     # -- turbulence -------------------------------------------------------------
     new_turb = state.get("turb")
     if cfg.turb is not None:
         new_turb, tdiag = cfg.turb.correct(
             mesh, state["turb"], U, phi, dt, steady=True,
-            relax=cfg.turb_relax, controls=cfg.turb_controls)
+            relax=cfg.turb_relax, controls=cfg.turb_controls,
+            phi_slot=phi_slot)
         diag.update({f"turb_{k}": v for k, v in tdiag.items()})
 
-    div_phi = surface.surface_sum(mesh, phi)
+    div_phi = slot_mod.surface_sum(mesh, phi_slot)
     diag["continuity"] = jnp.sum(jnp.abs(div_phi)) / jnp.sum(mesh.v)
     diag["continuity_global"] = jnp.sum(div_phi) / jnp.sum(mesh.v)
 
     new_state = dict(state)
-    new_state.update(U=U, p=p, phi=phi)
+    new_state.update(U=U, p=p, phi=phi,
+                     phi_slot=(phi_slot.sv, phi_slot.fb))
     if new_turb is not None:
         new_state["turb"] = new_turb
     return new_state, diag
