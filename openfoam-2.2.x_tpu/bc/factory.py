@@ -44,6 +44,7 @@ _ALIASES = {
     "slip": "slip",
     "symmetry": "symmetry",
     "symmetryPlane": "symmetryPlane",
+    "wedge": "wedge",
     "empty": "empty",
     "zeroGradient": "zeroGradient",
     "fixedValue": "fixedValue",

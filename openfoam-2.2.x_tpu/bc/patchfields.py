@@ -159,6 +159,11 @@ _VALUE_COEFFS: Dict[str, Callable] = {
     "symmetryPlane": _vc_symmetry,
     "symmetry": _vc_symmetry,
     "slip": _vc_symmetry,
+    # wedge: one-cell-thick axisymmetric sector (reference:
+    # constraint/wedge/) — for the small wedge angles the reference
+    # prescribes (<5 deg), the mirror/rotation transform is the
+    # symmetry transform to O(theta^2); scalars are zero-gradient
+    "wedge": _vc_symmetry,
     "noSlip": _vc_fixed_value,
     "inletOutlet": _vc_mixed,
     "outletInlet": _vc_mixed,
@@ -350,7 +355,7 @@ def default_bcs(mesh, rank: int) -> Tuple[PatchField, ...]:
     for p in mesh.patches:
         if p.type == "empty":
             out.append(PatchField(kind="empty", vfrac=0.0))
-        elif p.type in ("symmetryPlane", "symmetry"):
+        elif p.type in ("symmetryPlane", "symmetry", "wedge"):
             out.append(PatchField(kind=p.type, vfrac=0.0))
         else:
             out.append(zero_gradient())

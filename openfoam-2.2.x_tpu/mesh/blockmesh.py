@@ -238,7 +238,10 @@ def _parse_boundary(d: FoamDict) -> List[Tuple[str, str, List[np.ndarray]]]:
             quads = spec["faces"]
             if isinstance(quads, np.ndarray):
                 quads = [q for q in quads]
-            out.append((name, str(spec["type"]), [np.asarray(q, dtype=int) for q in quads]))
+            nbr = str(spec["neighbourPatch"]) if "neighbourPatch" in spec \
+                else None
+            out.append((name, str(spec["type"]),
+                        [np.asarray(q, dtype=int) for q in quads], nbr))
             i += 2
     elif "patches" in d:
         # legacy: patches ( wall movingWall ((3 7 6 2)) ... )
@@ -252,7 +255,8 @@ def _parse_boundary(d: FoamDict) -> List[Tuple[str, str, List[np.ndarray]]]:
                 quads = [q for q in quads]
             elif isinstance(quads, np.ndarray):
                 quads = [quads]
-            out.append((name, ptype, [np.asarray(q, dtype=int) for q in quads]))
+            out.append((name, ptype,
+                        [np.asarray(q, dtype=int) for q in quads], None))
             i += 3
     return out
 
@@ -351,7 +355,8 @@ def generate(dict_or_path) -> PolyMesh:
     # ---- assign boundary faces to patches ----------------------------------
     # patch side point sets: for each declared corner quad, find matching block side
     patch_pointsets: List[Tuple[str, str, set]] = []
-    for name, ptype, quads in patch_specs:
+    patch_nbrs = [nb for _, _, _, nb in patch_specs]
+    for name, ptype, quads, _nb in patch_specs:
         pset: set = set()
         for quad in quads:
             qset = set(int(x) for x in quad)
@@ -393,6 +398,7 @@ def generate(dict_or_path) -> PolyMesh:
         )
         patch_names.append("defaultFaces")
         patch_types.append("empty")
+        patch_nbrs.append(None)
         assigned[assigned < 0] = len(patch_pointsets)
 
     # boundary faces grouped per patch, ordered by owner cell within patch
@@ -403,7 +409,9 @@ def generate(dict_or_path) -> PolyMesh:
     for pi, (name, ptype) in enumerate(zip(patch_names, patch_types)):
         sel = np.nonzero(assigned == pi)[0]
         sel = sel[np.argsort(b_cells[sel], kind="stable")]
-        patches.append(Patch(name=name, type=ptype, start=start, size=sel.shape[0]))
+        patches.append(Patch(name=name, type=ptype, start=start,
+                             size=sel.shape[0],
+                             neighbour_patch=patch_nbrs[pi]))
         faces_out.append(b_faces[sel])
         owner_out.append(b_cells[sel])
         start += sel.shape[0]

@@ -110,16 +110,23 @@ def cell_centres_volumes(
     n_cells: int,
     cf: np.ndarray,
     sf: np.ndarray,
+    face_shift: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Cell centres/volumes by pyramid decomposition about the estimated
-    centre (average of face centres), as in the reference."""
+    centre (average of face centres), as in the reference. face_shift
+    [nIf,3] is the translation of internalised cyclic faces: the
+    neighbour cell sees the face at cf + shift (its own side of the
+    periodic gap)."""
     n_ifaces = neighbour.shape[0]
+    cf_nei = cf[:n_ifaces]
+    if face_shift is not None:
+        cf_nei = cf_nei + face_shift
     # estimated centre: average of face centres over each cell's faces
     c_est = np.zeros((n_cells, 3))
     n_cf = np.zeros(n_cells)
     np.add.at(c_est, owner, cf)
     np.add.at(n_cf, owner, 1.0)
-    np.add.at(c_est, neighbour, cf[:n_ifaces])
+    np.add.at(c_est, neighbour, cf_nei)
     np.add.at(n_cf, neighbour, 1.0)
     c_est /= n_cf[:, None]
 
@@ -133,7 +140,7 @@ def cell_centres_volumes(
         np.add.at(ctr, cells, pyr3vol[:, None] * pc)
 
     accum(owner, 1.0, cf, sf)
-    accum(neighbour, -1.0, cf[:n_ifaces], sf[:n_ifaces])
+    accum(neighbour, -1.0, cf_nei, sf[:n_ifaces])
 
     ctr = np.where(np.abs(vol)[:, None] > 1e-300, ctr / vol[:, None], c_est)
     vol = vol / 3.0
@@ -155,6 +162,9 @@ class PolyMesh:
     owner: np.ndarray           # [nF]
     neighbour: np.ndarray       # [nIf]
     patches: List[Patch]
+    # translation of internalised cyclic faces [nIf,3] (None = all zero):
+    # the neighbour cell's copy of the face sits at cf + face_shift
+    face_shift: np.ndarray = None
 
     # derived (filled by update_geometry)
     cf: np.ndarray = None       # face centres [nF,3]
@@ -208,7 +218,8 @@ class PolyMesh:
         self.cf, self.sf = face_centres_areas(self.points, self.face_pts, self.face_npts)
         self.mag_sf = np.linalg.norm(self.sf, axis=1)
         self.c, self.v = cell_centres_volumes(
-            self.owner, self.neighbour, self.n_cells, self.cf, self.sf
+            self.owner, self.neighbour, self.n_cells, self.cf, self.sf,
+            self.face_shift,
         )
         self._update_interpolation()
 
@@ -216,15 +227,20 @@ class PolyMesh:
         nif = self.n_internal_faces
         own, nei = self.owner[:nif], self.neighbour
         sf, cf = self.sf[:nif], self.cf[:nif]
+        c_nei = self.c[nei]
+        if self.face_shift is not None:
+            # cyclic-internalised faces: bring the neighbour cell centre
+            # into the owner side's frame
+            c_nei = c_nei - self.face_shift
 
         sfd_own = np.abs(np.einsum("fi,fi->f", sf, cf - self.c[own]))
-        sfd_nei = np.abs(np.einsum("fi,fi->f", sf, self.c[nei] - cf))
+        sfd_nei = np.abs(np.einsum("fi,fi->f", sf, c_nei - cf))
         w = np.ones(self.n_faces)
         w[:nif] = sfd_nei / np.maximum(sfd_own + sfd_nei, 1e-300)
         self.weights = w
 
         delta = np.empty((self.n_faces, 3))
-        delta[:nif] = self.c[nei] - self.c[own]
+        delta[:nif] = c_nei - self.c[own]
         bsl = slice(nif, self.n_faces)
         delta[bsl] = self.cf[bsl] - self.c[self.owner[bsl]]
         mag_delta = np.linalg.norm(delta, axis=1)
@@ -303,6 +319,109 @@ class PolyMesh:
         )
         out.update(offset_stencil(cface_i, csign, cnbr, cnbr_valid, nC))
         return out
+
+
+def internalize_cyclics(pm: PolyMesh) -> PolyMesh:
+    """Convert translationally-coupled cyclic patch pairs into internal
+    faces (reference: cyclicPolyPatch + cyclicFvPatchField,
+    src/OpenFOAM/meshes/polyMesh/polyPatches/constraint/cyclic/).
+
+    TPU-native design: instead of a coupled-interface update per solver
+    sweep, each cyclic face pair becomes ONE internal face whose
+    neighbour sits across the periodic gap; the separation vector is
+    recorded in PolyMesh.face_shift so deltas/weights are exact. The
+    periodic coupling then rides the ordinary offset-stencil machinery —
+    jnp.roll is itself periodic, so a renumbered periodic direction
+    costs nothing extra. Rotational cyclics (transform rotational) are
+    not supported yet and raise.
+    """
+    cyc = {p.name: p for p in pm.patches if p.type == "cyclic"}
+    if not cyc:
+        return pm
+    pairs = []
+    done = set()
+    for name, p in cyc.items():
+        if name in done:
+            continue
+        nbr_name = p.neighbour_patch
+        if nbr_name is None:
+            # find the partner pointing at us
+            for q in cyc.values():
+                if q.neighbour_patch == name:
+                    nbr_name = q.name
+                    break
+        if nbr_name is None or nbr_name not in cyc:
+            raise ValueError(f"cyclic patch {name!r} has no partner")
+        q = cyc[nbr_name]
+        pairs.append((p, q))
+        done.add(p.name)
+        done.add(q.name)
+
+    nif = pm.n_internal_faces
+    drop = np.zeros(pm.n_faces, dtype=bool)
+    new_own, new_nei, new_rows, new_shift = [], [], [], []
+    for p, q in pairs:
+        if p.size != q.size:
+            raise ValueError(
+                f"cyclic pair {p.name}/{q.name} sizes differ")
+        cfa = pm.cf[p.slice]
+        cfb = pm.cf[q.slice]
+        T = cfb.mean(axis=0) - cfa.mean(axis=0)
+        # match faces by shifted centre (translational transform only)
+        scale = max(float(np.max(np.abs(cfb - cfb.mean(axis=0)))), 1e-12)
+        key_a = np.round((cfa + T) / (1e-6 * scale)).astype(np.int64)
+        key_b = np.round(cfb / (1e-6 * scale)).astype(np.int64)
+        oa = np.lexsort(key_a.T)
+        ob = np.lexsort(key_b.T)
+        if not np.allclose(cfa[oa] + T, cfb[ob], atol=1e-4 * scale):
+            raise ValueError(
+                f"cyclic pair {p.name}/{q.name}: faces do not match under "
+                "a pure translation (rotational cyclics not supported yet)")
+        fa = p.start + oa
+        fb = q.start + ob
+        own_a = pm.owner[fa]
+        own_b = pm.owner[fb]
+        # keep owner < neighbour: take A's polygon when ownA <= ownB,
+        # else B's (each patch's faces point OUT of their own cell, so
+        # whichever polygon we keep is correctly owner-outward)
+        use_a = own_a <= own_b
+        rows = np.where(use_a, fa, fb)
+        new_own.append(np.where(use_a, own_a, own_b))
+        new_nei.append(np.where(use_a, own_b, own_a))
+        new_rows.append(rows)
+        new_shift.append(np.where(use_a[:, None], T[None, :], -T[None, :]))
+        drop[fa] = True
+        drop[fb] = True
+
+    new_rows = np.concatenate(new_rows)
+    add_shift = np.concatenate(new_shift)
+    n_add = new_rows.shape[0]
+    keep_b = ~drop
+    keep_b[:nif] = False
+    keep_idx = np.nonzero(keep_b)[0]
+
+    order = np.concatenate([np.arange(nif), new_rows, keep_idx])
+    face_pts = pm.face_pts[order]
+    face_npts = pm.face_npts[order]
+    owner = np.concatenate([pm.owner[:nif], np.concatenate(new_own),
+                            pm.owner[keep_idx]])
+    neighbour = np.concatenate([pm.neighbour, np.concatenate(new_nei)])
+    shift = np.zeros((nif + n_add, 3))
+    shift[nif:] = add_shift
+
+    # rebuild surviving boundary patches with new starts
+    patches = []
+    start = nif + n_add
+    for p in pm.patches:
+        if p.type == "cyclic":
+            continue
+        patches.append(Patch(name=p.name, type=p.type, start=start,
+                             size=p.size, neighbour_patch=p.neighbour_patch))
+        start += p.size
+
+    return PolyMesh(points=pm.points, face_pts=face_pts,
+                    face_npts=face_npts, owner=owner, neighbour=neighbour,
+                    patches=patches, face_shift=shift)
 
 
 def offset_stencil(cface_i, csign, cnbr, valid, n_cells, max_offsets=8):
@@ -470,8 +589,12 @@ class FvMesh:
 def to_device(mesh: PolyMesh) -> FvMesh:
     """Build the FvMesh pytree. All arrays are staged in NumPy and moved
     with ONE jax.device_put — per-array transfers cost ~seconds through
-    a tunneled TPU."""
+    a tunneled TPU. Cyclic patch pairs are internalised here (see
+    internalize_cyclics)."""
     import jax
+
+    if any(p.type == "cyclic" for p in mesh.patches):
+        mesh = internalize_cyclics(mesh)
 
     sdt = scalar_np()
     tabs = mesh.cell_tables()
