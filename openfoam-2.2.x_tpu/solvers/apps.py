@@ -616,6 +616,136 @@ def rhocentralfoam_app(case, max_steps: Optional[int] = None) -> None:
     log.info("End\n")
 
 
+def _read_gravity(case) -> Tuple[float, float, float]:
+    """constant/g (reference: uniformDimensionedVectorField g)."""
+    path = case.const_path("g")
+    if os.path.exists(path):
+        d = parse_file(path)
+        v = np.asarray(d.get("value")).reshape(-1)
+        return (float(v[0]), float(v[1]), float(v[2]))
+    return (0.0, -9.81, 0.0)
+
+
+def _dim_scalar_of(d: FoamDict, key: str, default: float) -> float:
+    if key not in d:
+        return default
+    try:
+        _, v = dimensioned_scalar(d[key])
+        return float(v)
+    except Exception:
+        return float(d[key])
+
+
+def _boussinesq_run(case, steady: bool, max_steps: Optional[int]) -> None:
+    """Shared driver for buoyantBoussinesq{Simple,Pimple}Foam
+    (reference: applications/solvers/heatTransfer/)."""
+    import jax.numpy as jnp
+
+    from . import buoyant as buoy_mod
+
+    mesh = case.mesh
+    tp = case.transport_properties()
+    _, nu = dimensioned_scalar(tp["nu"])
+    model, tstate = _load_turbulence(case, nu)
+    relax = _relaxation(case)
+    cname = "SIMPLE" if steady else "PIMPLE"
+    cdict = case.pimple_controls(cname)
+    turb_ctl = None
+    try:
+        turb_ctl = case.solver_controls("k")
+    except KeyError:
+        pass
+    try:
+        pf_ctl = case.solver_controls("p_rghFinal")
+    except KeyError:
+        pf_ctl = None
+    cfg = buoy_mod.BoussinesqConfig(
+        nu=nu,
+        beta=_dim_scalar_of(tp, "beta", 3e-3),
+        t_ref=_dim_scalar_of(tp, "TRef", 300.0),
+        pr=_dim_scalar_of(tp, "Pr", 0.7),
+        prt=_dim_scalar_of(tp, "Prt", 0.85),
+        g=_read_gravity(case),
+        steady=steady,
+        n_outer=int(cdict.get("nOuterCorrectors", 1)),
+        n_correctors=int(cdict.get("nCorrectors", 2)),
+        n_non_orth=int(cdict.get("nNonOrthogonalCorrectors", 0)),
+        corrected=case.laplacian_corrected(),
+        div_scheme=case.div_scheme("div(phi,U)"),
+        div_scheme_t=case.div_scheme("div(phi,T)"),
+        ddt_scheme=case.ddt_scheme(),
+        grad_scheme=case.grad_scheme("grad(p_rgh)"),
+        p_ref_cell=int(cdict.get("pRefCell", 0)),
+        p_ref_value=float(cdict.get("pRefValue", 0.0)),
+        alpha_u=relax.get("U", 0.3 if steady else 1.0),
+        alpha_p=relax.get("p_rgh", 0.7 if steady else 1.0),
+        alpha_t=relax.get("T", 0.5 if steady else 1.0),
+        p_controls=case.solver_controls("p_rgh"),
+        p_controls_final=pf_ctl,
+        u_controls=case.solver_controls("U"),
+        t_controls=case.solver_controls("T"),
+        turb=model,
+        turb_controls=turb_ctl,
+        turb_relax=relax.get("k", 0.7),
+    )
+    U = case.read_field("U")
+    p_rgh = case.read_field("p_rgh")
+    T = case.read_field("T")
+    state = buoy_mod.initial_state(mesh, U, p_rgh, T, turb_state=tstate,
+                                   steady=steady)
+    chunk_n = int(os.environ.get("FOAMTPU_CHUNK", "10"))
+    chunk = buoy_mod.make_chunk(mesh, cfg, chunk_n)
+    res_ctl = _residual_control(case, cname)
+    extra = model.field_names[:-1] if model else ()
+    name = ("buoyantBoussinesqSimpleFoam" if steady
+            else "buoyantBoussinesqPimpleFoam")
+    log.info(f"Starting loop: {name}, {mesh.n_cells} cells\n")
+    cumulative = 0.0
+    t = case.time
+    max_iter = max(int(round((t.end_time - t.start_time) / t.delta_t)), 1)
+    if max_steps is not None:
+        max_iter = min(max_iter, max_steps)
+    dt = jnp.asarray(1.0 if steady else t.delta_t, mesh.v.dtype)
+    from ..functionobjects import make_function_objects
+
+    fol = make_function_objects(case)
+
+    def write(state):
+        fields = [state["U"], state["p_rgh"], state["T"]]
+        if "turb" in state and state["turb"]:
+            fields += list(state["turb"].values())
+        case.write_fields(fields)
+
+    while t.index < max_iter:
+        state, diag = chunk(state, dt)
+        t.index += chunk_n
+        t.value = t.start_time + t.index * t.delta_t
+        t.current_dt = float(dt)
+        cumulative = _log_step(case, t, diag, cumulative, extra)
+        log.info(log.solver_line("T", diag["T"]))
+        fol.execute(t.name, state)
+        if t.write_time():
+            write(state)
+        if steady and simple_mod.converged(diag, res_ctl):
+            log.info(f"SIMPLE solution converged in {t.index} iterations\n")
+            break
+    write(state)
+    log.info("End\n")
+    case.final_state = state
+
+
+def buoyant_boussinesq_simplefoam(case, max_steps: Optional[int] = None):
+    _boussinesq_run(case, steady=True, max_steps=max_steps)
+
+
+def buoyant_boussinesq_pimplefoam(case, max_steps: Optional[int] = None):
+    _boussinesq_run(case, steady=False, max_steps=max_steps)
+
+
+case_mod.register_application("buoyantBoussinesqSimpleFoam",
+                              buoyant_boussinesq_simplefoam)
+case_mod.register_application("buoyantBoussinesqPimpleFoam",
+                              buoyant_boussinesq_pimplefoam)
 case_mod.register_application("icoFoam", icofoam)
 case_mod.register_application("nonNewtonianIcoFoam", non_newtonian_icofoam)
 case_mod.register_application("interFoam", interfoam_app)
