@@ -552,7 +552,298 @@ class KOmegaSST(TurbulenceModel):
         return new, diag
 
 
+class KOmega(TurbulenceModel):
+    """Wilcox k-omega (reference: RAS/kOmega/kOmega.C; coeffs
+    alpha=0.52, beta=0.072, betaStar=Cmu=0.09, alphaK=alphaOmega=0.5)."""
+
+    name = "kOmega"
+    field_names = ("k", "omega", "nut")
+
+    alpha = 0.52
+    beta = 0.072
+    betaStar = 0.09
+    alphaK = 0.5
+    alphaOmega = 0.5
+
+    def __init__(self, nu, coeffs=None):
+        super().__init__(nu, coeffs)
+        c = self.coeffs or {}
+        self.alpha = float(c.get("alpha", self.alpha))
+        self.beta = float(c.get("beta", self.beta))
+        self.betaStar = float(c.get("betaStar", c.get("Cmu", self.betaStar)))
+
+    def nut(self, mesh, tstate):
+        return tstate["nut"].data
+
+    def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
+                controls=None, phi_slot=None):
+        k_f, w_f, nut_f = tstate["k"], tstate["omega"], tstate["nut"]
+        k, omega, nut = k_f.data, w_f.data, nut_f.data
+        rdt = 1.0 / dt
+        diag = {}
+        phi_sl = _phi_slotform(mesh, phi, phi_slot)
+
+        G, S2 = production(mesh, nut, U)
+        wall_fn = _has_wall_fn(w_f, ("omegaWallFunction",))
+        if wall_fn:
+            mask, y1 = _wall_data(mesh)
+            sqrtk = jnp.sqrt(jnp.maximum(k, K_MIN))
+            w_vis = 6.0 * self.nu / (self.beta * y1 * y1)
+            w_log = sqrtk / ((self.betaStar ** 0.25) * _KAPPA * y1)
+            omega_wall = jnp.sqrt(w_vis ** 2 + w_log ** 2)
+            nutw = _wall_face_nut(mesh, nut_f)
+            magUp = jnp.linalg.norm(U.data, axis=1) / y1
+            G = jnp.where(mask > 0,
+                          (nutw + self.nu) * magUp
+                          * (self.betaStar ** 0.25) * sqrtk / (_KAPPA * y1),
+                          G)
+
+        # omega equation (reference: alpha*G*omega/k explicit,
+        # Sp(beta*omega) implicit)
+        w_flat, w_slot = _gamma_forms(
+            mesh, self.nu, nut_f.with_data(self.alphaOmega * nut))
+        ddt_w = (fvm.ddt(mesh, w_f, omega, rdt) if not steady
+                 else fvm.ddt_steady(mesh, w_f))
+        w_eqn = (
+            ddt_w
+            + _transport_ops(mesh, phi, phi_sl, w_f, self.div_scheme,
+                             w_flat, w_slot, self.corrected,
+                             self.corr_limit)
+            + fvm.Sp(mesh, self.beta * omega, w_f)
+        )
+        w_eqn = w_eqn.add_source(
+            self.alpha * G * omega / jnp.maximum(k, K_MIN), mesh)
+        if steady and relax < 1.0:
+            w_eqn = w_eqn.relax(mesh, relax, omega)
+        if wall_fn:
+            w_eqn = w_eqn.set_values(mask, omega_wall, mesh)
+        w_new, perf_w = _solve_transport(mesh, w_f, w_eqn, controls)
+        w_new = bound_below(w_new, OMEGA_MIN)
+        diag["omega"] = perf_w
+
+        k_flat, k_slot = _gamma_forms(
+            mesh, self.nu, nut_f.with_data(self.alphaK * nut))
+        ddt_k = (fvm.ddt(mesh, k_f, k, rdt) if not steady
+                 else fvm.ddt_steady(mesh, k_f))
+        k_eqn = (
+            ddt_k
+            + _transport_ops(mesh, phi, phi_sl, k_f, self.div_scheme,
+                             k_flat, k_slot, self.corrected,
+                             self.corr_limit)
+            + fvm.Sp(mesh, self.betaStar * w_new, k_f)
+        )
+        k_eqn = k_eqn.add_source(G, mesh)
+        if steady and relax < 1.0:
+            k_eqn = k_eqn.relax(mesh, relax, k)
+        k_new, perf_k = _solve_transport(mesh, k_f, k_eqn, controls)
+        k_new = bound_below(k_new, K_MIN)
+        diag["k"] = perf_k
+
+        nut_new = k_new / jnp.maximum(w_new, OMEGA_MIN)
+        new_nut = nut_f.with_data(nut_new).correct_boundary_conditions(
+            mesh, k=k_new, nu=self.nu, U=U.data)
+        new = dict(tstate)
+        new.update(k=k_f.with_data(k_new), omega=w_f.with_data(w_new),
+                   nut=new_nut)
+        return new, diag
+
+
+class SpalartAllmaras(TurbulenceModel):
+    """Spalart-Allmaras one-equation model, the 2.2 fv3 formulation
+    (reference: RAS/SpalartAllmaras/SpalartAllmaras.C): transport of
+    nuTilda with fv1/fv2/fv3 damping, Stilda from the vorticity
+    magnitude, fw destruction. Needs the wall distance."""
+
+    name = "SpalartAllmaras"
+    field_names = ("nuTilda", "nut")
+
+    sigmaNut = 0.66666
+    kappa = 0.41
+    Cb1 = 0.1355
+    Cb2 = 0.622
+    Cv1 = 7.1
+    Cv2 = 5.0
+    Cw2 = 0.3
+    Cw3 = 2.0
+
+    def __init__(self, nu, coeffs=None, y_wall=None):
+        super().__init__(nu, coeffs)
+        c = self.coeffs or {}
+        self.sigmaNut = float(c.get("sigmaNut", self.sigmaNut))
+        self.Cb1 = float(c.get("Cb1", self.Cb1))
+        self.Cb2 = float(c.get("Cb2", self.Cb2))
+        self.Cv1 = float(c.get("Cv1", self.Cv1))
+        self.Cw1 = (self.Cb1 / self.kappa ** 2
+                    + (1.0 + self.Cb2) / self.sigmaNut)
+        self.y_wall = y_wall
+
+    def init_wall_distance(self, poly_mesh, dtype):
+        from ...mesh.walldist import wall_distance
+
+        y = wall_distance(poly_mesh)
+        y = np.where(np.isfinite(y), y, 1e10)
+        self.y_wall = jnp.asarray(np.maximum(y, 1e-10).astype(dtype))
+
+    def nut(self, mesh, tstate):
+        return tstate["nut"].data
+
+    def _fv1(self, chi):
+        c3 = chi ** 3
+        return c3 / (c3 + self.Cv1 ** 3)
+
+    def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
+                controls=None, phi_slot=None):
+        nuT_f: VolField = tstate["nuTilda"]
+        nut_f: VolField = tstate["nut"]
+        nuT = nuT_f.data
+        rdt = 1.0 / dt
+        diag = {}
+        phi_sl = _phi_slotform(mesh, phi, phi_slot)
+        y = self.y_wall
+        nu = self.nu
+
+        chi = nuT / nu
+        fv1 = self._fv1(chi)
+        # reference fv2/fv3 (2.2 formulation)
+        fv2 = jnp.power(1.0 + chi / self.Cv2, -3.0)
+        fv3 = ((1.0 + chi * fv1) * (1.0 - fv2)
+               / jnp.maximum(chi, 1e-10))
+        g = fvc.grad(mesh, U)
+        w = 0.5 * (g - jnp.swapaxes(g, 1, 2))
+        Omega = jnp.sqrt(2.0 * jnp.sum(w * w, axis=(1, 2)))
+        ky2 = (self.kappa * y) ** 2
+        Stilda = fv3 * Omega + fv2 * nuT / ky2
+        Stilda = jnp.maximum(Stilda, 1e-10)
+
+        r = jnp.minimum(nuT / (Stilda * ky2), 10.0)
+        gw = r + self.Cw2 * (r ** 6 - r)
+        fw = gw * jnp.power(
+            (1.0 + self.Cw3 ** 6) / (gw ** 6 + self.Cw3 ** 6), 1.0 / 6.0)
+
+        # DnuTildaEff = (nuTilda + nu)/sigmaNut
+        dcoef = (nuT + nu) / self.sigmaNut
+        d_b = dcoef[mesh.owner[mesh.n_internal_faces:]]
+        from ...ops import slot as slot_mod
+
+        d_slot = slot_mod.interpolate(mesh, dcoef, bv=d_b)
+        d_flat = slot_mod.to_flat(mesh, d_slot)
+        from ...ops import schemes as sch
+
+        wself = sch.weights_slot(mesh, phi_sl, self.div_scheme, nuT_f)
+        gnt = fvc.grad_component(mesh, nuT, nuT_f.boundary_values(mesh))
+        mag2_gnt = jnp.sum(gnt * gnt, axis=1)
+        ddt_op = (fvm.ddt(mesh, nuT_f, nuT, rdt) if not steady
+                  else fvm.ddt_steady(mesh, nuT_f))
+        eqn = (
+            ddt_op
+            + fvm.div(mesh, phi, nuT_f, phi_slot=phi_sl, slot_weights=wself)
+            - fvm.laplacian(mesh, d_flat, nuT_f, corrected=self.corrected,
+                            gamma_dims=dimViscosity, limit=self.corr_limit,
+                            gamma_slot=d_slot)
+            + fvm.Sp(mesh, self.Cw1 * fw * nuT / (y * y), nuT_f)
+        )
+        eqn = eqn.add_source(
+            self.Cb1 * Stilda * nuT + (self.Cb2 / self.sigmaNut) * mag2_gnt,
+            mesh)
+        if steady and relax < 1.0:
+            eqn = eqn.relax(mesh, relax, nuT)
+        nuT_new, perf = _solve_transport(mesh, nuT_f, eqn, controls)
+        nuT_new = bound_below(nuT_new, 0.0)
+        diag["nuTilda"] = perf
+
+        chi_n = nuT_new / nu
+        nut_new = nuT_new * self._fv1(chi_n)
+        new_nut = nut_f.with_data(nut_new).correct_boundary_conditions(
+            mesh, nu=self.nu, U=U.data)
+        new = dict(tstate)
+        new.update(nuTilda=nuT_f.with_data(nuT_new), nut=new_nut)
+        return new, diag
+
+
+class LaunderSharmaKE(KEpsilon):
+    """Launder-Sharma low-Reynolds k-epsilon (reference:
+    RAS/LaunderSharmaKE/LaunderSharmaKE.C): damping functions
+    fMu = exp(-3.4/(1+Rt/50)^2), f2 = 1 - 0.3 exp(-Rt^2), plus the
+    D = 2 nu |grad sqrt(k)|^2 and E = 2 nu nut |grad grad U|^2 terms
+    (E approximated by its boundary-layer form; integrates to the wall,
+    NO wall functions)."""
+
+    name = "LaunderSharmaKE"
+    sigma_eps = 1.3
+
+    def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
+                controls=None, c1_field=None, phi_slot=None):
+        k_f: VolField = tstate["k"]
+        eps_f: VolField = tstate["epsilon"]
+        nut_f: VolField = tstate["nut"]
+        k, eps, nut = k_f.data, eps_f.data, nut_f.data
+        rdt = 1.0 / dt
+        diag = {}
+        phi_sl = _phi_slotform(mesh, phi, phi_slot)
+        nu = self.nu
+
+        Rt = jnp.maximum(k, K_MIN) ** 2 / (
+            nu * jnp.maximum(eps, EPS_MIN))
+        f2 = 1.0 - 0.3 * jnp.exp(-jnp.minimum(Rt * Rt, 50.0))
+        G, S2 = production(mesh, nut, U)
+        sqrtk = jnp.sqrt(jnp.maximum(k, K_MIN))
+        gsk = fvc.grad_component(mesh, sqrtk,
+                                 sqrtk[mesh.owner[mesh.n_internal_faces:]])
+        D = 2.0 * nu * jnp.sum(gsk * gsk, axis=1)
+        E = 2.0 * nu * nut * S2  # boundary-layer form of the E term
+
+        eps_flat, eps_slot = _gamma_forms(mesh, nu, nut_f, self.sigma_eps)
+        ddt_e = (fvm.ddt(mesh, eps_f, eps, rdt) if not steady
+                 else fvm.ddt_steady(mesh, eps_f))
+        eps_eqn = (
+            ddt_e
+            + _transport_ops(mesh, phi, phi_sl, eps_f, self.div_scheme,
+                             eps_flat, eps_slot, self.corrected,
+                             self.corr_limit)
+            + fvm.Sp(mesh, self.C2 * f2 * eps / jnp.maximum(k, K_MIN),
+                     eps_f)
+        )
+        eps_eqn = eps_eqn.add_source(
+            self.C1 * G * eps / jnp.maximum(k, K_MIN) + E, mesh)
+        if steady and relax < 1.0:
+            eps_eqn = eps_eqn.relax(mesh, relax, eps)
+        eps_new, perf_e = _solve_transport(mesh, eps_f, eps_eqn, controls)
+        eps_new = bound_below(eps_new, EPS_MIN)
+        diag["epsilon"] = perf_e
+
+        k_flat, k_slot = _gamma_forms(mesh, nu, nut_f, self.sigma_k)
+        ddt_k = (fvm.ddt(mesh, k_f, k, rdt) if not steady
+                 else fvm.ddt_steady(mesh, k_f))
+        k_eqn = (
+            ddt_k
+            + _transport_ops(mesh, phi, phi_sl, k_f, self.div_scheme,
+                             k_flat, k_slot, self.corrected,
+                             self.corr_limit)
+            + fvm.Sp(mesh, (eps_new + D) / jnp.maximum(k, K_MIN), k_f)
+        )
+        k_eqn = k_eqn.add_source(G, mesh)
+        if steady and relax < 1.0:
+            k_eqn = k_eqn.relax(mesh, relax, k)
+        k_new, perf_k = _solve_transport(mesh, k_f, k_eqn, controls)
+        k_new = bound_below(k_new, K_MIN)
+        diag["k"] = perf_k
+
+        Rt_n = k_new ** 2 / (nu * jnp.maximum(eps_new, EPS_MIN))
+        fMu = jnp.exp(-3.4 / (1.0 + Rt_n / 50.0) ** 2)
+        nut_new = self.Cmu * fMu * k_new ** 2 / jnp.maximum(eps_new,
+                                                            EPS_MIN)
+        new_nut = nut_f.with_data(nut_new).correct_boundary_conditions(
+            mesh, k=k_new, nu=nu, U=U.data)
+        new = dict(tstate)
+        new.update(k=k_f.with_data(k_new), epsilon=eps_f.with_data(eps_new),
+                   nut=new_nut)
+        return new, diag
+
+
 register("kEpsilon", KEpsilon)
 register("RNGkEpsilon", RNGkEpsilon)
 register("realizableKE", RealizableKE)
 register("kOmegaSST", KOmegaSST)
+register("kOmega", KOmega)
+register("SpalartAllmaras", SpalartAllmaras)
+register("LaunderSharmaKE", LaunderSharmaKE)

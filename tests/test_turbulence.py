@@ -212,3 +212,157 @@ def test_smagorinsky_les():
     assert np.isfinite(u).all()
     assert (nut >= 0).all()
     assert float(diag["continuity"]) < 1e-3
+
+
+def test_komega_channel():
+    """Wilcox k-omega (reference: RAS/kOmega/) on the channel."""
+    mesh = channel_mesh()
+    U, p, tstate = channel_fields(mesh, with_omega=True)
+    model = select(_props("kOmega"), NU)
+    cfg = simple.SimpleConfig(
+        nu=NU, alpha_u=0.7, alpha_p=0.3, div_scheme="limitedLinear 1",
+        p_controls={"solver": "PCG", "tolerance": 1e-7, "relTol": 0.01},
+        u_controls={"solver": "PBiCGStab", "tolerance": 1e-7, "relTol": 0.1},
+        turb=model,
+    )
+    step = simple.make_step(mesh, cfg)
+    state = piso.initial_state(mesh, U, p, turb_state=tstate)
+    for _ in range(50):
+        state, diag = step(state)
+    u = np.asarray(state["U"].data)
+    k = np.asarray(state["turb"]["k"].data)
+    om = np.asarray(state["turb"]["omega"].data)
+    nut = np.asarray(state["turb"]["nut"].data)
+    assert np.isfinite(u).all() and np.isfinite(k).all()
+    assert (k > 0).all() and (om > 0).all() and (nut >= 0).all()
+    assert nut.max() > 3 * NU
+    assert float(diag["continuity"]) < 1e-3
+
+
+def test_spalart_allmaras_channel():
+    """SpalartAllmaras (reference: RAS/SpalartAllmaras/) on the channel:
+    nuTilda transport develops nut > molecular, stays positive."""
+    import foamtpu.mesh.blockmesh as bm
+    from foamtpu.core.dictionary import parse_string as ps
+
+    d = ps("""
+vertices (
+    (0 0 0) (2 0 0) (2 0.1 0) (0 0.1 0)
+    (0 0 0.01) (2 0 0.01) (2 0.1 0.01) (0 0.1 0.01)
+);
+blocks ( hex (0 1 2 3 4 5 6 7) (30 10 1) simpleGrading (1 1 1) );
+boundary (
+    inlet { type patch; faces ((0 4 7 3)); }
+    outlet { type patch; faces ((2 6 5 1)); }
+    walls { type wall; faces ((1 5 4 0) (3 7 6 2)); }
+    frontAndBack { type empty; faces ((0 3 2 1) (4 5 6 7)); }
+);
+""")
+    poly = bm.generate(d)
+    mesh = to_device(poly)
+    U, p, _ = channel_fields(mesh)
+    nuT0 = 3.0 * NU
+
+    def pface(patch, v):
+        return jnp.broadcast_to(jnp.asarray(v), (patch.size,))
+
+    ntbcs, nutbcs = [], []
+    for patch in mesh.patches:
+        if patch.type == "empty":
+            ntbcs.append(pf.PatchField(kind="empty", vfrac=0.0))
+            nutbcs.append(pf.PatchField(kind="empty", vfrac=0.0))
+        elif patch.name == "inlet":
+            ntbcs.append(pf.fixed_value(pface(patch, nuT0)))
+            nutbcs.append(pf.make("calculated", ref_value=pface(patch, 0.0)))
+        elif patch.name == "outlet":
+            ntbcs.append(pf.zero_gradient())
+            nutbcs.append(pf.make("calculated", ref_value=pface(patch, 0.0)))
+        else:  # walls: nuTilda = 0
+            ntbcs.append(pf.fixed_value(pface(patch, 0.0)))
+            nutbcs.append(pf.make("nutUWallFunction",
+                                  ref_value=pface(patch, 0.0)))
+    from foamtpu.core.fields import vol_scalar as vs
+    nuTilda = vs(mesh, nuT0, name="nuTilda", dims=dimViscosity,
+                 bcs=tuple(ntbcs))
+    nut = vs(mesh, 0.0, name="nut", dims=dimViscosity, bcs=tuple(nutbcs))
+    model = select(_props("SpalartAllmaras"), NU)
+    model.init_wall_distance(poly, np.asarray(mesh.v).dtype)
+    tstate = {"nuTilda": nuTilda, "nut": nut}
+    cfg = simple.SimpleConfig(
+        nu=NU, alpha_u=0.7, alpha_p=0.3, div_scheme="limitedLinear 1",
+        p_controls={"solver": "PCG", "tolerance": 1e-7, "relTol": 0.01},
+        u_controls={"solver": "PBiCGStab", "tolerance": 1e-7, "relTol": 0.1},
+        turb=model,
+    )
+    step = simple.make_step(mesh, cfg)
+    state = piso.initial_state(mesh, U, p, turb_state=tstate)
+    for _ in range(50):
+        state, diag = step(state)
+    u = np.asarray(state["U"].data)
+    nuT = np.asarray(state["turb"]["nuTilda"].data)
+    nutv = np.asarray(state["turb"]["nut"].data)
+    assert np.isfinite(u).all() and np.isfinite(nuT).all()
+    assert (nuT >= 0).all() and (nutv >= 0).all()
+    # at Re_H = 1e3 with nuTilda_in = 3 nu the fv1 damping keeps
+    # nut ~ 0.07 nuTilda (chi = 3) — check the expected magnitude, that
+    # the transport stayed bounded, and that walls pulled nuTilda down
+    assert 0.05 * NU < nutv.max() < 2.0 * NU
+    assert nuT.max() < 10 * 3.0 * NU
+    wall_rows = np.asarray(state["turb"]["nuTilda"].data).reshape(30, 10)
+    assert wall_rows[:, 0].mean() < wall_rows[:, 5].mean()
+    assert float(diag["continuity"]) < 1e-3
+
+
+def test_launder_sharma_channel():
+    """LaunderSharmaKE low-Re model (reference: RAS/LaunderSharmaKE/):
+    integrates to the wall (fixedValue k=0 at walls, no wall functions)."""
+    mesh = channel_mesh(nx=30, ny=16)
+    I, L = 0.05, 0.01
+    k0 = 1.5 * (1.0 * I) ** 2
+    eps0 = 0.09 ** 0.75 * k0 ** 1.5 / L
+
+    def pface(patch, v):
+        return jnp.broadcast_to(jnp.asarray(v), (patch.size,))
+
+    U, p, _ = channel_fields(mesh)
+    kbcs, ebcs, nutbcs = [], [], []
+    for patch in mesh.patches:
+        if patch.type == "empty":
+            for lst in (kbcs, ebcs, nutbcs):
+                lst.append(pf.PatchField(kind="empty", vfrac=0.0))
+        elif patch.name == "inlet":
+            kbcs.append(pf.fixed_value(pface(patch, k0)))
+            ebcs.append(pf.fixed_value(pface(patch, eps0)))
+            nutbcs.append(pf.make("calculated", ref_value=pface(patch, 0.0)))
+        elif patch.name == "outlet":
+            kbcs.append(pf.zero_gradient())
+            ebcs.append(pf.zero_gradient())
+            nutbcs.append(pf.make("calculated", ref_value=pface(patch, 0.0)))
+        else:  # walls: k=0, epsilon zeroGradient (LS: eps~ = 0 at wall)
+            kbcs.append(pf.fixed_value(pface(patch, 0.0)))
+            ebcs.append(pf.zero_gradient())
+            nutbcs.append(pf.make("calculated", ref_value=pface(patch, 0.0)))
+    from foamtpu.core.fields import vol_scalar as vs
+    from foamtpu.core.dimensions import DimensionSet as DS
+    k = vs(mesh, k0, name="k", dims=DS.of(0, 2, -2), bcs=tuple(kbcs))
+    eps = vs(mesh, eps0, name="epsilon", dims=DS.of(0, 2, -3),
+             bcs=tuple(ebcs))
+    nut = vs(mesh, 0.0, name="nut", dims=dimViscosity, bcs=tuple(nutbcs))
+    model = select(_props("LaunderSharmaKE"), NU)
+    tstate = {"k": k, "epsilon": eps, "nut": nut}
+    cfg = simple.SimpleConfig(
+        nu=NU, alpha_u=0.7, alpha_p=0.3, div_scheme="limitedLinear 1",
+        p_controls={"solver": "PCG", "tolerance": 1e-7, "relTol": 0.01},
+        u_controls={"solver": "PBiCGStab", "tolerance": 1e-7, "relTol": 0.1},
+        turb=model,
+    )
+    step = simple.make_step(mesh, cfg)
+    state = piso.initial_state(mesh, U, p, turb_state=tstate)
+    for _ in range(50):
+        state, diag = step(state)
+    u = np.asarray(state["U"].data)
+    kk = np.asarray(state["turb"]["k"].data)
+    ee = np.asarray(state["turb"]["epsilon"].data)
+    assert np.isfinite(u).all() and np.isfinite(kk).all()
+    assert (kk > 0).all() and (ee > 0).all()
+    assert float(diag["continuity"]) < 1e-3
