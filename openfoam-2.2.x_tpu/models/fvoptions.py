@@ -1,0 +1,262 @@
+"""fvOptions — run-time-selectable sources/constraints injected into
+equations.
+
+Rebuild of reference: src/fvOptions/ (fv::option, fv::optionList, NEW
+in 2.2.0) read from system/fvOptions (or constant/fvOptions). Supported
+option types:
+
+- semiImplicitSource        explicit Su + implicit Sp volume sources
+                            (reference: sources/general/semiImplicitSource)
+- meanVelocityForce /       body force adjusted each iteration to hold
+  pressureGradientExplicitSource  a prescribed bulk velocity Ubar
+                            (reference: sources/derived/meanVelocityForce)
+- explicitPorositySource    Darcy-Forchheimer porous sink
+                            -(mu d + rho/2 |U| f) U on the zone
+                            (reference: sources/derived/explicitPorositySource
+                            + cfdTools porousZone)
+- actuationDiskSource       momentum sink of an actuator disk,
+                            T = 2 rho A a (1-a) Uo^2 spread over the zone
+                            (reference: sources/derived/actuationDiskSource)
+- MRFSource (Coriolis)      rotating-frame Coriolis force -2w x U ->
+                            here the MRF zone term -(w x U) as in
+                            MRFZone::addCoriolis (reference:
+                            cfdTools/general/MRF/MRFZone.C). NOTE: the
+                            zone-face relative-flux correction is not
+                            yet applied — valid for zones whose
+                            boundaries are far from the rotating region.
+
+Zone selection (selectionMode): `all`, or `box` ((min) (max)) on cell
+centres — the topoSet/cellZone machinery equivalent for box regions;
+`cellZone` names require mesh zones (not yet read) and raise.
+
+All option data is static trace-time config; per-iteration state (the
+meanVelocityForce gradient) lives in the solver state under
+state["fvopt"].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dictionary import FoamDict, dimensioned_scalar
+from ..ops import fvm
+from ..ops.matrix import FvMatrix
+
+
+def _zone_mask(mesh, spec: FoamDict) -> Any:
+    mode = str(spec.get("selectionMode", "all"))
+    c = np.asarray(mesh.c)
+    if mode == "all":
+        m = np.ones(c.shape[0])
+    elif mode in ("box", "boxToCell"):
+        box = np.asarray(spec.get("box")).reshape(2, 3)
+        m = np.all((c >= box[0]) & (c <= box[1]), axis=1).astype(float)
+    elif mode == "cellZone":
+        raise NotImplementedError(
+            "fvOptions selectionMode cellZone needs mesh cellZones; use "
+            "selectionMode box ((xmin ymin zmin) (xmax ymax zmax))")
+    else:
+        raise ValueError(f"unknown selectionMode {mode!r}")
+    return jnp.asarray(m, np.asarray(mesh.v).dtype)
+
+
+def _vec(v) -> np.ndarray:
+    return np.asarray(v, dtype=float).reshape(3)
+
+
+@dataclasses.dataclass
+class Option:
+    name: str
+    kind: str
+    mask: Any                  # [nC] 1/0 zone mask
+    fields: Tuple[str, ...]
+    data: Dict[str, Any]
+
+    # ---- equation hooks -----------------------------------------------------
+    def add_to(self, mesh, eqn: FvMatrix, field_name: str, field,
+               U=None, fvopt_state=None) -> FvMatrix:
+        if field_name not in self.fields:
+            return eqn
+        k = self.kind
+        d = self.data
+        m = self.mask
+        if k == "semiImplicitSource":
+            su, sp = d["Su"].get(field_name), d["Sp"].get(field_name)
+            if su is not None:
+                su_v = jnp.asarray(su, mesh.v.dtype)
+                v = mesh.v * m
+                add = (v[:, None] * su_v[None, :] if np.ndim(su) == 1
+                       else v * su_v)
+                eqn = eqn.replace_fields(source=eqn.source + add)
+            if sp is not None:
+                # implicit sp*psi: diag -= V*sp (sp<0 stabilises)
+                eqn = eqn.replace_fields(
+                    diag=eqn.diag - mesh.v * m * float(sp))
+            return eqn
+        if k == "meanVelocityForce":
+            gradp = (fvopt_state or {}).get(f"gradP_{self.name}",
+                                            jnp.zeros((), mesh.v.dtype))
+            fdir = jnp.asarray(d["flowDir"], mesh.v.dtype)
+            add = (mesh.v * m)[:, None] * gradp * fdir[None, :]
+            return eqn.replace_fields(source=eqn.source + add)
+        if k == "explicitPorositySource":
+            dd = jnp.asarray(d["d"], mesh.v.dtype)
+            ff = jnp.asarray(d["f"], mesh.v.dtype)
+            nu = float(d.get("nu", 0.0))
+            magU = jnp.linalg.norm(U.data, axis=1)
+            # isotropic Darcy-Forchheimer: Sp = (nu*d + 0.5*f*|U|) per
+            # component (diagonal tensor assumed; reference supports
+            # full tensors via coordinateSystem — diagonal average here)
+            dcoef = jnp.mean(dd) * nu + 0.5 * jnp.mean(ff) * magU
+            return eqn.replace_fields(diag=eqn.diag + mesh.v * m * dcoef)
+        if k == "actuationDiskSource":
+            Cp, Ct = float(d["Cp"]), float(d["Ct"])
+            area = float(d["diskArea"])
+            ddir = _vec(d["diskDir"])
+            ddir = ddir / max(np.linalg.norm(ddir), 1e-30)
+            a = 1.0 - Cp / max(Ct, 1e-30)
+            upstream = jnp.asarray(d.get("upstreamU", 1.0), mesh.v.dtype)
+            vol_zone = jnp.maximum(jnp.sum(mesh.v * m), 1e-30)
+            T = 2.0 * area * upstream ** 2 * a * (1.0 - a)
+            f = -(T / vol_zone) * jnp.asarray(ddir, mesh.v.dtype)
+            add = (mesh.v * m)[:, None] * f[None, :]
+            return eqn.replace_fields(source=eqn.source + add)
+        if k == "MRFSource":
+            omega = jnp.asarray(d["omega_vec"], mesh.v.dtype)
+            wxu = jnp.cross(jnp.broadcast_to(omega, U.data.shape), U.data)
+            add = -(mesh.v * m)[:, None] * wxu
+            return eqn.replace_fields(source=eqn.source + add)
+        return eqn
+
+    # ---- post-solve corrections (meanVelocityForce gradP update) -----------
+    def correct(self, mesh, U, rAU, fvopt_state: Dict) -> Tuple[Any, Dict]:
+        if self.kind != "meanVelocityForce":
+            return U, fvopt_state
+        d = self.data
+        m = self.mask
+        fdir = jnp.asarray(d["flowDir"], mesh.v.dtype)
+        ubar = float(d["Ubar_mag"])
+        vz = jnp.maximum(jnp.sum(mesh.v * m), 1e-30)
+        ubar_now = jnp.sum(mesh.v * m * (U.data @ fdir)) / vz
+        rAU_bar = jnp.sum(mesh.v * m * rAU) / vz
+        dgrad = (ubar - ubar_now) / jnp.maximum(rAU_bar, 1e-30)
+        # velocity nudged immediately (reference: U += rAU*dGradP*dir),
+        # gradP accumulated for the next iteration's source
+        Unew = U.with_data(
+            U.data + (m * rAU * dgrad)[:, None] * fdir[None, :])
+        key = f"gradP_{self.name}"
+        st = dict(fvopt_state)
+        st[key] = st.get(key, jnp.zeros((), mesh.v.dtype)) + dgrad
+        return Unew, st
+
+
+class OptionList:
+    """fv::optionList — applies every active option to an equation."""
+
+    def __init__(self, options: List[Option]):
+        self.options = options
+
+    def __bool__(self):
+        return bool(self.options)
+
+    def add_to(self, mesh, eqn, field_name, field, U=None,
+               fvopt_state=None):
+        for o in self.options:
+            eqn = o.add_to(mesh, eqn, field_name, field, U=U,
+                           fvopt_state=fvopt_state)
+        return eqn
+
+    def correct_U(self, mesh, U, rAU, fvopt_state: Optional[Dict]):
+        st = dict(fvopt_state or {})
+        for o in self.options:
+            U, st = o.correct(mesh, U, rAU, st)
+        return U, st
+
+    def init_state(self, mesh) -> Dict:
+        st = {}
+        for o in self.options:
+            if o.kind == "meanVelocityForce":
+                st[f"gradP_{o.name}"] = jnp.zeros((), mesh.v.dtype)
+        return st
+
+
+def _parse_option(mesh, name: str, spec: FoamDict, nu: float) -> Option:
+    kind = str(spec.get("type"))
+    sub = spec.get(f"{kind}Coeffs", spec)
+    mask = _zone_mask(mesh, sub if "selectionMode" in sub else spec)
+    if kind == "semiImplicitSource":
+        inj = sub.get("injectionRateSuSp", FoamDict())
+        su: Dict[str, Any] = {}
+        sp: Dict[str, Any] = {}
+        fields = []
+        for fname, pair in inj.items():
+            fname = str(fname)
+            fields.append(fname)
+            arr = list(np.asarray(pair, dtype=object).reshape(-1)) \
+                if not isinstance(pair, (list, tuple)) else list(pair)
+            su[fname] = np.asarray(arr[0], dtype=float)
+            sp[fname] = float(arr[1]) if len(arr) > 1 else 0.0
+        return Option(name, kind, mask, tuple(fields),
+                      {"Su": su, "Sp": sp})
+    if kind in ("meanVelocityForce", "pressureGradientExplicitSource",
+                "patchMeanVelocityForce"):
+        ub = _vec(sub.get("Ubar"))
+        mag = float(np.linalg.norm(ub))
+        fdir = ub / max(mag, 1e-30)
+        fields = tuple(str(f) for f in sub.get("fieldNames", ["U"]))
+        return Option(name, "meanVelocityForce", mask, fields or ("U",),
+                      {"Ubar_mag": mag, "flowDir": fdir})
+    if kind in ("explicitPorositySource", "DarcyForchheimer"):
+        dtab = sub.get("DarcyForchheimerCoeffs", sub)
+        dvec = _vec(dtab.get("d", (0.0, 0.0, 0.0)) if "d" not in sub
+                    else sub["d"])
+        fvec = _vec(dtab.get("f", (0.0, 0.0, 0.0)) if "f" not in sub
+                    else sub["f"])
+        return Option(name, "explicitPorositySource", mask, ("U",),
+                      {"d": dvec, "f": fvec, "nu": nu})
+    if kind == "actuationDiskSource":
+        return Option(name, kind, mask, ("U",), {
+            "Cp": float(sub.get("Cp", 0.386)),
+            "Ct": float(sub.get("Ct", 0.58)),
+            "diskArea": float(sub.get("diskArea", 1.0)),
+            "diskDir": _vec(sub.get("diskDir", (1.0, 0.0, 0.0))),
+            "upstreamU": float(sub.get("upstreamU", 1.0)),
+        })
+    if kind in ("MRFSource", "MRF"):
+        axis = _vec(sub.get("axis", (0.0, 0.0, 1.0)))
+        axis = axis / max(np.linalg.norm(axis), 1e-30)
+        om = float(sub.get("omega", 0.0))
+        return Option(name, "MRFSource", mask, ("U",),
+                      {"omega_vec": om * axis})
+    raise ValueError(f"unknown fvOption type {kind!r}")
+
+
+def from_dict(mesh, d: FoamDict, nu: float = 0.0) -> OptionList:
+    opts = []
+    for name, spec in d.items():
+        if not isinstance(spec, FoamDict) or "type" not in spec:
+            continue
+        active = str(spec.get("active", "true")) in ("true", "yes", "on",
+                                                     "1", "True")
+        if not active:
+            continue
+        opts.append(_parse_option(mesh, str(name), spec, nu))
+    return OptionList(opts)
+
+
+def from_case(case, nu: float = 0.0) -> Optional[OptionList]:
+    """Read system/fvOptions or constant/fvOptions (reference lookup
+    order)."""
+    import os
+
+    from ..core.dictionary import parse_file
+
+    for cand in (case.sys_path("fvOptions"), case.const_path("fvOptions")):
+        if os.path.exists(cand):
+            ol = from_dict(case.mesh, parse_file(cand), nu)
+            return ol if ol else None
+    return None

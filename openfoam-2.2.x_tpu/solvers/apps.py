@@ -60,6 +60,14 @@ def _load_turbulence(case, nu: float):
     return model, tstate
 
 
+def _load_fvoptions(case, nu: float):
+    """system/fvOptions -> OptionList (reference: fv::optionList
+    constructed by every solver; None when the file is absent)."""
+    from ..models import fvoptions as fvopt_mod
+
+    return fvopt_mod.from_case(case, nu)
+
+
 def _relaxation(case) -> Dict[str, float]:
     out: Dict[str, float] = {}
     rf = case.fv_solution.get("relaxationFactors")
@@ -154,10 +162,13 @@ def _run_piso(case, max_steps, with_turbulence: bool,
         turb=model,
         turb_controls=turb_ctl,
         nu_fn=nu_fn,
+        fv_options=_load_fvoptions(case, nu),
     )
     step = piso_mod.make_step(mesh, cfg)
     state = piso_mod.initial_state(mesh, U, p, turb_state=tstate,
                                    ddt_scheme=cfg.ddt_scheme)
+    if cfg.fv_options:
+        state["fvopt"] = cfg.fv_options.init_state(mesh)
 
     from ..functionobjects import make_function_objects
 
@@ -319,11 +330,14 @@ def simplefoam(case, max_steps: Optional[int] = None) -> None:
         turb=model,
         turb_controls=turb_ctl,
         turb_relax=relax.get("k", relax.get("epsilon", 0.7)),
+        fv_options=_load_fvoptions(case, nu),
     )
     # chunked stepping: one host round-trip per `chunk` iterations
     chunk_n = int(os.environ.get("FOAMTPU_CHUNK", "10"))
     chunk = simple_mod.make_chunk(mesh, cfg, chunk_n)
     state = piso_mod.initial_state(mesh, U, p, turb_state=tstate)
+    if cfg.fv_options:
+        state["fvopt"] = cfg.fv_options.init_state(mesh)
     res_ctl = _residual_control(case, "SIMPLE")
 
     extra = model.field_names[:-1] if model else ()

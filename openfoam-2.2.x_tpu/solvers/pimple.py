@@ -60,6 +60,7 @@ class PimpleConfig(NamedTuple):
     turb_controls: Dict = None
     turb_on_final_only: bool = True
     nu_fn: Any = None
+    fv_options: Any = None
 
 
 def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
@@ -115,6 +116,9 @@ def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
                 mesh, jnp.asarray(cfg.nu, mesh.v.dtype), U,
                 corrected=cfg.corrected, gamma_dims=dimViscosity,
                 limit=cfg.corr_limit)
+        if cfg.fv_options:
+            UEqn = cfg.fv_options.add_to(mesh, UEqn, "U", U, U=U,
+                                         fvopt_state=state.get("fvopt"))
         if not final_outer and cfg.alpha_u < 1.0:
             UEqn = UEqn.relax(mesh, cfg.alpha_u, U.data)
         grad_p = fvc.grad_of(mesh, p, cfg.grad_scheme)
@@ -194,6 +198,12 @@ def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
                 [jnp.zeros(nif, phi.dtype), phi_slot.bv], axis=0)
             U = U.correct_boundary_conditions(mesh, phi=phi_for_bc)
         phi = slot_mod.to_flat(mesh, phi_slot)
+        if cfg.fv_options:
+            # reference: fvOptions.correct(U) after the corrector loop
+            U, fvopt_state = cfg.fv_options.correct_U(
+                mesh, U, rA, state.get("fvopt"))
+            state = dict(state)
+            state["fvopt"] = fvopt_state
 
         # -- turbulence ------------------------------------------------------
         if cfg.turb is not None and (
@@ -218,6 +228,8 @@ def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
     new_state = dict(state)
     new_state.update(U=U, p=p, phi=phi,
                      phi_slot=(phi_slot.sv, phi_slot.fb))
+    if "fvopt" in state:
+        new_state["fvopt"] = state["fvopt"]
     advance_time_state(state, new_state, U, rdt, cfg.ddt_scheme)
     if new_turb is not None:
         new_state["turb"] = new_turb

@@ -48,6 +48,7 @@ class PisoConfig(NamedTuple):
     turb: Any = None        # TurbulenceModel (static; fields live in state["turb"])
     turb_controls: Dict = None
     nu_fn: Any = None       # non-Newtonian viscosity model: (mesh, U) -> nu [nC]
+    fv_options: Any = None  # models/fvoptions.OptionList
 
 
 def ddt_matrix(mesh, field, state: Dict, rdt, scheme: str,
@@ -179,6 +180,9 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
             mesh, jnp.asarray(cfg.nu, mesh.v.dtype), U,
             corrected=cfg.corrected, gamma_dims=dimViscosity,
             limit=cfg.corr_limit)
+    if cfg.fv_options:
+        UEqn = cfg.fv_options.add_to(mesh, UEqn, "U", U, U=U,
+                                     fvopt_state=state.get("fvopt"))
     grad_p = fvc.grad_of(mesh, p, cfg.grad_scheme)
     if cfg.momentum_predictor:
         Umat = UEqn.add_source(-grad_p, mesh)
@@ -264,6 +268,10 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
             [jnp.zeros(nif, phi.dtype), phi_slot.bv], axis=0)
         U = U.correct_boundary_conditions(mesh, phi=phi_for_bc)
     phi = slot_mod.to_flat(mesh, phi_slot)
+    fvopt_state = state.get("fvopt")
+    if cfg.fv_options:
+        # reference: fvOptions.correct(U) after the corrector loop
+        U, fvopt_state = cfg.fv_options.correct_U(mesh, U, rA, fvopt_state)
 
     # -- turbulence correction (pisoFoam: turbulence->correct()) --------------
     new_turb = state.get("turb")
@@ -288,6 +296,8 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
     new_state = dict(state)
     new_state.update(U=U, p=p, phi=phi,
                      phi_slot=(phi_slot.sv, phi_slot.fb))
+    if fvopt_state is not None:
+        new_state["fvopt"] = fvopt_state
     advance_time_state(state, new_state, U, rdt, cfg.ddt_scheme)
     if new_turb is not None:
         new_state["turb"] = new_turb

@@ -40,6 +40,7 @@ class SimpleConfig(NamedTuple):
     turb: Any = None
     turb_controls: Dict = None
     turb_relax: float = 0.7
+    fv_options: Any = None   # models/fvoptions.OptionList
 
 
 def adjust_phi(mesh, phi_b: Any, U: VolField) -> Any:
@@ -99,6 +100,9 @@ def simple_step(mesh, state: Dict, cfg: SimpleConfig) -> Tuple[Dict, Dict]:
             mesh, jnp.asarray(cfg.nu, mesh.v.dtype), U,
             corrected=cfg.corrected, gamma_dims=dimViscosity,
             limit=cfg.corr_limit)
+    if cfg.fv_options:
+        UEqn = cfg.fv_options.add_to(mesh, UEqn, "U", U, U=U,
+                                     fvopt_state=state.get("fvopt"))
     UEqn = UEqn.relax(mesh, cfg.alpha_u, U.data)
     grad_p = fvc.grad_of(mesh, p, cfg.grad_scheme)
     Umat = UEqn.add_source(-grad_p, mesh)
@@ -163,6 +167,10 @@ def simple_step(mesh, state: Dict, cfg: SimpleConfig) -> Tuple[Dict, Dict]:
     phi_for_bc = jnp.concatenate(
         [jnp.zeros(nif, phi.dtype), phi_slot.bv], axis=0)
     U = U.correct_boundary_conditions(mesh, phi=phi_for_bc)
+    fvopt_state = state.get("fvopt")
+    if cfg.fv_options:
+        # reference: fvOptions.correct(U) after the corrector loop
+        U, fvopt_state = cfg.fv_options.correct_U(mesh, U, rA, fvopt_state)
 
     # -- turbulence -------------------------------------------------------------
     new_turb = state.get("turb")
@@ -180,6 +188,8 @@ def simple_step(mesh, state: Dict, cfg: SimpleConfig) -> Tuple[Dict, Dict]:
     new_state = dict(state)
     new_state.update(U=U, p=p, phi=phi,
                      phi_slot=(phi_slot.sv, phi_slot.fb))
+    if fvopt_state is not None:
+        new_state["fvopt"] = fvopt_state
     if new_turb is not None:
         new_state["turb"] = new_turb
     return new_state, diag

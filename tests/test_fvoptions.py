@@ -1,0 +1,173 @@
+"""fvOptions source injection (reference: src/fvOptions/, NEW in 2.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from foamtpu.bc import patchfields as pf
+from foamtpu.core.dictionary import parse_string
+from foamtpu.core.dimensions import DimensionSet, dimVelocity
+from foamtpu.core.fields import vol_scalar, vol_vector
+from foamtpu.mesh import blockmesh, to_device
+from foamtpu.models import fvoptions
+from foamtpu.solvers import piso, pimple
+
+PERIODIC_CHANNEL = """
+convertToMeters 1;
+vertices
+(
+    (0 0 0) (2 0 0) (2 1 0) (0 1 0)
+    (0 0 0.1) (2 0 0.1) (2 1 0.1) (0 1 0.1)
+);
+blocks ( hex (0 1 2 3 4 5 6 7) (16 10 1) simpleGrading (1 1 1) );
+boundary
+(
+    inlet  { type cyclic; neighbourPatch outlet; faces ((0 4 7 3)); }
+    outlet { type cyclic; neighbourPatch inlet;  faces ((2 6 5 1)); }
+    walls  { type wall; faces ((3 7 6 2) (1 5 4 0)); }
+    frontAndBack { type empty; faces ((0 3 2 1) (4 5 6 7)); }
+);
+"""
+
+
+def _channel():
+    mesh = to_device(blockmesh.generate(parse_string(PERIODIC_CHANNEL)))
+    ubcs, pbcs = [], []
+    for p in mesh.patches:
+        if p.type == "empty":
+            ubcs.append(pf.PatchField(kind="empty", vfrac=0.0))
+            pbcs.append(pf.PatchField(kind="empty", vfrac=0.0))
+        elif p.type == "wall":
+            ubcs.append(pf.fixed_value(jnp.zeros(3)))
+            pbcs.append(pf.zero_gradient())
+        else:
+            ubcs.append(pf.zero_gradient())
+            pbcs.append(pf.zero_gradient())
+    U = vol_vector(mesh, jnp.asarray([0.5, 0.0, 0.0]), name="U",
+                   dims=dimVelocity, bcs=tuple(ubcs))
+    p = vol_scalar(mesh, 0.0, name="p", dims=DimensionSet.of(0, 2, -2),
+                   bcs=tuple(pbcs))
+    return mesh, U, p
+
+
+def test_mean_velocity_force_holds_ubar():
+    """channelFoam configuration: periodic channel driven by
+    meanVelocityForce must hold the bulk velocity at Ubar despite wall
+    friction (reference: sources/derived/meanVelocityForce)."""
+    mesh, U, p = _channel()
+    d = parse_string("""
+momentumSource
+{
+    type            meanVelocityForce;
+    active          true;
+    meanVelocityForceCoeffs
+    {
+        selectionMode   all;
+        fieldNames      (U);
+        Ubar            (1 0 0);
+    }
+}
+""")
+    fvopt = fvoptions.from_dict(mesh, d, nu=0.01)
+    assert fvopt and fvopt.options[0].kind == "meanVelocityForce"
+    cfg = piso.PisoConfig(nu=0.01, n_correctors=2, fv_options=fvopt)
+    state = piso.initial_state(mesh, U, p, project=False)
+    state["fvopt"] = fvopt.init_state(mesh)
+    step = jax.jit(lambda s, d_: piso.piso_step(mesh, s, d_, cfg))
+    dt = jnp.asarray(0.05, mesh.v.dtype)
+    for _ in range(60):
+        state, diag = step(state, dt)
+    Ux = np.asarray(state["U"].data)[:, 0]
+    v = np.asarray(mesh.v)
+    ubar = float((Ux * v).sum() / v.sum())
+    # bulk velocity held at the target despite wall friction
+    assert abs(ubar - 1.0) < 0.02
+    # a parabolic-ish profile developed: centerline > mean
+    assert Ux.max() > 1.1 * ubar
+    assert float(diag["continuity"]) < 1e-4
+    # the stored pressure-gradient forcing is positive (drives the flow)
+    assert float(state["fvopt"]["gradP_momentumSource"]) > 0.0
+
+
+def test_porosity_source_slows_flow():
+    """explicitPorositySource (Darcy-Forchheimer) in a box zone slows
+    the flow inside the zone relative to the same run without it."""
+    mesh, U, p = _channel()
+    d = parse_string("""
+porosity
+{
+    type            explicitPorositySource;
+    active          true;
+    explicitPorositySourceCoeffs
+    {
+        selectionMode   box;
+        box             ((0.75 0 0) (1.25 1 1));
+        type            DarcyForchheimer;
+        d               (5e4 5e4 5e4);
+        f               (0 0 0);
+    }
+}
+momentumSource
+{
+    type            meanVelocityForce;
+    active          true;
+    meanVelocityForceCoeffs
+    {
+        selectionMode   all;
+        fieldNames      (U);
+        Ubar            (1 0 0);
+    }
+}
+""")
+    fvopt = fvoptions.from_dict(mesh, d, nu=0.01)
+    assert len(fvopt.options) == 2
+    cfg = piso.PisoConfig(nu=0.01, n_correctors=2, fv_options=fvopt)
+    state = piso.initial_state(mesh, U, p, project=False)
+    state["fvopt"] = fvopt.init_state(mesh)
+    step = jax.jit(lambda s, d_: piso.piso_step(mesh, s, d_, cfg))
+    dt = jnp.asarray(0.02, mesh.v.dtype)
+    for _ in range(40):
+        state, diag = step(state, dt)
+    Ux = np.asarray(state["U"].data)[:, 0]
+    c = np.asarray(mesh.c)
+    inside = (c[:, 0] > 0.75) & (c[:, 0] < 1.25)
+    # porous block resists: centreline velocity inside < outside
+    mid = np.abs(c[:, 1] - 0.5) < 0.15
+    assert Ux[inside & mid].mean() < 0.9 * Ux[~inside & mid].mean()
+    assert np.isfinite(Ux).all()
+
+
+def test_semi_implicit_source_scalar():
+    """semiImplicitSource adds V*Su to the source and -V*Sp to the
+    diagonal of a matching field's equation."""
+    mesh, U, p = _channel()
+    d = parse_string("""
+heatSource
+{
+    type            semiImplicitSource;
+    active          true;
+    semiImplicitSourceCoeffs
+    {
+        selectionMode   all;
+        volumeMode      specific;
+        injectionRateSuSp { T (5.0 -0.5); }
+    }
+}
+""")
+    fvopt = fvoptions.from_dict(mesh, d)
+    from foamtpu.core.dimensions import dimless
+    from foamtpu.ops import fvm
+
+    T = vol_scalar(mesh, 1.0, name="T", dims=dimless,
+                   bcs=pf.default_bcs(mesh, 0))
+    eqn = fvm.ddt(mesh, T, T.data, 1.0)
+    eqn2 = fvopt.add_to(mesh, eqn, "T", T, U=U)
+    dsrc = np.asarray(eqn2.source - eqn.source)
+    ddiag = np.asarray(eqn2.diag - eqn.diag)
+    v = np.asarray(mesh.v)
+    np.testing.assert_allclose(dsrc, 5.0 * v, rtol=1e-6)
+    np.testing.assert_allclose(ddiag, 0.5 * v, rtol=1e-6)
+    # a non-matching field is untouched
+    eqn3 = fvopt.add_to(mesh, eqn, "k", T, U=U)
+    np.testing.assert_array_equal(np.asarray(eqn3.source),
+                                  np.asarray(eqn.source))
