@@ -557,6 +557,13 @@ class FvMesh:
     ex_own_lin: Any    # [nIf] int32
     ex_fb_faces: Any   # [nfb_own] int32 face ids
     ex_fb_idx: Any     # [nfb_own] int32 fb-entry ids
+    # wall adjacency (for wall functions): 1/0 mask of wall-adjacent
+    # cells, the average wall distance of those cells, and the wall-face
+    # count per cell (>=1 clamp) — precomputed so models need no host
+    # topology access inside jit
+    wall_mask: Any     # [nC]
+    wall_y: Any        # [nC]
+    wall_cnt: Any      # [nC]
 
     # static metadata
     st_deltas: Tuple[int, ...] = _static()
@@ -653,6 +660,22 @@ def to_device(mesh: PolyMesh) -> FvMesh:
     assert missing == 0, f"{missing} internal faces lack an owner side"
     ex_own_lin = np.maximum(ex_own_lin, 0)
 
+    # wall adjacency (reference: wall functions act on wall-adjacent
+    # cells via patch().faceCells() + 1/deltaCoeffs)
+    wall_mask = np.zeros(mesh.n_cells)
+    wall_yacc = np.zeros(mesh.n_cells)
+    wall_cnt = np.zeros(mesh.n_cells)
+    for p in mesh.patches:
+        if p.type != "wall":
+            continue
+        cells = mesh.owner[p.slice]
+        yw = 1.0 / np.maximum(mesh.delta_coeffs[p.slice], 1e-300)
+        np.add.at(wall_yacc, cells, yw)
+        np.add.at(wall_cnt, cells, 1.0)
+        wall_mask[cells] = 1.0
+    wall_y = np.where(wall_cnt > 0, wall_yacc / np.maximum(wall_cnt, 1.0),
+                      1.0)
+
     def farr(a):
         return np.asarray(a, dtype=sdt)
 
@@ -700,6 +723,9 @@ def to_device(mesh: PolyMesh) -> FvMesh:
         ex_own_lin=iarr(ex_own_lin),
         ex_fb_faces=iarr(ex_fb_faces),
         ex_fb_idx=iarr(ex_fb_idx),
+        wall_mask=farr(wall_mask),
+        wall_y=farr(wall_y),
+        wall_cnt=farr(np.maximum(wall_cnt, 1.0)),
         st_deltas=tabs["st_deltas"],
         n_cells=mesh.n_cells,
         n_faces=mesh.n_faces,

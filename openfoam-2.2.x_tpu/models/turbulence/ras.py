@@ -83,25 +83,10 @@ pf.register_update("nutUWallFunction", _nutU_wall)
 
 
 def _wall_data(mesh):
-    """Static wall-adjacency arrays from the device mesh (wall patches:
-    type 'wall'). Returns (mask [nC], y [nC])."""
-    isw = np.zeros(mesh.n_cells)
-    yw_acc = np.zeros(mesh.n_cells)  # sum of face distances (avg below)
-    cnt = np.zeros(mesh.n_cells)
-    own = np.asarray(mesh.owner)
-    dc = np.asarray(mesh.delta_coeffs)
-    for p in mesh.patches:
-        if p.type != "wall":
-            continue
-        cells = own[p.slice]
-        y = 1.0 / np.maximum(dc[p.slice], 1e-300)
-        np.add.at(yw_acc, cells, y)
-        np.add.at(cnt, cells, 1.0)
-        isw[cells] = 1.0
-    # non-wall cells get a harmless 1.0 (masked out by isw everywhere)
-    yw = np.where(cnt > 0, yw_acc / np.maximum(cnt, 1.0), 1.0)
-    dt = np.asarray(mesh.v).dtype
-    return jnp.asarray(isw.astype(dt)), jnp.asarray(yw.astype(dt))
+    """Wall-adjacency arrays (mask [nC], avg wall distance y [nC]) —
+    precomputed on the mesh at load (mesh/core.py) so this works under
+    jit with a traced mesh."""
+    return mesh.wall_mask, mesh.wall_y
 
 
 def _has_wall_fn(field: VolField, kinds) -> bool:
@@ -114,17 +99,13 @@ def _wall_face_nut(mesh, nut_field: VolField):
     wall function), NOT the cell nut (reference:
     epsilonWallFunctionFvPatchScalarField::calculate)."""
     acc = jnp.zeros(mesh.n_cells, mesh.v.dtype)
-    cnt = np.zeros(mesh.n_cells)
-    own = np.asarray(mesh.owner)
     for p, bc in zip(mesh.patches, nut_field.bcs):
         if p.type != "wall":
             continue
-        cells = own[p.slice]
+        cells = mesh.owner[p.slice]
         vals = pf.evaluate(bc, mesh, p, nut_field.data)
-        acc = acc.at[jnp.asarray(cells)].add(vals)
-        np.add.at(cnt, cells, 1.0)
-    cnt_j = jnp.asarray(np.maximum(cnt, 1.0).astype(np.asarray(mesh.v).dtype))
-    return acc / cnt_j
+        acc = acc.at[cells].add(vals)
+    return acc / mesh.wall_cnt
 
 
 def _div_weights(mesh, phi, field, scheme="upwind"):

@@ -316,22 +316,26 @@ def initial_state(mesh, U: VolField, p_rgh: VolField, T: VolField,
 
 
 def make_step(mesh, cfg: BoussinesqConfig):
-    @jax.jit
-    def step(state, dt):
-        return boussinesq_step(mesh, state, dt, cfg)
+    from .jitstep import jit_with_mesh
 
-    return step
+    return jit_with_mesh(
+        lambda m, state, dt: boussinesq_step(m, state, dt, cfg), mesh,
+        (cfg.p_controls, cfg.p_controls_final, cfg.u_controls,
+         cfg.t_controls))
 
 
 def make_chunk(mesh, cfg: BoussinesqConfig, n: int):
-    @jax.jit
-    def chunk(state, dt):
+    from .jitstep import jit_with_mesh
+
+    def chunk(m, state, dt):
         def body(st, _):
-            st, diag = boussinesq_step(mesh, st, dt, cfg)
+            st, diag = boussinesq_step(m, st, dt, cfg)
             return st, diag
 
         state_out, diags = jax.lax.scan(body, state, None, length=n)
         last = jax.tree_util.tree_map(lambda x: x[-1], diags)
         return state_out, last
 
-    return chunk
+    return jit_with_mesh(chunk, mesh, (cfg.p_controls,
+                                       cfg.p_controls_final,
+                                       cfg.u_controls, cfg.t_controls))

@@ -46,14 +46,26 @@ def _dominant_delta(owner, neighbour, n_cells) -> int:
     return int(max(best, 1))
 
 
+def _pytree_dataclass(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    meta = [f.name for f in dataclasses.fields(cls) if f.metadata.get("static")]
+    data = [n for n in fields if n not in meta]
+    return jax.tree_util.register_dataclass(cls, data_fields=data,
+                                            meta_fields=meta)
+
+
+def _static(**kw):
+    return dataclasses.field(metadata={"static": True}, **kw)
+
+
+@_pytree_dataclass
 @dataclasses.dataclass(frozen=True)
 class Level:
-    """Static tables for one coarsening step fine->coarse."""
+    """Tables for one coarsening step fine->coarse. Registered as a
+    pytree so hierarchies can be passed as jit ARGUMENTS — closing over
+    them embeds hundreds of MB of constants in the compile payload at
+    1M+ cells (the tunneled remote-compile rejects oversized bodies)."""
 
-    n_fine: int          # unpadded fine size
-    n_fine_pad: int      # padded fine size (multiple of 2*d)
-    n_coarse: int        # = n_fine_pad // 2
-    d: int               # pairing offset
     # face coarsening (gather tables over FINE internal faces)
     face_src: Any        # [nFc, Mf]
     face_src_mask: Any
@@ -61,11 +73,13 @@ class Level:
     intra_faces: Any     # [nCc, Mi]
     intra_mask: Any
     members_pad: Any     # [nCc, 2] fine(-padded) indices (for diag sum)
-    # coarse-level stencil tables
-    st: Dict[str, Any] = None
-    # coarse internal addressing (for the next level / dense solve)
-    c_own: Any = None
-    c_nei: Any = None
+    # coarse-level stencil tables (arrays only; deltas are static)
+    st: Dict[str, Any]
+    n_fine: int = _static(default=0)     # unpadded fine size
+    n_fine_pad: int = _static(default=0)
+    n_coarse: int = _static(default=0)
+    d: int = _static(default=1)          # pairing offset
+    st_deltas: Tuple[int, ...] = _static(default=())
 
 
 def _pad_groups(group_of, n_groups, payload):
@@ -199,11 +213,10 @@ def build_hierarchy(
 
         # stage in NumPy; ONE batched device_put at the end (per-array
         # transfers cost ~seconds through a tunneled TPU)
+        st_deltas = st.pop("st_deltas")
         st_np = {}
         for k, v in st.items():
-            if k == "st_deltas":
-                st_np[k] = v
-            elif isinstance(v, np.ndarray) and v.dtype.kind == "f":
+            if isinstance(v, np.ndarray) and v.dtype.kind == "f":
                 st_np[k] = v.astype(sdt)
             else:
                 st_np[k] = np.asarray(v, label_np)
@@ -212,6 +225,7 @@ def build_hierarchy(
             n_fine_pad=nC_pad,
             n_coarse=nCc,
             d=d,
+            st_deltas=tuple(st_deltas),
             face_src=face_src.astype(label_np),
             face_src_mask=face_mask.astype(sdt),
             face_src_flip=flip_src.astype(sdt),
@@ -219,12 +233,10 @@ def build_hierarchy(
             intra_mask=intra_mask.astype(sdt),
             members_pad=members.astype(label_np),
             st=st_np,
-            c_own=c_own,
-            c_nei=c_nei,
         ))
         owner, neighbour, nC = c_own, c_nei, nCc
 
-    meta_keys = ("n_fine", "n_fine_pad", "n_coarse", "d", "c_own", "c_nei")
+    meta_keys = ("n_fine", "n_fine_pad", "n_coarse", "d", "st_deltas")
     arrays = [{k: v for k, v in lv.items() if k not in meta_keys}
               for lv in levels]
     arrays = jax.device_put(arrays)
@@ -287,9 +299,10 @@ def _coarsen_matrix(lv: Level, diag, upper, lower):
     return c_diag, c_upper, c_lower
 
 
-def _make_st_op(st: Dict[str, Any], upper, lower) -> stencil_mod.StencilOp:
+def _make_st_op(deltas, st: Dict[str, Any], upper, lower
+                ) -> stencil_mod.StencilOp:
     return stencil_mod.from_tables(
-        st["st_deltas"], st["st_cface"], st["st_sign"], st["st_valid"],
+        deltas, st["st_cface"], st["st_sign"], st["st_valid"],
         st["fb_cells"], st["fb_faces"], st["fb_signs"], st["fb_nbrs"],
         upper, lower,
     )
@@ -353,7 +366,8 @@ class GAMG:
                 ops.append(fine_op if fine_op is not None
                            else stencil_mod.mesh_stencil(mesh, upper, lower))
             else:
-                ops.append(_make_st_op(self.levels[i - 1].st, upper, lower))
+                lv = self.levels[i - 1]
+                ops.append(_make_st_op(lv.st_deltas, lv.st, upper, lower))
         return ops
 
     def coarsen_all(self, diag_eff, upper, lower):

@@ -238,9 +238,8 @@ def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
 
 def make_step(mesh, cfg: PimpleConfig):
     """Returns a jitted (state, dt) -> (state, diag) PIMPLE step."""
+    from .jitstep import jit_with_mesh
 
-    @jax.jit
-    def step(state, dt):
-        return pimple_step(mesh, state, dt, cfg)
-
-    return step
+    return jit_with_mesh(
+        lambda m, state, dt: pimple_step(m, state, dt, cfg), mesh,
+        (cfg.p_controls, cfg.p_controls_final, cfg.u_controls))

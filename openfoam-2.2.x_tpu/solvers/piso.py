@@ -305,13 +305,13 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
 
 
 def make_step(mesh, cfg: PisoConfig):
-    """Returns a jitted (state, dt) -> (state, diag) PISO step."""
+    """Returns a jitted (state, dt) -> (state, diag) PISO step. The
+    mesh and GAMG hierarchies travel as jit ARGUMENTS (see jitstep)."""
+    from .jitstep import jit_with_mesh
 
-    @jax.jit
-    def step(state, dt):
-        return piso_step(mesh, state, dt, cfg)
-
-    return step
+    return jit_with_mesh(
+        lambda m, state, dt: piso_step(m, state, dt, cfg), mesh,
+        (cfg.p_controls, cfg.p_controls_final, cfg.u_controls))
 
 
 def project_initial_flux(mesh, p: VolField, phi: Any,

@@ -196,22 +196,22 @@ def simple_step(mesh, state: Dict, cfg: SimpleConfig) -> Tuple[Dict, Dict]:
 
 
 def make_step(mesh, cfg: SimpleConfig):
-    @jax.jit
-    def step(state):
-        return simple_step(mesh, state, cfg)
+    from .jitstep import jit_with_mesh
 
-    return step
+    return jit_with_mesh(
+        lambda m, state: simple_step(m, state, cfg), mesh,
+        (cfg.p_controls, cfg.u_controls))
 
 
 def make_chunk(mesh, cfg: SimpleConfig, n: int):
     """n SIMPLE iterations per device call (lax.scan) — one host
     round-trip per chunk instead of per iteration; essential when the
     accelerator is reached through a high-latency tunnel."""
+    from .jitstep import jit_with_mesh
 
-    @jax.jit
-    def chunk(state):
+    def chunk(m, state):
         def body(st, _):
-            st, diag = simple_step(mesh, st, cfg)
+            st, diag = simple_step(m, st, cfg)
             return st, diag
 
         state_out, diags = jax.lax.scan(body, state, None, length=n)
@@ -219,7 +219,7 @@ def make_chunk(mesh, cfg: SimpleConfig, n: int):
         last = jax.tree_util.tree_map(lambda x: x[-1], diags)
         return state_out, last
 
-    return chunk
+    return jit_with_mesh(chunk, mesh, (cfg.p_controls, cfg.u_controls))
 
 
 def converged(diag: Dict, residual_control: Dict) -> bool:
