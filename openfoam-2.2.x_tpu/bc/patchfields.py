@@ -333,6 +333,20 @@ def make(kind: str, **kw) -> PatchField:
     )
 
 
+def shift_value_bcs(bcs, delta) -> Tuple[PatchField, ...]:
+    """Shift every BC's ref_value by a constant (used to solve pressure
+    relative to an operating level in f32: kinds that do not use
+    ref_value are unaffected, value-fixing kinds move with the field)."""
+    out = []
+    for bc in bcs:
+        if bc.kind in ("zeroGradient", "fixedGradient", "empty",
+                       "symmetry", "symmetryPlane", "wedge", "slip"):
+            out.append(bc)
+        else:
+            out.append(bc.replace(ref_value=bc.ref_value + delta))
+    return tuple(out)
+
+
 def normalize_bcs(mesh, bcs, rank: int) -> Tuple[PatchField, ...]:
     """Broadcast all BC data to per-face shapes so state pytrees keep
     invariant shapes under scan/while carries (derived BC updates
