@@ -16,6 +16,22 @@ from ..core.fields import vol_scalar, vol_vector
 from ..mesh import blockmesh, to_device
 from ..solvers import piso
 
+CAVITY3D_BLOCKMESH = """
+convertToMeters 0.1;
+vertices
+(
+    (0 0 0) (1 0 0) (1 1 0) (0 1 0)
+    (0 0 1) (1 0 1) (1 1 1) (0 1 1)
+);
+blocks ( hex (0 1 2 3 4 5 6 7) ({n} {n} {n}) simpleGrading (1 1 1) );
+boundary
+(
+    movingWall { type wall; faces ((3 7 6 2)); }
+    fixedWalls { type wall; faces ((0 4 7 3) (2 6 5 1) (1 5 4 0)
+                                   (0 3 2 1) (4 5 6 7)); }
+);
+"""
+
 CAVITY_BLOCKMESH = """
 convertToMeters 0.1;
 vertices
@@ -34,10 +50,13 @@ boundary
 
 
 def make_cavity(n: int = 20, nu: float = 0.01,
-                p_solver: Dict | None = None) -> Tuple:
+                p_solver: Dict | None = None,
+                three_d: bool = False) -> Tuple:
     """icoFoam cavity (reference: tutorials/incompressible/icoFoam/cavity):
-    returns (device_mesh, initial_state, PisoConfig)."""
-    d = parse_string(CAVITY_BLOCKMESH.replace("{n}", str(n)))
+    returns (device_mesh, initial_state, PisoConfig). three_d=True
+    builds the n^3 lid-driven cube (the scale-demo case)."""
+    src = CAVITY3D_BLOCKMESH if three_d else CAVITY_BLOCKMESH
+    d = parse_string(src.replace("{n}", str(n)))
     mesh = to_device(blockmesh.generate(d))
 
     if p_solver and str(p_solver.get("solver")) == "GAMG" \

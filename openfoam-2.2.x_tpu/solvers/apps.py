@@ -60,6 +60,13 @@ def _load_turbulence(case, nu: float):
     return model, tstate
 
 
+def _load_mrf(case):
+    """constant/MRFZones -> models/mrf.MRFZones (or None)."""
+    from ..models import mrf as mrf_mod
+
+    return mrf_mod.from_case(case)
+
+
 def _load_fvoptions(case, nu: float):
     """system/fvOptions -> OptionList (reference: fv::optionList
     constructed by every solver; None when the file is absent)."""
@@ -135,6 +142,9 @@ def _run_piso(case, max_steps, with_turbulence: bool,
 
     U = case.read_field("U")
     p = case.read_field("p")
+    mrf = _load_mrf(case)
+    if mrf:
+        U = mrf.correct_boundary_velocity(mesh, U)
     model = tstate = None
     if with_turbulence:
         model, tstate = _load_turbulence(case, nu)
@@ -163,10 +173,15 @@ def _run_piso(case, max_steps, with_turbulence: bool,
         turb_controls=turb_ctl,
         nu_fn=nu_fn,
         fv_options=_load_fvoptions(case, nu),
+        mrf=mrf,
     )
     step = piso_mod.make_step(mesh, cfg)
     state = piso_mod.initial_state(mesh, U, p, turb_state=tstate,
                                    ddt_scheme=cfg.ddt_scheme)
+    if mrf:
+        from ..models import mrf as mrf_mod
+
+        state = mrf_mod.make_relative_state(mesh, mrf, state)
     if cfg.fv_options:
         state["fvopt"] = cfg.fv_options.init_state(mesh)
 
@@ -232,6 +247,9 @@ def pimplefoam(case, max_steps: Optional[int] = None) -> None:
     _, nu = dimensioned_scalar(tp["nu"])
     U = case.read_field("U")
     p = case.read_field("p")
+    mrf = _load_mrf(case)
+    if mrf:
+        U = mrf.correct_boundary_velocity(mesh, U)
     model, tstate = _load_turbulence(case, nu)
 
     pdict = case.pimple_controls("PIMPLE")
@@ -267,10 +285,18 @@ def pimplefoam(case, max_steps: Optional[int] = None) -> None:
         turb_controls=turb_ctl,
         turb_on_final_only=str(pdict.get("turbOnFinalIterOnly", "yes")) in (
             "yes", "true", "on", "1"),
+        fv_options=_load_fvoptions(case, nu),
+        mrf=mrf,
     )
     step = pimple_mod.make_step(mesh, cfg)
     state = piso_mod.initial_state(mesh, U, p, turb_state=tstate,
                                    ddt_scheme=cfg.ddt_scheme)
+    if mrf:
+        from ..models import mrf as mrf_mod
+
+        state = mrf_mod.make_relative_state(mesh, mrf, state)
+    if cfg.fv_options:
+        state["fvopt"] = cfg.fv_options.init_state(mesh)
 
     from ..functionobjects import make_function_objects
 
@@ -306,6 +332,9 @@ def simplefoam(case, max_steps: Optional[int] = None) -> None:
     _, nu = dimensioned_scalar(tp["nu"])
     U = case.read_field("U")
     p = case.read_field("p")
+    mrf = _load_mrf(case)
+    if mrf:
+        U = mrf.correct_boundary_velocity(mesh, U)
     model, tstate = _load_turbulence(case, nu)
 
     sdict = case.pimple_controls("SIMPLE")
@@ -331,11 +360,16 @@ def simplefoam(case, max_steps: Optional[int] = None) -> None:
         turb_controls=turb_ctl,
         turb_relax=relax.get("k", relax.get("epsilon", 0.7)),
         fv_options=_load_fvoptions(case, nu),
+        mrf=mrf,
     )
     # chunked stepping: one host round-trip per `chunk` iterations
     chunk_n = int(os.environ.get("FOAMTPU_CHUNK", "10"))
     chunk = simple_mod.make_chunk(mesh, cfg, chunk_n)
     state = piso_mod.initial_state(mesh, U, p, turb_state=tstate)
+    if mrf:
+        from ..models import mrf as mrf_mod
+
+        state = mrf_mod.make_relative_state(mesh, mrf, state)
     if cfg.fv_options:
         state["fvopt"] = cfg.fv_options.init_state(mesh)
     res_ctl = _residual_control(case, "SIMPLE")
@@ -880,6 +914,11 @@ case_mod.register_application("rhoCentralFoam", rhocentralfoam_app)
 case_mod.register_application("pisoFoam", pisofoam)
 case_mod.register_application("pimpleFoam", pimplefoam)
 case_mod.register_application("simpleFoam", simplefoam)
+# 2.2.x ships MRF* as separate applications; here the MRF zones are
+# picked up from constant/MRFZones by the base drivers, so these are
+# aliases (reference: applications/solvers/incompressible/MRFSimpleFoam/)
+case_mod.register_application("MRFSimpleFoam", simplefoam)
+case_mod.register_application("MRFPimpleFoam", pimplefoam)
 case_mod.register_application("scalarTransportFoam", scalar_transport_foam)
 case_mod.register_application("laplacianFoam", laplacian_foam)
 case_mod.register_application("potentialFoam", potential_foam)

@@ -39,6 +39,41 @@ def _small(dtype) -> float:
     return 1e-20 if dtype == jnp.float64 else 1e-12
 
 
+# Per-component stagnation guard for the multi-RHS while_loops: a
+# component whose residual sits at its floating-point floor (e.g. the
+# z-momentum of a 2D case whose RHS is pure roundoff noise) can never
+# meet an absolute tolerance below that floor; without a guard it pins
+# the WHOLE vector solve at maxIter (the f64 reference never hits this
+# — its floor is ~1e-15). A component is "stalled" once its residual
+# is ALREADY below the precision floor (STALL_FLOOR, normalised) AND
+# fails to improve by 0.1% for STALL_ITERS consecutive iterations;
+# stalled components stop gating the loop. Healthy solves above the
+# floor are never cut, however slowly (or non-monotonically, as PCG
+# plateaus do) they converge.
+STALL_ITERS = 15
+IMPROVE_FACTOR = 0.999
+
+
+def _stall_floor(dtype) -> float:
+    return 1e-13 if dtype == jnp.float64 else 1e-5
+
+
+def _stall_init(res0):
+    return res0, jnp.zeros_like(res0, dtype=jnp.int32)
+
+
+def _stall_update(res, best, stall):
+    at_floor = res < _stall_floor(res.dtype)
+    improved = res < IMPROVE_FACTOR * best
+    stall = jnp.where(improved | ~at_floor, 0, stall + 1)
+    return jnp.minimum(best, res), stall
+
+
+def _unconverged(res, res0, tol, rel_tol, stall):
+    return jnp.any((res > tol) & (res > rel_tol * res0)
+                   & (stall < STALL_ITERS))
+
+
 def _sum(x):
     """Column-wise sum: scalar for [nC], per-component [C] for [nC,C].
     All solvers below are multi-RHS: a vector equation solves its three
@@ -110,11 +145,12 @@ def pcg(
         return x if psi0.ndim == 1 else x[None, :]
 
     def cond(state):
-        psi, r, p, wArA, it, res = state
-        return (it < max_iter) & jnp.any((res > tol) & (res > rel_tol * res0))
+        psi, r, p, wArA, it, res, best, stall = state
+        return (it < max_iter) & _unconverged(res, res0, tol, rel_tol,
+                                              stall)
 
     def body(state):
-        psi, r, p, wArA_old, it, res = state
+        psi, r, p, wArA_old, it, res, best, stall = state
         z = prec(r)
         wArA = _sum(r * z)
         beta = jnp.where(it == 0, 0.0, wArA / jnp.where(wArA_old == 0, tiny, wArA_old))
@@ -125,11 +161,13 @@ def pcg(
         psi = psi + bc(alpha) * p
         r = r - bc(alpha) * q
         res = _sum(jnp.abs(r)) / norm
-        return psi, r, p, wArA, it + 1, res
+        best, stall = _stall_update(res, best, stall)
+        return psi, r, p, wArA, it + 1, res, best, stall
 
+    best0, stall0 = _stall_init(res0)
     init = (psi0, r0, jnp.zeros_like(psi0), jnp.zeros(cshape, dt),
-            jnp.zeros((), jnp.int32), res0)
-    psi, r, p, wArA, it, res = jax.lax.while_loop(cond, body, init)
+            jnp.zeros((), jnp.int32), res0, best0, stall0)
+    psi, r, p, wArA, it, res, _, _ = jax.lax.while_loop(cond, body, init)
     return psi, SolverPerf(res0, res, it)
 
 
@@ -163,11 +201,12 @@ def bicgstab(
         return x if psi0.ndim == 1 else x[None, :]
 
     def cond(state):
-        psi, r, p, v, rho, alpha, omega, it, res = state
-        return (it < max_iter) & jnp.any((res > tol) & (res > rel_tol * res0))
+        psi, r, p, v, rho, alpha, omega, it, res, best, stall = state
+        return (it < max_iter) & _unconverged(res, res0, tol, rel_tol,
+                                              stall)
 
     def body(state):
-        psi, r, p, v, rho_old, alpha, omega, it, res = state
+        psi, r, p, v, rho_old, alpha, omega, it, res, best, stall = state
         rho = _sum(rhat * r)
         beta = (rho / jnp.where(rho_old == 0, tiny, rho_old)) * (
             alpha / jnp.where(omega == 0, tiny, omega)
@@ -186,13 +225,16 @@ def bicgstab(
         psi = psi + bcol(alpha) * phat + bcol(omega) * shat
         r = s - bcol(omega) * t
         res = _sum(jnp.abs(r)) / norm
-        return psi, r, p, v, rho, alpha, omega, it + 1, res
+        best, stall = _stall_update(res, best, stall)
+        return psi, r, p, v, rho, alpha, omega, it + 1, res, best, stall
 
     one = jnp.ones(cshape, dt)
-    init = (psi0, r0, zero, zero, one, one, one, jnp.zeros((), jnp.int32), res0)
+    best0, stall0 = _stall_init(res0)
+    init = (psi0, r0, zero, zero, one, one, one,
+            jnp.zeros((), jnp.int32), res0, best0, stall0)
     out = jax.lax.while_loop(cond, body, init)
     psi, r = out[0], out[1]
-    return psi, SolverPerf(res0, out[-1], out[-2])
+    return psi, SolverPerf(res0, out[8], out[7])
 
 
 def smooth_solver(
@@ -256,17 +298,20 @@ def smooth_solver(
             return psi
 
     def cond(state):
-        psi, it, res = state
-        return (it < max_iter) & jnp.any((res > tol) & (res > rel_tol * res0))
+        psi, it, res, best, stall = state
+        return (it < max_iter) & _unconverged(res, res0, tol, rel_tol,
+                                              stall)
 
     def body(state):
-        psi, it, res = state
+        psi, it, res, best, stall = state
         psi = sweeps(psi)
         res = _sum(jnp.abs(b - amul(psi))) / norm
-        return psi, it + 1, res
+        best, stall = _stall_update(res, best, stall)
+        return psi, it + 1, res, best, stall
 
-    init = (psi0, jnp.zeros((), jnp.int32), res0)
-    psi, it, res = jax.lax.while_loop(cond, body, init)
+    best0, stall0 = _stall_init(res0)
+    init = (psi0, jnp.zeros((), jnp.int32), res0, best0, stall0)
+    psi, it, res, _, _ = jax.lax.while_loop(cond, body, init)
     return psi, SolverPerf(res0, res, it * n_in)
 
 

@@ -61,6 +61,7 @@ class PimpleConfig(NamedTuple):
     turb_on_final_only: bool = True
     nu_fn: Any = None
     fv_options: Any = None
+    mrf: Any = None              # models/mrf.MRFZones
 
 
 def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
@@ -119,6 +120,9 @@ def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
         if cfg.fv_options:
             UEqn = cfg.fv_options.add_to(mesh, UEqn, "U", U, U=U,
                                          fvopt_state=state.get("fvopt"))
+        if cfg.mrf:
+            # reference: mrfZones.addCoriolis(UEqn())
+            UEqn = cfg.mrf.add_coriolis(mesh, UEqn, U)
         if not final_outer and cfg.alpha_u < 1.0:
             UEqn = UEqn.relax(mesh, cfg.alpha_u, U.data)
         grad_p = fvc.grad_of(mesh, p, cfg.grad_scheme)
@@ -147,10 +151,15 @@ def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
 
         for corr in range(cfg.n_correctors):
             HbyA = rA[:, None] * UEqn.H(mesh, U.data)
-            phiHbyA_b = boundary_flux(mesh, U)
+            phiHbyA = slot_mod.flux_of(mesh, HbyA,
+                                       bv=boundary_flux(mesh, U))
+            if cfg.mrf:
+                # reference: mrfZones.relativeFlux(phiHbyA)
+                phiHbyA = cfg.mrf.make_relative(mesh, phiHbyA)
+            phiHbyA_b = phiHbyA.bv
             if closed:
                 phiHbyA_b = adjust_phi(mesh, phiHbyA_b, U)
-            phiHbyA = slot_mod.flux_of(mesh, HbyA, bv=phiHbyA_b)
+                phiHbyA = phiHbyA._replace(bv=phiHbyA_b)
 
             p_before = p.data
             for nonorth in range(cfg.n_non_orth + 1):

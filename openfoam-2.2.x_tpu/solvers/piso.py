@@ -49,6 +49,7 @@ class PisoConfig(NamedTuple):
     turb_controls: Dict = None
     nu_fn: Any = None       # non-Newtonian viscosity model: (mesh, U) -> nu [nC]
     fv_options: Any = None  # models/fvoptions.OptionList
+    mrf: Any = None         # models/mrf.MRFZones
 
 
 def ddt_matrix(mesh, field, state: Dict, rdt, scheme: str,
@@ -183,6 +184,9 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
     if cfg.fv_options:
         UEqn = cfg.fv_options.add_to(mesh, UEqn, "U", U, U=U,
                                      fvopt_state=state.get("fvopt"))
+    if cfg.mrf:
+        # reference: mrfZones.addCoriolis(UEqn())
+        UEqn = cfg.mrf.add_coriolis(mesh, UEqn, U)
     grad_p = fvc.grad_of(mesh, p, cfg.grad_scheme)
     if cfg.momentum_predictor:
         Umat = UEqn.add_source(-grad_p, mesh)
@@ -213,7 +217,11 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
 
     for corr in range(cfg.n_correctors):
         HbyA = rA[:, None] * UEqn.H(mesh, U.data)
-        phiHbyA_b = boundary_flux(mesh, U)
+        phiHbyA = slot_mod.flux_of(mesh, HbyA, bv=boundary_flux(mesh, U))
+        if cfg.mrf:
+            # reference: mrfZones.relativeFlux(phiHbyA) before adjustPhi
+            phiHbyA = cfg.mrf.make_relative(mesh, phiHbyA)
+        phiHbyA_b = phiHbyA.bv
         if needs_reference(p, mesh):
             # global flux balance before the singular pressure solve
             # (reference: adjustPhi(phiHbyA, U, p) in icoFoam/pisoFoam
@@ -223,7 +231,7 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
             from .simple import adjust_phi
 
             phiHbyA_b = adjust_phi(mesh, phiHbyA_b, U)
-        phiHbyA = slot_mod.flux_of(mesh, HbyA, bv=phiHbyA_b)
+            phiHbyA = phiHbyA._replace(bv=phiHbyA_b)
 
         for nonorth in range(cfg.n_non_orth + 1):
             corr_face = None
@@ -354,12 +362,18 @@ def initial_state(mesh, U: VolField, p: VolField,
                   ddt_scheme: str = "Euler") -> Dict:
     from ..ops import slot as slot_mod
 
-    phi = fvc.flux(mesh, U)
-    if project:
-        phi = jax.jit(
-            lambda ph: project_initial_flux(mesh, p, ph)
-        )(phi)
-    phi_sl = slot_mod.from_flat(mesh, phi)
+    # ONE jitted program for flux + projection + slot conversion:
+    # eager dispatch is ~50-100ms/op through the TPU tunnel and each
+    # eager op compiles separately (the n^3 scale cases spent minutes
+    # here before this was fused)
+    def _initial_flux(Uf):
+        phi = fvc.flux(mesh, Uf)
+        if project:
+            phi = project_initial_flux(mesh, p, phi)
+        sl = slot_mod.from_flat(mesh, phi)
+        return phi, sl
+
+    phi, phi_sl = jax.jit(_initial_flux)(U)
     st = {"U": U, "p": p, "phi": phi, "U0": U.data,
           "phi_slot": (phi_sl.sv, phi_sl.fb)}
     toks = ddt_scheme.split()

@@ -41,6 +41,7 @@ class SimpleConfig(NamedTuple):
     turb_controls: Dict = None
     turb_relax: float = 0.7
     fv_options: Any = None   # models/fvoptions.OptionList
+    mrf: Any = None          # models/mrf.MRFZones
 
 
 def adjust_phi(mesh, phi_b: Any, U: VolField) -> Any:
@@ -103,6 +104,10 @@ def simple_step(mesh, state: Dict, cfg: SimpleConfig) -> Tuple[Dict, Dict]:
     if cfg.fv_options:
         UEqn = cfg.fv_options.add_to(mesh, UEqn, "U", U, U=U,
                                      fvopt_state=state.get("fvopt"))
+    if cfg.mrf:
+        # reference: mrfZones.addCoriolis(UEqn()) — BEFORE relax so the
+        # H/A split sees the rotating-frame source
+        UEqn = cfg.mrf.add_coriolis(mesh, UEqn, U)
     UEqn = UEqn.relax(mesh, cfg.alpha_u, U.data)
     grad_p = fvc.grad_of(mesh, p, cfg.grad_scheme)
     Umat = UEqn.add_source(-grad_p, mesh)
@@ -113,11 +118,15 @@ def simple_step(mesh, state: Dict, cfg: SimpleConfig) -> Tuple[Dict, Dict]:
     # -- pressure correction -------------------------------------------------------
     rA = 1.0 / UEqn.A(mesh)
     HbyA = rA[:, None] * UEqn.H(mesh, U.data)
-    phiHbyA_b = boundary_flux(mesh, U)
+    phiHbyA = slot_mod.flux_of(mesh, HbyA, bv=boundary_flux(mesh, U))
+    if cfg.mrf:
+        # reference: mrfZones.relativeFlux(phiHbyA) before adjustPhi
+        phiHbyA = cfg.mrf.make_relative(mesh, phiHbyA)
+    phiHbyA_b = phiHbyA.bv
     closed = needs_reference(p, mesh)
     if closed:
         phiHbyA_b = adjust_phi(mesh, phiHbyA_b, U)
-    phiHbyA = slot_mod.flux_of(mesh, HbyA, bv=phiHbyA_b)
+        phiHbyA = phiHbyA._replace(bv=phiHbyA_b)
     rA_b = rA[mesh.owner[nif:]]
     rAf_slot = slot_mod.interpolate(mesh, rA, bv=rA_b)
     rAf = slot_mod.to_flat(mesh, rAf_slot)
