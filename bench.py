@@ -77,7 +77,42 @@ def main():
         out["detail"]["pitzDaily"] = bench_pitz()
     except Exception as e:  # keep the primary metric robust
         out["detail"]["pitzDaily"] = {"error": f"{type(e).__name__}: {e}"}
+    if os.environ.get("BENCH_SCALE") == "1":
+        try:
+            out["detail"]["scale3d"] = bench_scale3d()
+        except Exception as e:
+            out["detail"]["scale3d"] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(out))
+
+
+def bench_scale3d():
+    """Scale demo (SCALE.md): n^3 lid-driven cavity, PISO+GAMG on one
+    chip. BENCH_SCALE=1 enables (build+compile is minutes at n=100)."""
+    import jax
+    import jax.numpy as jnp
+
+    from foamtpu.apps.cases import make_cavity
+    from foamtpu.solvers import piso
+
+    n = int(os.environ.get("BENCH_SCALE_N", "100"))
+    mesh, state, cfg = make_cavity(n, three_d=True, p_solver={
+        "solver": "GAMG", "preconditioner": "polynomial",
+        "tolerance": 1e-7, "relTol": 0.01, "maxIter": 1000})
+    step = piso.make_step(mesh, cfg)
+    dt = jnp.asarray(0.3 * (0.1 / n), mesh.v.dtype)
+    state, diag = step(state, dt)
+    jax.block_until_ready(state["U"].data)
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, diag = step(state, dt)
+    jax.block_until_ready(state["U"].data)
+    sec = (time.perf_counter() - t0) / reps
+    return {"case": f"icoFoam 3D cavity {n}^3", "n_cells": mesh.n_cells,
+            "sec_per_step": round(sec, 4),
+            "cells_per_sec": round(mesh.n_cells / sec, 1),
+            "p_iters_last": int(diag["p_iters"]),
+            "continuity": float(diag["continuity"])}
 
 
 def bench_pitz():

@@ -1,0 +1,94 @@
+"""Scale demo (VERDICT r1 #10): large-mesh single-chip throughput and
+the sharded multi-device solve with partition statistics.
+
+  python scale_demo.py            # sharded virtual-8 CPU demo (48^3)
+  BENCH_SCALE=1 python bench.py   # 100^3 (1M cells) on the real chip
+
+Prints BENCH-style JSON rows. The sharded part runs in a subprocess on
+N virtual CPU devices (JAX_PLATFORMS=cpu must be set before jax import,
+same pattern as __graft_entry__.dryrun_multichip). The cell ordering is
+partition.renumber_for — decomposePar as a relabelling — so each
+device owns a spatially compact contiguous block; cut-face counts
+quantify the halo the GSPMD gathers induce.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+
+def main():
+    n_dev = int(os.environ.get("SCALE_DEVICES", "8"))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = " ".join(f for f in env.get("XLA_FLAGS", "").split()
+                     if "host_platform_device_count" not in f)
+    env["XLA_FLAGS"] = \
+        f"{flags} --xla_force_host_platform_device_count={n_dev}".strip()
+    code = ("import sys; sys.path.insert(0, %r); "
+            "import scale_demo as s; s._sharded_body(%d)" % (HERE, n_dev))
+    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=HERE)
+    raise SystemExit(r.returncode)
+
+
+def _sharded_body(n_dev: int) -> None:
+    import time
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from foamtpu.apps.cases import make_cavity
+    from foamtpu.parallel import gspmd, partition
+    from foamtpu.solvers import piso
+
+    n = int(os.environ.get("SCALE_N", "48"))
+    mesh, state, cfg = make_cavity(n, three_d=True)
+    # cut statistics: (a) the contiguous-block split GSPMD actually
+    # shards (array order = blockMesh order, z-major slabs), (b) the
+    # RCB decomposition renumber_for would relabel to
+    nc = mesh.n_cells
+    blocks = (np.arange(nc) * n_dev) // nc
+    cut = partition.cut_faces(mesh, blocks)
+    cut_rcb = partition.cut_faces(mesh, partition.decompose(mesh, n_dev))
+    nif = mesh.n_internal_faces
+
+    jmesh = gspmd.space_mesh(n_dev)
+    mesh_s, state_s = gspmd.shard_case(mesh, state, jmesh)
+    dt = jnp.asarray(0.3 * (0.1 / n), mesh.v.dtype)
+    step = jax.jit(lambda m, s, d: piso.piso_step(m, s, d, cfg))
+    state_s, diag = step(mesh_s, state_s, dt)
+    jax.block_until_ready(state_s["U"].data)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state_s, diag = step(mesh_s, state_s, dt)
+    jax.block_until_ready(state_s["U"].data)
+    sec = (time.perf_counter() - t0) / reps
+    row = {
+        "metric": "sharded_cells_per_sec",
+        "value": round(mesh.n_cells / sec, 1),
+        "unit": "cell-updates/s",
+        "detail": {
+            "case": f"icoFoam 3D cavity {n}^3 sharded",
+            "n_cells": mesh.n_cells,
+            "n_devices": n_dev,
+            "backend": "cpu-virtual",
+            "sec_per_step": round(sec, 4),
+            "cut_faces": cut,
+            "cut_fraction": round(cut / nif, 4),
+            "cut_faces_rcb": cut_rcb,
+            "continuity": float(diag["continuity"]),
+        },
+    }
+    print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()
