@@ -790,6 +790,100 @@ def buoyant_boussinesq_pimplefoam(case, max_steps: Optional[int] = None):
     _boussinesq_run(case, steady=False, max_steps=max_steps)
 
 
+def _buoyant_rho_run(case, steady: bool, max_steps: Optional[int]) -> None:
+    """Shared driver for buoyant{Simple,Pimple}Foam — compressible
+    buoyant heat transfer (reference:
+    applications/solvers/heatTransfer/buoyantSimpleFoam/)."""
+    import jax.numpy as jnp
+
+    from ..models import thermo as thermo_mod
+    from . import buoyantrho as br_mod
+
+    mesh = case.mesh
+    th = thermo_mod.from_dict(case.properties("thermophysicalProperties"))
+    model, tstate = _load_turbulence(case, max(th.mu, 1e-12))
+    relax = _relaxation(case)
+    cname = "SIMPLE" if steady else "PIMPLE"
+    cdict = case.pimple_controls(cname)
+    try:
+        pf_ctl = case.solver_controls("p_rghFinal")
+    except KeyError:
+        pf_ctl = None
+    cfg = br_mod.BuoyantRhoConfig(
+        thermo=th,
+        g=_read_gravity(case),
+        steady=steady,
+        n_outer=int(cdict.get("nOuterCorrectors", 1)),
+        n_correctors=int(cdict.get("nCorrectors", 2)),
+        n_non_orth=int(cdict.get("nNonOrthogonalCorrectors", 0)),
+        corrected=case.laplacian_corrected(),
+        div_scheme=case.div_scheme("div(phi,U)"),
+        div_scheme_e=case.div_scheme("div(phi,e)"),
+        grad_scheme=case.grad_scheme("grad(p_rgh)"),
+        alpha_u=relax.get("U", 0.3 if steady else 1.0),
+        alpha_p=relax.get("p_rgh", 0.7 if steady else 1.0),
+        alpha_e=relax.get("h", relax.get("e", 0.3 if steady else 1.0)),
+        p_ref_cell=int(cdict.get("pRefCell", 0)),
+        p_ref_value=float(cdict.get("pRefValue", 1e5)),
+        p_controls=case.solver_controls("p_rgh"),
+        p_controls_final=pf_ctl,
+        u_controls=case.solver_controls("U"),
+        e_controls=case.solver_controls("T") if _has_solver(case, "T")
+        else None,
+        turb=model,
+        turb_relax=relax.get("k", 0.7),
+    )
+    U = case.read_field("U")
+    p_rgh = case.read_field("p_rgh")
+    T = case.read_field("T")
+    state = br_mod.initial_state(mesh, U, p_rgh, T, th, g=cfg.g,
+                                 turb_state=tstate, steady=steady)
+    step = br_mod.make_step(mesh, cfg)
+    res_ctl = _residual_control(case, cname)
+    name = "buoyantSimpleFoam" if steady else "buoyantPimpleFoam"
+    log.info(f"Starting loop: {name}, {mesh.n_cells} cells\n")
+    cumulative = 0.0
+    t = case.time
+    max_iter = max(int(round((t.end_time - t.start_time) / t.delta_t)), 1)
+    if max_steps is not None:
+        max_iter = min(max_iter, max_steps)
+    dt = jnp.asarray(1.0 if steady else t.delta_t, mesh.v.dtype)
+    from ..functionobjects import make_function_objects
+
+    fol = make_function_objects(case)
+
+    def write(state):
+        fields = [state["U"], state["p_rgh"], state["T"]]
+        if "turb" in state and state["turb"]:
+            fields += list(state["turb"].values())
+        case.write_fields(fields)
+
+    while t.index < max_iter:
+        state, diag = step(state, dt)
+        t.index += 1
+        t.value = t.start_time + t.index * t.delta_t
+        t.current_dt = float(dt)
+        cumulative = _log_step(case, t, diag, cumulative)
+        log.info(log.solver_line("T", diag["T"]))
+        fol.execute(t.name, state)
+        if t.write_time():
+            write(state)
+        if steady and simple_mod.converged(diag, res_ctl):
+            log.info(f"SIMPLE solution converged in {t.index} iterations\n")
+            break
+    write(state)
+    log.info("End\n")
+    case.final_state = state
+
+
+def buoyant_simplefoam(case, max_steps: Optional[int] = None):
+    _buoyant_rho_run(case, steady=True, max_steps=max_steps)
+
+
+def buoyant_pimplefoam(case, max_steps: Optional[int] = None):
+    _buoyant_rho_run(case, steady=False, max_steps=max_steps)
+
+
 def _rho_pimple_run(case, steady: bool, transonic: bool,
                     max_steps: Optional[int]) -> None:
     """Shared driver for rhoSimpleFoam / rhoPimpleFoam / sonicFoam
@@ -903,6 +997,8 @@ def sonicfoam(case, max_steps: Optional[int] = None):
 case_mod.register_application("rhoSimpleFoam", rho_simplefoam)
 case_mod.register_application("rhoPimpleFoam", rho_pimplefoam)
 case_mod.register_application("sonicFoam", sonicfoam)
+case_mod.register_application("buoyantSimpleFoam", buoyant_simplefoam)
+case_mod.register_application("buoyantPimpleFoam", buoyant_pimplefoam)
 case_mod.register_application("buoyantBoussinesqSimpleFoam",
                               buoyant_boussinesq_simplefoam)
 case_mod.register_application("buoyantBoussinesqPimpleFoam",

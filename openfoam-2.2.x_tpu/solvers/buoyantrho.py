@@ -106,16 +106,18 @@ def buoyantrho_step(mesh, state: Dict, dt: Any, cfg: BuoyantRhoConfig
 
     p_op = cfg.p_ref_value
 
-    def p_abs(p_rgh_data, rho):
-        return p_rgh_data + p_op + rho * gh
+    def p_abs(p_shifted, rho):
+        """absolute p from the SHIFTED p_rgh' = p_rgh - p_op."""
+        return p_shifted + p_op + rho * gh
 
     # absolute pressure fixed-point at the current state
+    p_sh = p_rgh.data - p_op
     rho0g = state.get("rho0")
-    rho = th.rho(p_rgh.data + p_op, T.data) if rho0g is None else rho0g
+    rho = th.rho(p_rgh.data, T.data) if rho0g is None else rho0g
     for _ in range(2):
-        rho = jnp.maximum(th.rho(p_abs(p_rgh.data, rho), T.data),
+        rho = jnp.maximum(th.rho(p_abs(p_sh, rho), T.data),
                           cfg.rho_min)
-    p_full = p_abs(p_rgh.data, rho)
+    p_full = p_abs(p_sh, rho)
     rho0 = state.get("rho0", rho)
     U0 = state.get("U0", U.data)
     T0 = state.get("T0", T.data)
