@@ -49,6 +49,10 @@ _ALIASES = {
     "zeroGradient": "zeroGradient",
     "fixedValue": "fixedValue",
     "fixedGradient": "fixedGradient",
+    # stress analysis: fixedGradient whose gradient the solid solver
+    # recomputes each iteration from traction/pressure (reference:
+    # solidDisplacementFoam tractionDisplacement BC)
+    "tractionDisplacement": "fixedGradient",
     "mixed": "mixed",
     "calculated": "calculated",
     "inletOutlet": "inletOutlet",

@@ -61,6 +61,19 @@ def ddt_steady(mesh, field: VolField) -> FvMatrix:
     return zero_matrix(mesh, _ncmp(field), dims=field.dims * dimVolume / dimTime)
 
 
+def d2dt2(mesh, field: VolField, old: Any, old_old: Any, rdt: Any
+          ) -> FvMatrix:
+    """Euler implicit d2/dt2 (reference: EulerD2dt2Scheme::fvmD2dt2):
+    diag = V/dt^2, source = V/dt^2 * (2 psi0 - psi00)."""
+    m = zero_matrix(mesh, _ncmp(field),
+                    dims=field.dims * dimVolume / (dimTime * dimTime))
+    vdt2 = mesh.v * rdt * rdt
+    return m.replace_fields(
+        diag=vdt2,
+        source=_colv(vdt2, field.data) * (2.0 * old - old_old),
+    )
+
+
 def ddt_backward(mesh, field: VolField, old: Any, old_old: Any,
                  rdt: Any, rdt0: Any) -> FvMatrix:
     """Second-order backward (BDF2) implicit d/dt (reference:

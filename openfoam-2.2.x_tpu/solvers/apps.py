@@ -884,6 +884,91 @@ def buoyant_pimplefoam(case, max_steps: Optional[int] = None):
     _buoyant_rho_run(case, steady=False, max_steps=max_steps)
 
 
+def _solid_run(case, steady: bool, max_steps: Optional[int]) -> None:
+    """solidDisplacementFoam / solidEquilibriumDisplacementFoam driver
+    (reference: applications/solvers/stressAnalysis/)."""
+    import jax.numpy as jnp
+
+    from . import soliddisplacement as sd_mod
+
+    mesh = case.mesh
+    mp = case.properties("mechanicalProperties")
+    rho = _dim_scalar_of(mp, "rho", 7854.0)
+    E = _dim_scalar_of(mp, "E", 2e11)
+    nu = _dim_scalar_of(mp, "nu", 0.3)
+    plane_stress = str(mp.get("planeStress", "no")) in ("yes", "true",
+                                                        "on", "1")
+    try:
+        thp = case.properties("thermalProperties")
+    except (OSError, IOError):
+        thp = FoamDict()
+    if str(thp.get("thermalStress", "no")) in ("yes", "true", "on"):
+        raise NotImplementedError(
+            "thermalStress coupling not implemented yet")
+    D = case.read_field("D")
+    # traction/pressure specs from the raw 0/D boundaryField
+    from ..bc.factory import parse_value
+
+    raw = parse_file(os.path.join(case.dir, "0", "D"))
+    bf = raw.get("boundaryField", FoamDict())
+    dtype = np.asarray(mesh.v).dtype
+    traction = []
+    for patch in mesh.patches:
+        spec = bf.get(patch.name) if isinstance(bf, FoamDict) else None
+        if (isinstance(spec, FoamDict)
+                and str(spec.get("type")) == "tractionDisplacement"):
+            tv = parse_value(spec.get("traction"), patch.size, 1, dtype)
+            pv = parse_value(spec.get("pressure"), patch.size, 0, dtype)
+            tv = np.zeros(3) if tv is None else np.asarray(tv, float)
+            pv = 0.0 if pv is None else np.asarray(pv, float)
+            traction.append((tv / rho, pv / rho))
+        else:
+            traction.append(None)
+    sdict = case.pimple_controls("stressAnalysis")
+    cfg = sd_mod.SolidConfig(
+        rho=rho, E=E, nu=nu, plane_stress=plane_stress, steady=steady,
+        n_corr=max(int(sdict.get("nCorrectors", 1)), 1),
+        tolerance=float(sdict.get("D", 1e-6)),
+        d_controls=case.solver_controls("D"),
+        traction=tuple(traction))
+    state = sd_mod.initial_state(mesh, D, steady=steady)
+    step = sd_mod.make_step(mesh, cfg)
+    name = ("solidEquilibriumDisplacementFoam" if steady
+            else "solidDisplacementFoam")
+    log.info(f"Starting loop: {name}, {mesh.n_cells} cells\n")
+    t = case.time
+    max_iter = max(int(round((t.end_time - t.start_time) / t.delta_t)), 1)
+    if max_steps is not None:
+        max_iter = min(max_iter, max_steps)
+    dt = jnp.asarray(1.0 if steady else t.delta_t, mesh.v.dtype)
+    cumulative = 0.0
+    while t.index < max_iter:
+        state, diag = step(state, dt)
+        t.index += 1
+        t.value = t.start_time + t.index * t.delta_t
+        t.current_dt = float(dt)
+        log.info(f"Time = {t.name}\n")
+        log.info(log.solver_line("Dx", diag["D"]))
+        if t.write_time():
+            case.write_fields([state["D"]])
+        res = float(np.max(np.asarray(diag["D"].initial_residual)))
+        if steady and res < cfg.tolerance:
+            log.info(f"Converged in {t.index} iterations\n")
+            break
+    case.write_fields([state["D"]])
+    log.info("End\n")
+    case.final_state = state
+
+
+def solid_displacement_foam(case, max_steps: Optional[int] = None):
+    _solid_run(case, steady=False, max_steps=max_steps)
+
+
+def solid_equilibrium_displacement_foam(case,
+                                        max_steps: Optional[int] = None):
+    _solid_run(case, steady=True, max_steps=max_steps)
+
+
 def _rho_pimple_run(case, steady: bool, transonic: bool,
                     max_steps: Optional[int]) -> None:
     """Shared driver for rhoSimpleFoam / rhoPimpleFoam / sonicFoam
@@ -997,6 +1082,10 @@ def sonicfoam(case, max_steps: Optional[int] = None):
 case_mod.register_application("rhoSimpleFoam", rho_simplefoam)
 case_mod.register_application("rhoPimpleFoam", rho_pimplefoam)
 case_mod.register_application("sonicFoam", sonicfoam)
+case_mod.register_application("solidDisplacementFoam",
+                              solid_displacement_foam)
+case_mod.register_application("solidEquilibriumDisplacementFoam",
+                              solid_equilibrium_displacement_foam)
 case_mod.register_application("buoyantSimpleFoam", buoyant_simplefoam)
 case_mod.register_application("buoyantPimpleFoam", buoyant_pimplefoam)
 case_mod.register_application("buoyantBoussinesqSimpleFoam",
