@@ -248,15 +248,65 @@ def from_dict(mesh, d: FoamDict, nu: float = 0.0) -> OptionList:
     return OptionList(opts)
 
 
+def from_porous_zones(mesh, d: FoamDict, nu: float) -> List[Option]:
+    """constant/porousZones (2.2 list of zone dicts with Darcy {d; f;})
+    -> explicitPorositySource options (reference:
+    src/finiteVolume/cfdTools/general/porousMedia/porousZone.C;
+    coordinateSystem rotation not applied — diagonal coefficients in
+    mesh axes; cellZone selection replaced by selectionMode
+    box/cylinder/all)."""
+    opts: List[Option] = []
+
+    def one(name, spec: FoamDict):
+        sub = spec.get("Darcy", spec.get("DarcyForchheimerCoeffs", spec))
+        dv = sub.get("d", (0.0, 0.0, 0.0))
+        fv = sub.get("f", (0.0, 0.0, 0.0))
+        if isinstance(dv, list) and dv and isinstance(
+                dv[-1], (list, tuple, np.ndarray)):
+            dv = dv[-1]   # dimensioned form: d d [dims] (..)
+        if isinstance(fv, list) and fv and isinstance(
+                fv[-1], (list, tuple, np.ndarray)):
+            fv = fv[-1]
+        sel = spec if "selectionMode" in spec else FoamDict(
+            {"selectionMode": "all"})
+        mask = _zone_mask(mesh, sel)
+        opts.append(Option(str(name), "explicitPorositySource", mask,
+                           ("U",), {"d": _vec(dv), "f": _vec(fv),
+                                    "nu": nu}))
+
+    def walk(obj, name="porousZone"):
+        if isinstance(obj, FoamDict):
+            if "Darcy" in obj or "DarcyForchheimerCoeffs" in obj:
+                one(name, obj)
+            else:
+                for k, v in obj.items():
+                    walk(v, str(k))
+        elif isinstance(obj, (list, tuple)):
+            pending = name
+            for item in obj:
+                if isinstance(item, str):
+                    pending = item
+                else:
+                    walk(item, pending)
+
+    walk(d)
+    return opts
+
+
 def from_case(case, nu: float = 0.0) -> Optional[OptionList]:
     """Read system/fvOptions or constant/fvOptions (reference lookup
-    order)."""
+    order), plus constant/porousZones (reference: porousSimpleFoam /
+    rhoPorousSimpleFoam read porousZones directly)."""
     import os
 
     from ..core.dictionary import parse_file
 
+    opts: List[Option] = []
     for cand in (case.sys_path("fvOptions"), case.const_path("fvOptions")):
         if os.path.exists(cand):
-            ol = from_dict(case.mesh, parse_file(cand), nu)
-            return ol if ol else None
-    return None
+            opts += from_dict(case.mesh, parse_file(cand), nu).options
+            break
+    pz = case.const_path("porousZones")
+    if os.path.exists(pz):
+        opts += from_porous_zones(case.mesh, parse_file(pz), nu)
+    return OptionList(opts) if opts else None

@@ -489,6 +489,153 @@ def laplacian_foam(case, max_steps: Optional[int] = None) -> None:
     log.info("End\n")
 
 
+def electrostatic_foam(case, max_steps: Optional[int] = None) -> None:
+    """electrostaticFoam (reference: applications/solvers/
+    electromagnetics/electrostaticFoam/): Poisson equation for the
+    electric potential + space-charge transport by drift:
+
+        laplacian(phi) == rho/epsilon0
+        rhoFlux = -k * magSf * snGrad(phi)
+        ddt(rho) + div(rhoFlux, rho) = 0
+    """
+    import jax
+
+    from ..core.dimensions import dimless
+    from ..ops import fvc, fvm
+    from . import linear
+
+    mesh = case.mesh
+    pp = case.properties("physicalProperties")
+    eps0 = _dim_scalar_of(pp, "epsilon0", 8.85418782e-12)
+    k_mob = _dim_scalar_of(pp, "k", 1.9e-9)
+    phiE = case.read_field("phi")   # electric potential (reference name)
+    rho = case.read_field("rho")    # space charge density
+    phi_ctl = case.solver_controls("phi")
+    rho_ctl = case.solver_controls("rho")
+
+    @jax.jit
+    def step(phiE, rho, dt):
+        rdt = 1.0 / dt
+        eqn = fvm.laplacian(mesh, 1.0, phiE,
+                            corrected=case.laplacian_corrected(),
+                            gamma_dims=dimless)
+        eqn = eqn.add_source(rho.data / eps0, mesh)
+        data, pperf = linear.solve(mesh, eqn, phiE.data, phi_ctl)
+        phiE = phiE.with_data(data)
+        # drift flux on faces
+        sng = fvc.sn_grad(mesh, phiE)
+        rho_flux = -k_mob * mesh.mag_sf * sng * mesh.face_active
+        from .piso import div_weights
+
+        w = div_weights(mesh, rho_flux, "upwind", rho)
+        req = (fvm.ddt(mesh, rho, rho.data, rdt)
+               + fvm.div(mesh, rho_flux, rho, weights=w,
+                         phi_dims=DimensionSet.of(0, 3, -1)))
+        rdata, rperf = linear.solve(mesh, req, rho.data, rho_ctl)
+        return phiE, rho.with_data(rdata), pperf, rperf
+
+    from ..core.dimensions import DimensionSet
+
+    for t in case.time.loop():
+        phiE, rho, pperf, rperf = step(
+            phiE, rho, jnp.asarray(t.current_dt, mesh.v.dtype))
+        log.info(f"Time = {t.name}")
+        log.info(log.solver_line("phi", pperf))
+        log.info(log.solver_line("rho", rperf))
+        if t.write_time():
+            case.write_fields([phiE, rho])
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.write_fields([phiE, rho])
+    case.final_state = {"phi": phiE, "rho": rho}
+    log.info("End\n")
+
+
+def boundary_foam(case, max_steps: Optional[int] = None) -> None:
+    """boundaryFoam (reference: applications/solvers/incompressible/
+    boundaryFoam/): steady 1D fully-developed channel/boundary-layer
+    flow — momentum diffusion only (no convection), with the axial
+    pressure gradient adjusted every iteration to hold the prescribed
+    bulk velocity Ubar, and the turbulence model driven by the 1D
+    profile. Used to generate inlet profiles and validate wall
+    functions."""
+    import jax
+
+    from ..core.dimensions import dimViscosity
+    from ..ops import fvm
+    from . import linear
+
+    mesh = case.mesh
+    tp = case.transport_properties()
+    _, nu = dimensioned_scalar(tp["nu"])
+    ubar_e = tp.get("Ubar")
+    ub = np.asarray([float(x) for x in ubar_e[-1]]) \
+        if isinstance(ubar_e, list) and isinstance(ubar_e[-1], list) \
+        else np.asarray([1.0, 0.0, 0.0])
+    mag_ub = float(np.linalg.norm(ub))
+    fdir = ub / max(mag_ub, 1e-30)
+    model, tstate = _load_turbulence(case, nu)
+    U = case.read_field("U")
+    u_ctl = case.solver_controls("U")
+    alpha_u = _relaxation(case).get("U", 0.5)
+    flow_dir = jnp.asarray(fdir, mesh.v.dtype)
+    phi0 = jnp.zeros(mesh.n_faces, mesh.v.dtype)
+    vtot = jnp.sum(mesh.v)
+
+    def one(U, tstate, gradP):
+        if model is not None:
+            visc_mat, visc_expl = model.div_dev_reff(mesh, tstate, U)
+            UEqn = visc_mat
+            UEqn = UEqn.add_source(-visc_expl, mesh)
+        else:
+            UEqn = -fvm.laplacian(mesh, jnp.asarray(nu, mesh.v.dtype), U,
+                                  gamma_dims=dimViscosity)
+        # UEqn.relax() (reference boundaryFoam.C) — the implicit
+        # under-relaxation is what makes the gradP fixed-point stable:
+        # the unrelaxed diffusion matrix responds to gradP with gain
+        # h^2/(12 nu rAU_local) >> 1 and the adjustment oscillates
+        UEqn = UEqn.relax(mesh, alpha_u, U.data)
+        Umat = UEqn.add_source(
+            jnp.broadcast_to(gradP * flow_dir, U.data.shape), mesh)
+        data, perf = linear.solve(mesh, Umat, U.data, u_ctl)
+        U = U.with_data(data)
+        # adjust gradP to hold Ubar (reference: boundaryFoam.C)
+        rAU = 1.0 / UEqn.A(mesh)
+        magUbarStar = jnp.sum(mesh.v * (U.data @ flow_dir)) / vtot
+        rAUw = jnp.sum(mesh.v * rAU) / vtot
+        dG = (mag_ub - magUbarStar) / rAUw
+        U = U.with_data(U.data + (rAU * dG)[:, None] * flow_dir[None, :])
+        gradP = gradP + dG
+        if model is not None:
+            dt1 = jnp.asarray(1.0, mesh.v.dtype)
+            tstate, tdiag = model.correct(mesh, tstate, U, phi0, dt1,
+                                          steady=True)
+        else:
+            tdiag = {}
+        return U, tstate, gradP, perf, tdiag
+
+    step = jax.jit(one)
+    gradP = jnp.zeros((), mesh.v.dtype)
+    n_iter = max_steps or int(round(
+        (case.time.end_time - case.time.start_time) / case.time.delta_t))
+    log.info(f"Starting loop: boundaryFoam, {mesh.n_cells} cells\n")
+    for t in case.time.loop():
+        U, tstate, gradP, perf, tdiag = step(U, tstate, gradP)
+        log.info(f"Time = {t.name}")
+        log.info(log.solver_line("Ux", perf))
+        log.info(f"Uncorrected Ubar = ..., pressure gradient = "
+                 f"{float(gradP):.6g}\n")
+        if t.write_time():
+            fields = [U] + (list(tstate.values()) if tstate else [])
+            case.write_fields(fields)
+        if max_steps is not None and t.index >= max_steps:
+            break
+    fields = [U] + (list(tstate.values()) if tstate else [])
+    case.write_fields(fields)
+    case.final_state = {"U": U, "turb": tstate, "gradP": gradP}
+    log.info("End\n")
+
+
 def potential_foam(case, max_steps: Optional[int] = None) -> None:
     """potentialFoam: potential-flow initialisation — solve
     laplacian(Phi) = div(phiHbyA-like flux) once, derive U
@@ -1104,6 +1251,12 @@ case_mod.register_application("simpleFoam", simplefoam)
 # aliases (reference: applications/solvers/incompressible/MRFSimpleFoam/)
 case_mod.register_application("MRFSimpleFoam", simplefoam)
 case_mod.register_application("MRFPimpleFoam", pimplefoam)
+# porous zones are picked up from constant/porousZones by
+# _load_fvoptions (reference: applications/solvers/incompressible/
+# porousSimpleFoam/ reads porousZones into the momentum equation)
+case_mod.register_application("porousSimpleFoam", simplefoam)
+case_mod.register_application("electrostaticFoam", electrostatic_foam)
+case_mod.register_application("boundaryFoam", boundary_foam)
 case_mod.register_application("scalarTransportFoam", scalar_transport_foam)
 case_mod.register_application("laplacianFoam", laplacian_foam)
 case_mod.register_application("potentialFoam", potential_foam)
