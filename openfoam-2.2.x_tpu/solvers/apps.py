@@ -1031,6 +1031,60 @@ def buoyant_pimplefoam(case, max_steps: Optional[int] = None):
     _buoyant_rho_run(case, steady=False, max_steps=max_steps)
 
 
+def shallow_water_foam(case, max_steps: Optional[int] = None) -> None:
+    """shallowWaterFoam (reference: applications/solvers/shallowWater/).
+    Reads constant/gravitationalProperties (magg, rotating, Omega),
+    0/{h,hU} and 0/h0 (bed elevation, optional)."""
+    import jax.numpy as jnp
+
+    from . import shallowwater as sw_mod
+
+    mesh = case.mesh
+    try:
+        gp = case.properties("gravitationalProperties")
+    except (OSError, IOError):
+        gp = FoamDict()
+    magg = _dim_scalar_of(gp, "magg", 9.81)
+    rotating = str(gp.get("rotating", "no")) in ("yes", "true", "on")
+    om = gp.get("Omega")
+    omega = (0.0, 0.0, 0.0)
+    if isinstance(om, list):
+        v = np.asarray(om[-1] if isinstance(om[-1], (list, np.ndarray))
+                       else om, dtype=float).reshape(-1)[-3:]
+        omega = (float(v[0]), float(v[1]), float(v[2]))
+    h = case.read_field("h")
+    hU = case.read_field("hU")
+    try:
+        h0 = np.asarray(case.read_field("h0").data)
+    except (OSError, IOError):
+        h0 = np.zeros(mesh.n_cells)
+    pdict = case.pimple_controls("PIMPLE")
+    cfg = sw_mod.ShallowWaterConfig(
+        g=magg, rotating=rotating, omega=omega,
+        n_outer=int(pdict.get("nOuterCorrectors", 1)),
+        n_correctors=int(pdict.get("nCorrectors", 2)),
+        n_non_orth=int(pdict.get("nNonOrthogonalCorrectors", 0)),
+        div_scheme=case.div_scheme("div(phiv,hU)"),
+        h_controls=case.solver_controls("h"),
+        hu_controls=case.solver_controls("hU"),
+    )
+    state = sw_mod.initial_state(mesh, h, hU, h0)
+    step = sw_mod.make_step(mesh, cfg)
+    log.info(f"Starting loop: shallowWaterFoam, {mesh.n_cells} cells\n")
+    cumulative = 0.0
+    for t in case.time.loop():
+        state, diag = step(state, jnp.asarray(t.current_dt, mesh.v.dtype))
+        cumulative = _log_step(case, t, diag, cumulative)
+        t.adjust_delta_t(float(diag["courant_max"]))
+        if t.write_time():
+            case.write_fields([state["h"], state["hU"], state["U"]])
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.write_fields([state["h"], state["hU"], state["U"]])
+    log.info("End\n")
+    case.final_state = state
+
+
 def _solid_run(case, steady: bool, max_steps: Optional[int]) -> None:
     """solidDisplacementFoam / solidEquilibriumDisplacementFoam driver
     (reference: applications/solvers/stressAnalysis/)."""
@@ -1257,6 +1311,7 @@ case_mod.register_application("MRFPimpleFoam", pimplefoam)
 case_mod.register_application("porousSimpleFoam", simplefoam)
 case_mod.register_application("electrostaticFoam", electrostatic_foam)
 case_mod.register_application("boundaryFoam", boundary_foam)
+case_mod.register_application("shallowWaterFoam", shallow_water_foam)
 case_mod.register_application("scalarTransportFoam", scalar_transport_foam)
 case_mod.register_application("laplacianFoam", laplacian_foam)
 case_mod.register_application("potentialFoam", potential_foam)
