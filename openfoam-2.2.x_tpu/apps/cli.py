@@ -175,6 +175,55 @@ def renumber_mesh(argv) -> int:
     return 0
 
 
+def box_turb(argv) -> int:
+    """boxTurb: divergence-free synthetic turbulence initial U field
+    (reference: applications/utilities/preProcessing/boxTurb/ +
+    constant/boxTurbDict {Ea; k0; seed;}). Requires a uniform
+    single-box mesh; grid dims inferred from the cell centres."""
+    args = _case_arg(argv)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core.case import Case
+    from ..core.dictionary import parse_file
+    from ..core import runtime
+    from ..io import fields as field_io
+    from ..models import randomprocesses as rp
+
+    case = Case(args.case)
+    mesh = case.mesh
+    d = parse_file(os.path.join(args.case, "constant", "boxTurbDict"))
+    Ea = float(d.get("Ea", 1.0))
+    k0 = float(d.get("k0", 5.0))
+    seed = int(d.get("seed", 0))
+
+    c = np.asarray(mesh.c)
+    lo, hi = c.min(axis=0), c.max(axis=0)
+    dims = []
+    for ax in range(3):
+        u = np.unique(np.round((c[:, ax] - lo[ax]) /
+                               max(hi[ax] - lo[ax], 1e-30) * 1e6))
+        dims.append(len(u))
+    nx, ny, nz = dims
+    assert nx * ny * nz == mesh.n_cells, (
+        f"boxTurb needs a uniform box mesh; inferred {dims} vs "
+        f"{mesh.n_cells} cells")
+    L = hi - lo + (hi - lo) / (np.maximum(np.asarray(dims), 2) - 1 + 1e-30)
+    u = rp.box_turb((nx, ny, nz), L, Ea, k0, seed)
+    # map grid -> cell ordering via index lookup
+    span = np.maximum(hi - lo, 1e-30)
+    idx = np.round((c - lo) / span * (np.asarray(dims) - 1)).astype(int)
+    flat = u[idx[:, 0], idx[:, 1], idx[:, 2], :]
+    U = case.read_field("U")
+    U = U.with_data(jnp.asarray(flat, mesh.v.dtype))
+    tname = runtime.time_name(case.time.start_time)
+    field_io.write_field(U, mesh, case.dir, tname)
+    tke = 0.5 * float(np.mean(np.sum(flat * flat, axis=1)))
+    print(f"boxTurb: wrote U ({nx}x{ny}x{nz}), k = {tke:.4g} "
+          f"(target {1.5 * Ea:.4g})")
+    return 0
+
+
 COMMANDS = {
     "blockMesh": block_mesh,
     "renumberMesh": renumber_mesh,
@@ -183,6 +232,7 @@ COMMANDS = {
     "decomposePar": decompose_par,
     "foamToVTK": foam_to_vtk,
     "setFields": set_fields,
+    "boxTurb": box_turb,
 }
 
 
