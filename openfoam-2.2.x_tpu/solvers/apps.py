@@ -1031,6 +1031,107 @@ def buoyant_pimplefoam(case, max_steps: Optional[int] = None):
     _buoyant_rho_run(case, steady=False, max_steps=max_steps)
 
 
+def _read_positions(path: str) -> np.ndarray:
+    """Parse an OpenFOAM positions file (class vectorField /
+    Cloud positions: `( (x y z) ... )`, possibly with trailing cell
+    labels `(x y z) celli`)."""
+    import re
+
+    txt = open(path).read()
+    txt = re.sub(r"/\*.*?\*/", "", txt, flags=re.S)
+    txt = re.sub(r"//.*", "", txt)
+    vecs = re.findall(
+        r"\(\s*(-?[\d.eE+-]+)\s+(-?[\d.eE+-]+)\s+(-?[\d.eE+-]+)\s*\)",
+        txt)
+    return np.asarray([[float(a), float(b), float(c)]
+                       for a, b, c in vecs], dtype=float)
+
+
+def ico_uncoupled_kinematic_parcel_foam(case,
+                                        max_steps: Optional[int] = None
+                                        ) -> None:
+    """icoUncoupledKinematicParcelFoam (reference: applications/
+    solvers/lagrangian/icoUncoupledKinematicParcelFoam/): a frozen
+    carrier velocity field transports a kinematic parcel cloud
+    (manualInjection from kinematicCloudPositions, sphere drag +
+    gravity)."""
+    import jax.numpy as jnp
+
+    from .. import lagrangian as lag
+
+    mesh = case.mesh
+    U = case.read_field("U")
+    tp = case.transport_properties()
+    _, nu = dimensioned_scalar(tp["nu"])
+    rho_f = _dim_scalar_of(tp, "rhoInf", _dim_scalar_of(tp, "rho", 1.2))
+    mu_f = nu * rho_f
+    props = case.properties("kinematicCloudProperties")
+    cp = props.get("constantProperties", FoamDict())
+    rho0 = _dim_scalar_of(cp, "rho0", 1000.0)
+    sub = props.get("subModels", props)
+    inj = FoamDict()
+    im = sub.get("injectionModels", sub.get("injectionModel"))
+    if isinstance(im, FoamDict):
+        for v in im.values():
+            if isinstance(v, FoamDict):
+                inj = v
+                break
+        else:
+            inj = im
+    d0 = _dim_scalar_of(inj, "d0", _dim_scalar_of(cp, "d0", 100e-6))
+    U0v = inj.get("U0", [0, 0, 0])
+    U0 = np.asarray(U0v[-1] if isinstance(U0v, list)
+                    and isinstance(U0v[-1], (list, np.ndarray)) else U0v,
+                    dtype=float).reshape(-1)[-3:]
+    pos_path = case.const_path("kinematicCloudPositions")
+    pos = (_read_positions(pos_path) if os.path.exists(pos_path)
+           else np.asarray([[float(x) for x in
+                             np.asarray(mesh.c)[0]]]))
+    cfg = lag.CloudConfig(rho_f=rho_f, mu_f=mu_f, g=_read_gravity(case))
+    cloud = lag.make_cloud(mesh, pos, U0, d0, rho0)
+    bt = jnp.asarray(lag.face_boundary_types(mesh))
+    step = __import__("jax").jit(
+        lambda c, dt: lag.evolve(mesh, c, U.data, dt, bt, cfg))
+
+    def write(t):
+        d = os.path.join(case.dir, t.name, "lagrangian",
+                         "kinematicCloud")
+        os.makedirs(d, exist_ok=True)
+        act = np.asarray(cloud.active)
+        x = np.asarray(cloud.x)[act]
+        u = np.asarray(cloud.u)[act]
+        with open(os.path.join(d, "positions"), "w") as f:
+            f.write("FoamFile { version 2.0; format ascii; "
+                    "class Cloud<basicKinematicParcel>; "
+                    "object positions; }\n")
+            f.write(f"{len(x)}\n(\n")
+            for p, ci in zip(x, np.asarray(cloud.cell)[act]):
+                f.write(f"({p[0]:.8g} {p[1]:.8g} {p[2]:.8g}) {ci}\n")
+            f.write(")\n")
+        with open(os.path.join(d, "U"), "w") as f:
+            f.write("FoamFile { version 2.0; format ascii; "
+                    "class vectorField; object U; }\n")
+            f.write(f"{len(u)}\n(\n")
+            for p in u:
+                f.write(f"({p[0]:.8g} {p[1]:.8g} {p[2]:.8g})\n")
+            f.write(")\n")
+
+    log.info(f"Starting loop: icoUncoupledKinematicParcelFoam, "
+             f"{len(pos)} parcels\n")
+    for t in case.time.loop():
+        cloud = step(cloud, jnp.asarray(t.current_dt, mesh.v.dtype))
+        n_act = int(cloud.n_active)
+        log.info(f"Time = {t.name}\nCloud: kinematicCloud  active "
+                 f"parcels = {n_act}\n")
+        if t.write_time():
+            write(t)
+        if max_steps is not None and t.index >= max_steps:
+            break
+    write(case.time)
+    log.info("End\n")
+    case.final_state = {"cloud": cloud, "U": U}
+
+
 def shallow_water_foam(case, max_steps: Optional[int] = None) -> None:
     """shallowWaterFoam (reference: applications/solvers/shallowWater/).
     Reads constant/gravitationalProperties (magg, rotating, Omega),
@@ -1312,6 +1413,10 @@ case_mod.register_application("porousSimpleFoam", simplefoam)
 case_mod.register_application("electrostaticFoam", electrostatic_foam)
 case_mod.register_application("boundaryFoam", boundary_foam)
 case_mod.register_application("shallowWaterFoam", shallow_water_foam)
+case_mod.register_application("icoUncoupledKinematicParcelFoam",
+                              ico_uncoupled_kinematic_parcel_foam)
+case_mod.register_application("uncoupledKinematicParcelFoam",
+                              ico_uncoupled_kinematic_parcel_foam)
 case_mod.register_application("scalarTransportFoam", scalar_transport_foam)
 case_mod.register_application("laplacianFoam", laplacian_foam)
 case_mod.register_application("potentialFoam", potential_foam)
