@@ -59,6 +59,10 @@ class PerfectGas:
         """compressibility psi = rho/p = 1/(R T)."""
         return 1.0 / (self.R * jnp.maximum(T, 1e-10))
 
+    def Cp_of(self, T: Any) -> Any:
+        """constant-Cp interface twin of JanafGas.Cp_of."""
+        return jnp.asarray(self.Cp)
+
     def mu_T(self, T: Any) -> Any:
         if self.sutherland_As > 0:
             return self.sutherland_As * jnp.sqrt(T) / (1.0 + self.sutherland_Ts / T)
@@ -71,8 +75,16 @@ class PerfectGas:
 
 def from_dict(d: FoamDict) -> PerfectGas:
     """Build from a thermophysicalProperties dictionary (accepts both
-    the 2.2 `thermoType` one-liner cases and explicit mixture dicts)."""
+    the 2.2 `thermoType` one-liner cases and explicit mixture dicts).
+    A `janaf` thermoType (or explicit low/highCpCoeffs) selects the
+    NASA-polynomial JanafGas."""
     mix = d.get("mixture")
+    tt = str(d.get("thermoType", ""))
+    if isinstance(mix, FoamDict):
+        th_sub = mix.get("thermodynamics", FoamDict())
+        if ("janaf" in tt or (isinstance(th_sub, FoamDict)
+                              and "highCpCoeffs" in th_sub)):
+            return _janaf_from_mixture(mix)
     R, Cv, mu, Pr = 287.0, 717.5, 0.0, 0.7
     As, Ts = 0.0, 110.4
     if isinstance(mix, FoamDict):
@@ -104,3 +116,116 @@ def from_dict(d: FoamDict) -> PerfectGas:
                 mu, Pr = nums[4], nums[5]
     return PerfectGas(R=R, Cv=Cv, mu=mu, Pr=Pr,
                       sutherland_As=As, sutherland_Ts=Ts)
+
+
+@dataclasses.dataclass(frozen=True)
+class JanafGas:
+    """perfectGas EOS + janaf (NASA 7-coefficient polynomial) thermo
+    (reference: src/thermophysicalModels/specie/thermo/janaf/
+    janafThermo.H: Cp/R = a0 + a1 T + a2 T^2 + a3 T^3 + a4 T^4,
+    h/(RT) = a0 + a1/2 T + ... + a5/T). Temperature-dependent Cp with
+    Newton inversion T(h); Sutherland or constant transport."""
+
+    R: float = 287.0
+    coeffs_low: tuple = (3.298677, 1.4082404e-3, -3.963222e-6,
+                         5.641515e-9, -2.444854e-12, -1020.8999,
+                         3.950372)          # N2-ish default
+    coeffs_high: tuple = (2.92664, 1.4879768e-3, -5.68476e-7,
+                          1.0097038e-10, -6.753351e-15, -922.7977,
+                          5.980528)
+    T_common: float = 1000.0
+    T_low: float = 200.0
+    T_high: float = 6000.0
+    mu: float = 1.8e-5
+    Pr: float = 0.7
+    sutherland_As: float = 0.0
+    sutherland_Ts: float = 110.4
+
+    def _coeffs(self, T):
+        lo = jnp.asarray(self.coeffs_low)
+        hi = jnp.asarray(self.coeffs_high)
+        sel = (T < self.T_common)
+        return [jnp.where(sel, lo[i], hi[i]) for i in range(7)]
+
+    def Cp_of(self, T: Any) -> Any:
+        T = jnp.clip(T, self.T_low, self.T_high)
+        a = self._coeffs(T)
+        return self.R * (a[0] + T * (a[1] + T * (a[2] + T * (a[3]
+                                                             + T * a[4]))))
+
+    @property
+    def Cp(self) -> float:
+        """Cp at 300 K (for code paths assuming a constant)."""
+        import numpy as _np
+
+        return float(_np.asarray(self.Cp_of(jnp.asarray(300.0))))
+
+    @property
+    def Cv(self) -> float:
+        return self.Cp - self.R
+
+    @property
+    def gamma(self) -> float:
+        return self.Cp / self.Cv
+
+    def h(self, T: Any) -> Any:
+        """absolute enthalpy h(T) [J/kg] including the chemical
+        offset a5*R (reference: janafThermo::ha)."""
+        T = jnp.clip(T, self.T_low, self.T_high)
+        a = self._coeffs(T)
+        return self.R * T * (a[0] + T * (a[1] / 2 + T * (
+            a[2] / 3 + T * (a[3] / 4 + T * a[4] / 5)))) \
+            + self.R * a[5]
+
+    def T_from_h(self, h: Any, T_guess: Any = None) -> Any:
+        """Newton inversion h -> T (reference: thermo::T with the
+        bounded Newton loop; 6 fixed iterations suffice to f32)."""
+        T = (jnp.full_like(h, 300.0) if T_guess is None
+             else jnp.asarray(T_guess))
+        for _ in range(6):
+            T = jnp.clip(T - (self.h(T) - h) / self.Cp_of(T),
+                         self.T_low, self.T_high)
+        return T
+
+    # EOS relations (perfectGas)
+    def p(self, rho, T):
+        return rho * self.R * T
+
+    def rho(self, p, T):
+        return p / (self.R * jnp.maximum(T, 1e-10))
+
+    def c(self, T):
+        return jnp.sqrt(self.gamma * self.R * jnp.maximum(T, 1e-10))
+
+    def psi(self, T):
+        return 1.0 / (self.R * jnp.maximum(T, 1e-10))
+
+    def mu_T(self, T: Any) -> Any:
+        if self.sutherland_As > 0:
+            return (self.sutherland_As * jnp.sqrt(T)
+                    / (1.0 + self.sutherland_Ts / T))
+        return jnp.asarray(self.mu)
+
+
+def _janaf_from_mixture(mix: FoamDict) -> JanafGas:
+    spec = mix.get("specie", FoamDict())
+    W = float(spec.get("molWeight", 28.96))
+    nmol = float(spec.get("nMoles", 1))
+    R = 8314.47 / W * nmol
+    th = mix.get("thermodynamics", FoamDict())
+    lo = [float(x) for x in th.get("lowCpCoeffs", [])]
+    hi = [float(x) for x in th.get("highCpCoeffs", [])]
+    tr = mix.get("transport", FoamDict())
+    return JanafGas(
+        R=R,
+        coeffs_low=tuple(lo[:7]) if len(lo) >= 7
+        else JanafGas.coeffs_low,
+        coeffs_high=tuple(hi[:7]) if len(hi) >= 7
+        else JanafGas.coeffs_high,
+        T_common=float(th.get("Tcommon", 1000.0)),
+        T_low=float(th.get("Tlow", 200.0)),
+        T_high=float(th.get("Thigh", 6000.0)),
+        mu=float(tr.get("mu", 1.8e-5)),
+        Pr=float(tr.get("Pr", 0.7)),
+        sutherland_As=float(tr.get("As", 0.0)),
+        sutherland_Ts=float(tr.get("Ts", 110.4)))

@@ -181,7 +181,8 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
                                     phi_slot.fb * K_slot.fb,
                                     phi_slot.bv * Kb)) / mesh.v
         dpdt = jnp.zeros_like(K) if cfg.steady else (p.data - p0) * rdt
-        TEqn = TEqn.add_source((dpdt - dKdt - div_phiK) / th.Cp, mesh)
+        cp_c = th.Cp_of(T.data)   # janaf: Cp(T) field; hConst: scalar
+        TEqn = TEqn.add_source((dpdt - dKdt - div_phiK) / cp_c, mesh)
         if relax_now and cfg.alpha_e < 1.0:
             TEqn = TEqn.relax(mesh, cfg.alpha_e, T.data)
         if cfg.solve_energy:
