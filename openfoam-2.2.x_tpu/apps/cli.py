@@ -17,6 +17,8 @@ import argparse
 import os
 import sys
 
+import numpy as np
+
 
 def _case_arg(argv):
     ap = argparse.ArgumentParser()
@@ -224,6 +226,202 @@ def box_turb(argv) -> int:
     return 0
 
 
+def foam_list_times(argv) -> int:
+    """foamListTimes (reference: applications/utilities/postProcessing/
+    miscellaneous/foamListTimes/)."""
+    args = _case_arg(argv)
+    out = []
+    for d in os.listdir(args.case):
+        try:
+            t = float(d)
+        except ValueError:
+            continue
+        if os.path.isdir(os.path.join(args.case, d)) and t > 0:
+            out.append((t, d))
+    for _, d in sorted(out):
+        print(d)
+    return 0
+
+
+def transform_points(argv) -> int:
+    """transformPoints -translate/-rotate/-scale (reference:
+    applications/utilities/mesh/manipulation/transformPoints/)."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-translate", default=None)
+    ap.add_argument("-scale", default=None)
+    ap.add_argument("-rollPitchYaw", default=None)  # degrees
+    args = ap.parse_args(argv)
+
+    def vec3(s):
+        return np.asarray([float(x) for x in
+                           s.replace("(", " ").replace(")", " ").split()],
+                          dtype=float)
+
+    from ..io import polymesh as mesh_io
+
+    mdir = os.path.join(args.case, "constant", "polyMesh")
+    mesh = mesh_io.read(mdir)
+    pts = np.asarray(mesh.points, dtype=float)
+    if args.rollPitchYaw:
+        r, p, y = np.deg2rad(vec3(args.rollPitchYaw))
+
+        def rot(ax, ang):
+            c, s = np.cos(ang), np.sin(ang)
+            i, j = [(1, 2), (0, 2), (0, 1)][ax]
+            R = np.eye(3)
+            R[i, i] = R[j, j] = c
+            R[i, j], R[j, i] = (-s, s) if ax != 1 else (s, -s)
+            return R
+        R = rot(2, y) @ rot(1, p) @ rot(0, r)
+        pts = pts @ R.T
+    if args.scale:
+        s = vec3(args.scale)
+        s = np.resize(s, 3)
+        pts = pts * s
+    if args.translate:
+        pts = pts + vec3(args.translate)
+    mesh.points = pts
+    mesh.update_geometry()
+    mesh_io.write(mesh, mdir)
+    print(f"transformPoints: wrote {len(pts)} points")
+    return 0
+
+
+def map_fields(argv) -> int:
+    """mapFields <sourceCase> -case <target>: nearest-cell mapping of
+    the start-time fields (reference: applications/utilities/
+    preProcessing/mapFields/ with -mapMethod cellPointInterpolate ->
+    nearest here)."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("source")
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-sourceTime", default=None)
+    args = ap.parse_args(argv)
+    import jax.numpy as jnp
+    from scipy.spatial import cKDTree
+
+    from ..core import runtime
+    from ..core.case import Case
+    from ..io import fields as field_io
+
+    src = Case(args.source)
+    dst = Case(args.case)
+    stime = args.sourceTime or runtime.time_name(src.time.start_time)
+    tree = cKDTree(np.asarray(src.mesh.c))
+    idx = tree.query(np.asarray(dst.mesh.c))[1]
+    sdir = os.path.join(src.dir, stime)
+    tname = runtime.time_name(dst.time.start_time)
+    n = 0
+    for fname in sorted(os.listdir(sdir)):
+        if fname.endswith(".gz"):
+            fname = fname[:-3]
+        try:
+            sf = src.read_field(fname, time=stime)
+            df = dst.read_field(fname)
+        except Exception:
+            continue
+        mapped = np.asarray(sf.data)[idx]
+        field_io.write_field(df.with_data(jnp.asarray(
+            mapped, dst.mesh.v.dtype)), dst.mesh, dst.dir, tname)
+        n += 1
+    print(f"mapFields: mapped {n} fields {args.source}:{stime} -> "
+          f"{args.case}:{tname}")
+    return 0
+
+
+def patch_average(argv) -> int:
+    """patchAverage <field> <patch> (reference: applications/utilities/
+    postProcessing/patch/patchAverage/) — area-weighted average at the
+    latest time."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("field")
+    ap.add_argument("patch")
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-time", default=None)
+    args = ap.parse_args(argv)
+    from ..core.case import Case
+
+    case = Case(args.case)
+    t = args.time or case.latest_time_name()
+    f = case.read_field(args.field, time=t)
+    mesh = case.mesh
+    for p in mesh.patches:
+        if p.name == args.patch:
+            vals = np.asarray(f.data)[np.asarray(mesh.owner)[p.slice]]
+            w = np.asarray(mesh.mag_sf)[p.slice]
+            avg = (vals * (w[:, None] if vals.ndim == 2 else w)
+                   ).sum(axis=0) / w.sum()
+            print(f"Average of {args.field} over patch {args.patch} = "
+                  f"{avg}")
+            return 0
+    print(f"patch {args.patch!r} not found", file=sys.stderr)
+    return 1
+
+
+def foam_calc(argv) -> int:
+    """foamCalc mag|components <field> (reference: applications/
+    utilities/postProcessing/foamCalc/) at the latest time."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("op", choices=["mag", "components"])
+    ap.add_argument("field")
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-time", default=None)
+    args = ap.parse_args(argv)
+    import jax.numpy as jnp
+
+    from ..core.case import Case
+    from ..io import fields as field_io
+
+    case = Case(args.case)
+    t = args.time or case.latest_time_name()
+    f = case.read_field(args.field, time=t)
+    data = np.asarray(f.data)
+    mesh = case.mesh
+    from ..bc.patchfields import default_bcs
+    from ..core.fields import vol_scalar
+
+    if args.op == "mag":
+        out = vol_scalar(mesh, 0.0, name=f"mag({args.field})",
+                         dims=f.dims).with_data(
+            jnp.asarray(np.linalg.norm(np.atleast_2d(data.T).T, axis=-1)
+                        if data.ndim == 2 else np.abs(data),
+                        mesh.v.dtype))
+        field_io.write_field(out, mesh, case.dir, t)
+        print(f"foamCalc: wrote mag({args.field}) at {t}")
+    else:
+        for i, c in enumerate("xyz"[:data.shape[1]]):
+            out = vol_scalar(mesh, 0.0, name=f"{args.field}{c}",
+                             dims=f.dims).with_data(
+                jnp.asarray(data[:, i], mesh.v.dtype))
+            field_io.write_field(out, mesh, case.dir, t)
+        print(f"foamCalc: wrote {args.field}{{x,y,z}} at {t}")
+    return 0
+
+
+def write_cell_centres(argv) -> int:
+    """writeCellCentres (reference: applications/utilities/
+    postProcessing/miscellaneous/writeCellCentres/)."""
+    args = _case_arg(argv)
+    import jax.numpy as jnp
+
+    from ..core import runtime
+    from ..core.case import Case
+    from ..core.fields import vol_scalar
+    from ..io import fields as field_io
+
+    case = Case(args.case)
+    mesh = case.mesh
+    t = runtime.time_name(case.time.start_time)
+    c = np.asarray(mesh.c)
+    for i, name in enumerate(("ccx", "ccy", "ccz")):
+        f = vol_scalar(mesh, 0.0, name=name).with_data(
+            jnp.asarray(c[:, i], mesh.v.dtype))
+        field_io.write_field(f, mesh, case.dir, t)
+    print(f"writeCellCentres: wrote ccx/ccy/ccz at {t}")
+    return 0
+
+
 COMMANDS = {
     "blockMesh": block_mesh,
     "renumberMesh": renumber_mesh,
@@ -233,6 +431,12 @@ COMMANDS = {
     "foamToVTK": foam_to_vtk,
     "setFields": set_fields,
     "boxTurb": box_turb,
+    "foamListTimes": foam_list_times,
+    "transformPoints": transform_points,
+    "mapFields": map_fields,
+    "patchAverage": patch_average,
+    "foamCalc": foam_calc,
+    "writeCellCentres": write_cell_centres,
 }
 
 

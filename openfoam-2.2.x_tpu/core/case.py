@@ -62,6 +62,13 @@ class Case:
     def transport_properties(self) -> FoamDict:
         return parse_file(self.const_path("transportProperties"))
 
+    def latest_time_name(self) -> str:
+        """Name of the latest time directory (falls back to start)."""
+        t = self.time.latest_time()
+        if t is None:
+            t = self.time.start_time
+        return runtime.time_name(t, self.time.time_precision)
+
     def properties(self, name: str) -> FoamDict:
         return parse_file(self.const_path(name))
 

@@ -102,3 +102,78 @@ def test_partitioner():
     assert counts.min() >= 60 and counts.max() <= 68  # balanced
     cut = partition.cut_faces(poly, parts)
     assert cut <= 3 * 16  # compact partitions, not random
+
+
+def test_new_utilities_roundtrip(tmp_path):
+    """foamListTimes / transformPoints / writeCellCentres / foamCalc /
+    patchAverage / mapFields on a small cavity run."""
+    import os
+    import shutil
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    import numpy as np
+
+    from foamtpu.apps.cli import main
+
+    src = os.path.join(REPO, "tutorials", "incompressible", "icoFoam",
+                       "cavity")
+    case = str(tmp_path / "cavity")
+    shutil.copytree(src, case)
+    assert main(["blockMesh", "-case", case]) == 0
+    assert main(["run", "-case", case, "-steps", "8"]) == 0
+
+    # foamListTimes: at least one written time
+    import io as _io
+    import contextlib
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["foamListTimes", "-case", case]) == 0
+    times = [l for l in buf.getvalue().split() if l]
+    assert times
+
+    # foamCalc mag + components at latest time
+    assert main(["foamCalc", "mag", "U", "-case", case]) == 0
+    assert main(["foamCalc", "components", "U", "-case", case]) == 0
+    from foamtpu.core.case import Case
+
+    c = Case(case)
+    t = c.latest_time_name()
+    magU = np.asarray(c.read_field("mag(U)", time=t).data)
+    Ux = np.asarray(c.read_field("Ux", time=t).data)
+    U = np.asarray(c.read_field("U", time=t).data)
+    assert np.allclose(magU, np.linalg.norm(U, axis=1), atol=1e-6)
+    assert np.allclose(Ux, U[:, 0], atol=1e-6)
+
+    # patchAverage on the moving wall
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["patchAverage", "p", "movingWall", "-case",
+                     case]) == 0
+    assert "Average of p" in buf.getvalue()
+
+    # writeCellCentres
+    assert main(["writeCellCentres", "-case", case]) == 0
+    ccx = np.asarray(c.read_field("ccx").data)
+    assert np.allclose(ccx, np.asarray(c.mesh.c)[:, 0], atol=1e-7)
+
+    # mapFields onto a finer cavity
+    fine = str(tmp_path / "cavityFine")
+    shutil.copytree(src, fine)
+    bmd = os.path.join(fine, "constant", "polyMesh", "blockMeshDict")
+    txt = open(bmd).read().replace("(20 20 1)", "(32 32 1)")
+    open(bmd, "w").write(txt)
+    assert main(["blockMesh", "-case", fine]) == 0
+    assert main(["mapFields", case, "-case", fine,
+                 "-sourceTime", t]) == 0
+    cf = Case(fine)
+    Uf = np.asarray(cf.read_field("U").data)
+    assert Uf.shape[0] == 32 * 32
+    assert abs(np.abs(Uf).max() - np.abs(U).max()) < 0.2
+
+    # transformPoints: translate then verify centres moved
+    assert main(["transformPoints", "-case", case,
+                 "-translate", "(1 0 0)"]) == 0
+    c2 = Case(case)
+    assert abs(np.asarray(c2.mesh.c)[:, 0].min() - 1.0) < 0.01
