@@ -76,8 +76,45 @@ _ALIASES = {
 }
 
 
-def from_dict(spec: FoamDict, patch, rank: int, dtype) -> PatchField:
+def _coded_value(spec: FoamDict, patch, rank: int, dtype, mesh):
+    """codedFixedValue / dynamicCode analogue (reference:
+    src/OpenFOAM/db/dynamicLibrary/codedBase + codedFixedValue BC).
+    The reference compiles a C++ snippet at run time; the TPU rebuild
+    executes a PYTHON snippet from the `code` entry with the namespace
+      np, jnp, Cf [n,3] face centres, normal [n,3] outward unit
+      normals, t (start time) — and takes `value` as the result.
+    Evaluated ONCE at field-read time (static BC data; time-varying
+    coded BCs are not supported yet)."""
+    import numpy as _np
+
+    code = spec.get("code")
+    if code is None:
+        return None
+    src = str(code)
+    sl = patch.slice
+    cf = _np.asarray(mesh.cf)[sl]
+    sf = _np.asarray(mesh.sf)[sl]
+    nrm = sf / _np.maximum(
+        _np.linalg.norm(sf, axis=1, keepdims=True), 1e-30)
+    ns = {"np": _np, "jnp": jnp, "Cf": cf, "normal": nrm,
+          "t": 0.0, "value": None}
+    exec(compile(src, "<codedFixedValue>", "exec"), ns)  # noqa: S102
+    val = ns.get("value")
+    if val is None:
+        raise ValueError("codedFixedValue code must assign `value`")
+    val = _np.asarray(val, dtype=float)
+    want = (patch.size, 3) if rank == 1 else (patch.size,)
+    val = _np.broadcast_to(val, want)
+    return jnp.asarray(val, dtype)
+
+
+def from_dict(spec: FoamDict, patch, rank: int, dtype,
+              mesh=None) -> PatchField:
     t = str(spec["type"])
+    if t in ("codedFixedValue", "codedMixed") and mesh is not None:
+        cv = _coded_value(spec, patch, rank, dtype, mesh)
+        if cv is not None:
+            return make("fixedValue", ref_value=cv, vfrac=1.0)
     kind = _ALIASES.get(t)
     if kind is None:
         # unknown derived BC: degrade to calculated with stored value

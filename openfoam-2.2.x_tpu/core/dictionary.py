@@ -67,6 +67,14 @@ def _tokenize(text: str) -> Iterator[Union[str, float, int, Word, Macro]]:
             yield text[i + 1 : j]  # plain str == quoted string/regex
             i = j + 1
             continue
+        if c == "#" and text.startswith("#{", i):
+            # verbatim code block #{ ... #} (reference: dynamicCode /
+            # coded BCs) — yielded as one plain string token
+            j = text.find("#}", i + 2)
+            j = n if j < 0 else j
+            yield text[i + 2:j]
+            i = j + 2
+            continue
         if c in _PUNCT:
             yield c
             i += 1

@@ -115,7 +115,8 @@ def read_field(path: str, mesh, name: Optional[str] = None) -> VolField:
     bcs = []
     for p in mesh.patches:
         spec = bf.match(p.name)
-        bcs.append(factory.from_dict(spec, p, rank, dtype))
+        bcs.append(factory.from_dict(spec, p, rank, dtype,
+                                     mesh=mesh))
     from ..bc.patchfields import normalize_bcs
 
     return VolField(data=internal, bcs=normalize_bcs(mesh, tuple(bcs), rank),
