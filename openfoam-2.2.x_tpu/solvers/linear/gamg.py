@@ -251,10 +251,11 @@ def build_hierarchy(
     ]
 
 
-def hierarchy_for_mesh(mesh) -> List[Level]:
+def hierarchy_for_mesh(mesh, n_coarsest: int = 1024) -> List[Level]:
     nif = mesh.n_internal_faces
     return build_hierarchy(
-        np.asarray(mesh.owner)[:nif], np.asarray(mesh.neighbour), mesh.n_cells
+        np.asarray(mesh.owner)[:nif], np.asarray(mesh.neighbour),
+        mesh.n_cells, n_coarsest=n_coarsest,
     )
 
 

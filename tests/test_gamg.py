@@ -18,7 +18,10 @@ def mesh40():
 
 
 def test_hierarchy_structure(mesh40):
-    levels = hierarchy_for_mesh(mesh40)
+    # deep hierarchy (the production default truncates at 1024 cells
+    # for latency — see build_hierarchy; structure checked here with
+    # the fully-coarsened ladder)
+    levels = hierarchy_for_mesh(mesh40, n_coarsest=32)
     assert len(levels) >= 3
     sizes = [mesh40.n_cells] + [lv.n_coarse for lv in levels]
     # pairwise (2x) coarsening with padding
