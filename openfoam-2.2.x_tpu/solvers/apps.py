@@ -1132,6 +1132,86 @@ def ico_uncoupled_kinematic_parcel_foam(case,
     case.final_state = {"cloud": cloud, "U": U}
 
 
+def dns_foam(case, max_steps: Optional[int] = None) -> None:
+    """dnsFoam (reference: applications/solvers/DNS/dnsFoam/): direct
+    simulation of isotropic box turbulence — icoFoam's PISO loop plus
+    a spectral UO-process forcing field regenerated on the host each
+    step (reference: forceGen = Kmesh + UOprocess; here
+    models/randomprocesses.UOProcess projected divergence-free on a
+    small set of low-wavenumber modes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import randomprocesses as rp
+
+    mesh = case.mesh
+    tp = case.transport_properties()
+    _, nu = dimensioned_scalar(tp["nu"])
+    U = case.read_field("U")
+    p = case.read_field("p")
+    pdict = case.pimple_controls("PISO")
+    cfg = piso_mod.PisoConfig(
+        nu=nu,
+        n_correctors=int(pdict.get("nCorrectors", 2)),
+        n_non_orth=int(pdict.get("nNonOrthogonalCorrectors", 0)),
+        div_scheme=case.div_scheme("div(phi,U)"),
+        p_controls=case.solver_controls("p"),
+        u_controls=case.solver_controls("U"),
+    )
+    state = piso_mod.initial_state(mesh, U, p, ddt_scheme="Euler")
+    step = piso_mod.make_step(mesh, cfg)
+
+    # low-wavenumber forcing modes (first shell of the box)
+    c = np.asarray(mesh.c)
+    lo, hi = c.min(axis=0), c.max(axis=0)
+    L = np.maximum(hi - lo, 1e-30)
+    k1 = 2 * np.pi / L
+    kvecs = []
+    for kx in (-1, 0, 1):
+        for ky in (-1, 0, 1):
+            for kz in (-1, 0, 1):
+                if (kx, ky, kz) != (0, 0, 0):
+                    kvecs.append([kx * k1[0], ky * k1[1], kz * k1[2]])
+    kvecs = np.asarray(kvecs)
+    uo = rp.UOProcess(len(kvecs), alpha=0.81, sigma=0.09, seed=1)
+    phase = c @ kvecs.T                       # [nC, nK]
+    cosk = np.cos(phase)
+    sink = np.sin(phase)
+    khat = kvecs / np.linalg.norm(kvecs, axis=1, keepdims=True)
+
+    def force_field(dt):
+        w = uo.update(dt)                     # [nK,3] complex
+        # project each mode divergence-free: w -= (w.khat) khat
+        w = w - khat * np.einsum("kd,kd->k", w.real, khat)[:, None] \
+            - 1j * khat * np.einsum("kd,kd->k", w.imag, khat)[:, None]
+        f = cosk @ w.real + sink @ w.imag     # [nC,3]
+        return jnp.asarray(f, mesh.v.dtype)
+
+    log.info(f"Starting time loop: dnsFoam, {mesh.n_cells} cells\n")
+    cumulative = 0.0
+    for t in case.time.loop():
+        dt = jnp.asarray(t.current_dt, mesh.v.dtype)
+        # forcing enters as a body force via the fvOptions-style source:
+        # U += dt * f after the PISO step (explicit, as the reference
+        # adds force to UEqn each step)
+        state, diag = step(state, dt)
+        f = force_field(float(t.current_dt))
+        Unew = state["U"].with_data(state["U"].data + dt * f)
+        state = dict(state)
+        state["U"] = Unew
+        cumulative = _log_step(case, t, diag, cumulative)
+        k_tke = 0.5 * float(jnp.mean(jnp.sum(state["U"].data ** 2,
+                                             axis=1)))
+        log.info(f"k = {k_tke:.6g}\n")
+        if t.write_time():
+            _write_state(case, state)
+        if max_steps is not None and t.index >= max_steps:
+            break
+    _write_state(case, state)
+    log.info("End\n")
+    case.final_state = state
+
+
 def shallow_water_foam(case, max_steps: Optional[int] = None) -> None:
     """shallowWaterFoam (reference: applications/solvers/shallowWater/).
     Reads constant/gravitationalProperties (magg, rotating, Omega),
@@ -1413,6 +1493,7 @@ case_mod.register_application("porousSimpleFoam", simplefoam)
 case_mod.register_application("electrostaticFoam", electrostatic_foam)
 case_mod.register_application("boundaryFoam", boundary_foam)
 case_mod.register_application("shallowWaterFoam", shallow_water_foam)
+case_mod.register_application("dnsFoam", dns_foam)
 case_mod.register_application("icoUncoupledKinematicParcelFoam",
                               ico_uncoupled_kinematic_parcel_foam)
 case_mod.register_application("uncoupledKinematicParcelFoam",

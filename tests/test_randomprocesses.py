@@ -78,3 +78,70 @@ boundaryField { walls { type cyclic-ish; } }
     tke = 0.5 * np.mean(np.sum(U * U, axis=1))
     assert abs(tke - 3.0) / 3.0 < 1e-3
     assert np.isfinite(U).all() and np.abs(U).max() > 0.1
+
+
+def test_dnsfoam_forced_box(tmp_path):
+    """dnsFoam: boxTurb initial field + UO forcing on a periodic-ish
+    box stays finite and retains turbulent kinetic energy."""
+    import os
+
+    import numpy as np
+
+    from foamtpu.apps.cli import main
+    from foamtpu.core.case import Case, run_case
+
+    case = str(tmp_path / "dns")
+    hdr = 'FoamFile { version 2.0; format ascii; class %s; object %s; }\n'
+    for d in ("constant/polyMesh", "system", "0"):
+        os.makedirs(os.path.join(case, d), exist_ok=True)
+
+    def w(rel, cls, body):
+        with open(os.path.join(case, rel), "w") as f:
+            f.write(hdr % (cls, os.path.basename(rel)) + body)
+
+    w("constant/polyMesh/blockMeshDict", "dictionary", """
+convertToMeters 1;
+vertices ( (0 0 0) (1 0 0) (1 1 0) (0 1 0) (0 0 1) (1 0 1) (1 1 1) (0 1 1) );
+blocks ( hex (0 1 2 3 4 5 6 7) (16 16 16) simpleGrading (1 1 1) );
+boundary ( walls { type wall;
+  faces ((0 4 7 3) (2 6 5 1) (1 5 4 0) (3 7 6 2) (0 3 2 1) (4 5 6 7)); } );
+""")
+    w("system/controlDict", "dictionary", """
+application dnsFoam; startFrom startTime; startTime 0;
+stopAt endTime; endTime 1; deltaT 0.005;
+writeControl timeStep; writeInterval 1000; writeFormat ascii;
+""")
+    w("system/fvSchemes", "dictionary", """
+ddtSchemes { default Euler; } gradSchemes { default Gauss linear; }
+divSchemes { default none; div(phi,U) Gauss linear; }
+laplacianSchemes { default Gauss linear corrected; }
+interpolationSchemes { default linear; } snGradSchemes { default corrected; }
+""")
+    w("system/fvSolution", "dictionary", """
+solvers
+{
+    p { solver PCG; preconditioner DIC; tolerance 1e-6; relTol 0.05; }
+    U { solver smoothSolver; smoother GaussSeidel; tolerance 1e-6; relTol 0; nSweeps 2; }
+}
+PISO { nCorrectors 2; }
+""")
+    w("constant/transportProperties", "dictionary",
+      "transportModel Newtonian;\nnu nu [0 2 -1 0 0 0 0] 0.0025;\n")
+    w("constant/boxTurbDict", "dictionary", "Ea 0.5; k0 12; seed 2;\n")
+    w("0/U", "volVectorField", """
+dimensions [0 1 -1 0 0 0 0];
+internalField uniform (0 0 0);
+boundaryField { walls { type slip; } }
+""")
+    w("0/p", "volScalarField", """
+dimensions [0 2 -2 0 0 0 0];
+internalField uniform 0;
+boundaryField { walls { type zeroGradient; } }
+""")
+    assert main(["blockMesh", "-case", case]) == 0
+    assert main(["boxTurb", "-case", case]) == 0
+    c = run_case(case, max_steps=20)
+    U = np.asarray(c.final_state["U"].data)
+    assert np.isfinite(U).all()
+    tke = 0.5 * np.mean(np.sum(U * U, axis=1))
+    assert 0.05 < tke < 5.0   # alive, neither dead nor blown up
