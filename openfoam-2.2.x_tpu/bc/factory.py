@@ -53,6 +53,12 @@ _ALIASES = {
     # recomputes each iteration from traction/pressure (reference:
     # solidDisplacementFoam tractionDisplacement BC)
     "tractionDisplacement": "fixedGradient",
+    # conjugate-heat-transfer coupled interface: a mixed BC whose
+    # refValue/valueFraction the chtMultiRegion driver refreshes from
+    # the neighbouring region each iteration
+    "compressible::turbulentTemperatureCoupledBaffleMixed": "mixed",
+    "turbulentTemperatureCoupledBaffleMixed": "mixed",
+    "solidWallMixedTemperatureCoupled": "mixed",
     "mixed": "mixed",
     "calculated": "calculated",
     "inletOutlet": "inletOutlet",

@@ -26,9 +26,15 @@ from ..mesh import to_device
 
 
 class Case:
-    def __init__(self, case_dir: str):
+    def __init__(self, case_dir: str, region: str = ""):
+        """region: multi-region cases (chtMultiRegionFoam) keep each
+        region's mesh/fields/dicts under constant/<region>/,
+        system/<region>/ and <time>/<region>/ (reference:
+        regionProperties + fvMesh named-region constructors)."""
         self.dir = os.path.abspath(case_dir)
-        self.control_dict = parse_file(self.sys_path("controlDict"))
+        self.region = region
+        self.control_dict = parse_file(
+            os.path.join(self.dir, "system", "controlDict"))
         self.fv_schemes = parse_file(self.sys_path("fvSchemes"))
         self.fv_solution = parse_file(self.sys_path("fvSolution"))
         self.time = runtime.Time(self.control_dict, self.dir)
@@ -36,10 +42,10 @@ class Case:
         self._poly = None
 
     def sys_path(self, name: str) -> str:
-        return os.path.join(self.dir, "system", name)
+        return os.path.join(self.dir, "system", self.region, name)
 
     def const_path(self, name: str) -> str:
-        return os.path.join(self.dir, "constant", name)
+        return os.path.join(self.dir, "constant", self.region, name)
 
     @property
     def application(self) -> str:
@@ -75,19 +81,20 @@ class Case:
     # -- fields ---------------------------------------------------------------------
     def read_field(self, name: str, time: Optional[str] = None):
         t = time or runtime.time_name(self.time.start_time)
-        path = os.path.join(self.dir, t, name)
+        path = os.path.join(self.dir, t, self.region, name)
         if (not os.path.exists(path) and not os.path.exists(path + ".gz")
                 and t == "0.0"):
-            path = os.path.join(self.dir, "0", name)
+            path = os.path.join(self.dir, "0", self.region, name)
         return field_io.read_field(path, self.mesh, name=name)
 
     def write_fields(self, fields, time_name: Optional[str] = None) -> None:
         t = time_name or self.time.name
+        tdir = os.path.join(t, self.region) if self.region else t
         fmt = str(self.control_dict.get("writeFormat", "ascii"))
         compress = str(self.control_dict.get("writeCompression", "off")) in (
             "on", "yes", "true", "compressed")
         for f in fields:
-            field_io.write_field(f, self.mesh, self.dir, t,
+            field_io.write_field(f, self.mesh, self.dir, tdir,
                                  fmt=fmt, compress=compress)
         self.time.register_write(t)
 

@@ -1494,6 +1494,16 @@ case_mod.register_application("electrostaticFoam", electrostatic_foam)
 case_mod.register_application("boundaryFoam", boundary_foam)
 case_mod.register_application("shallowWaterFoam", shallow_water_foam)
 case_mod.register_application("dnsFoam", dns_foam)
+
+
+def _cht(case, max_steps=None):
+    from .chtmultiregion import cht_multi_region_foam
+
+    cht_multi_region_foam(case, max_steps=max_steps)
+
+
+case_mod.register_application("chtMultiRegionFoam", _cht)
+case_mod.register_application("chtMultiRegionSimpleFoam", _cht)
 case_mod.register_application("icoUncoupledKinematicParcelFoam",
                               ico_uncoupled_kinematic_parcel_foam)
 case_mod.register_application("uncoupledKinematicParcelFoam",
