@@ -239,6 +239,10 @@ def buoyantrho_step(mesh, state: Dict, dt: Any, cfg: BuoyantRhoConfig
         ctl_final0 = cfg.p_controls_final or p_ctrl
         p_ctrl_p, ctl_final_p = linear.prepare_controls(
             mesh, pEqn0, p_ctrl, ctl_final0)
+        # linearisation point: rho was evaluated at THIS p' (the
+        # explicit ddt(rho) must reference the same state, not the
+        # running corrector iterate)
+        p_lin = p_w.data
 
         for corr in range(n_corr):
             HbyA = rA[:, None] * UEqn.H(mesh, U.data)
@@ -274,7 +278,7 @@ def buoyantrho_step(mesh, state: Dict, dt: Any, cfg: BuoyantRhoConfig
                             else mesh.v * psi * rdt)
                 ddt_rho_expl = (0.0 if cfg.steady
                                 else mesh.v * rdt * (rho - rho0
-                                                     - psi * p_w.data))
+                                                     - psi * p_lin))
                 src = (pEqn0.source - corr_cell
                        + slot_mod.surface_sum(mesh, phiHbyA)
                        + ddt_rho_expl)

@@ -224,6 +224,9 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
         ctl_final0 = cfg.p_controls_final or p_ctrl
         p_ctrl_p, ctl_final_p = linear.prepare_controls(
             mesh, pEqn0, p_ctrl, ctl_final0)
+        # linearisation point: rho above was evaluated at THIS p' —
+        # the explicit ddt(rho) part must reference the same state
+        p_lin = p_w.data
 
         for corr in range(n_corr):
             HbyA = rA[:, None] * UEqn.H(mesh, U.data)
@@ -243,9 +246,16 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
                 # matching simple.py's incompressible sign convention
                 ddt_diag = (jnp.zeros_like(psi) if cfg.steady
                             else mesh.v * psi * rdt)
+                # full ddt(rho) = explicit (rho* - rho0) + implicit psi
+                # correction (reference: rhoPimpleFoam pEqn.H
+                # `fvc::ddt(rho) + psi*correction(fvm::ddt(p))`) — the
+                # explicit part carries density changes from T (energy/
+                # chemistry), which pure psi*ddt(p) linearisation loses
                 src = (pEqn0.source
                        + slot_mod.surface_sum(mesh, phiHbyA)
-                       - (0.0 if cfg.steady else mesh.v * psi * rdt * p0_w))
+                       + (0.0 if cfg.steady
+                          else mesh.v * rdt * (rho - rho0
+                                               - psi * p_lin)))
                 pEqn = pEqn0.replace_fields(
                     diag=pEqn0.diag - ddt_diag, source=src,
                     symmetric=not cfg.transonic)
