@@ -39,6 +39,7 @@ def test_hierarchy_structure(mesh40):
         assert lv.st["fb_cells"].shape[0] == 0
 
 
+@pytest.mark.slow
 def test_gamg_poisson(mesh40):
     cf = np.asarray(mesh40.cf)
     bcs = []

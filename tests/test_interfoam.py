@@ -80,6 +80,7 @@ def dam_result():
     return mesh, state, diag, mass0, a0
 
 
+@pytest.mark.slow
 def test_alpha_bounded(dam_result):
     mesh, state, diag, mass0, a0 = dam_result
     a = np.asarray(state["alpha"].data)
@@ -87,12 +88,14 @@ def test_alpha_bounded(dam_result):
     assert a.min() > -1e-4 and a.max() < 1.0 + 1e-4
 
 
+@pytest.mark.slow
 def test_mass_conserved(dam_result):
     mesh, state, diag, mass0, a0 = dam_result
     mass = float(jnp.sum(state["alpha"].data * mesh.v))
     assert abs(mass - mass0) / mass0 < 5e-3
 
 
+@pytest.mark.slow
 def test_column_collapses(dam_result):
     mesh, state, diag, mass0, a0 = dam_result
     a = np.asarray(state["alpha"].data)
@@ -109,6 +112,7 @@ def test_column_collapses(dam_result):
     assert y_cm < y_cm0  # centre of mass dropped
 
 
+@pytest.mark.slow
 def test_velocity_finite(dam_result):
     mesh, state, diag, mass0, a0 = dam_result
     u = np.asarray(state["U"].data)

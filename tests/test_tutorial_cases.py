@@ -25,6 +25,7 @@ def _setup(tmp_path_factory, rel, steps_cmds=()):
     return dst
 
 
+@pytest.mark.slow
 def test_dambreak_case(tmp_path_factory):
     dst = _setup(tmp_path_factory,
                  ["multiphase", "interFoam", "laminar", "damBreak"],
@@ -52,6 +53,7 @@ def test_dambreak_case(tmp_path_factory):
     assert np.isfinite(np.asarray(out.data)).all()
 
 
+@pytest.mark.slow
 def test_forwardstep_case(tmp_path_factory):
     dst = _setup(tmp_path_factory,
                  ["compressible", "rhoCentralFoam", "forwardStep"])
