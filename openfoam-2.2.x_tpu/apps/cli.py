@@ -422,8 +422,30 @@ def write_cell_centres(argv) -> int:
     return 0
 
 
+def snappy_hex_mesh(argv) -> int:
+    """snappyHexMesh (castellated stage only — see mesh/snappy.py):
+    carve the existing constant/polyMesh against the STL geometry in
+    system/snappyHexMeshDict."""
+    args = _case_arg(argv)
+    from ..core.dictionary import parse_file
+    from ..io import polymesh as mesh_io
+    from ..mesh import snappy
+
+    mdir = os.path.join(args.case, "constant", "polyMesh")
+    pm = mesh_io.read(mdir)
+    d = parse_file(os.path.join(args.case, "system",
+                                "snappyHexMeshDict"))
+    out = snappy.from_dict(args.case, d, pm)
+    mesh_io.write(out, mdir)
+    print(f"snappyHexMesh (castellated): {pm.n_cells} -> "
+          f"{out.n_cells} cells, patches "
+          f"{[pt.name for pt in out.patches]}")
+    return 0
+
+
 COMMANDS = {
     "blockMesh": block_mesh,
+    "snappyHexMesh": snappy_hex_mesh,
     "renumberMesh": renumber_mesh,
     "checkMesh": check_mesh,
     "run": run,
