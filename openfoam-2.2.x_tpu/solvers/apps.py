@@ -664,20 +664,28 @@ def potential_foam(case, max_steps: Optional[int] = None) -> None:
 
     @jax.jit
     def solve_phi(Phi_field):
-        perf = None
-        phi = phi0
-        for _ in range(max(nno, 1)):
-            eqn = fvm.laplacian(mesh, 1.0, Phi_field, corrected=False,
-                                gamma_dims=dimless)
-            eqn = eqn.replace_fields(
-                source=eqn.source + surface.surface_sum(mesh, phi))
-            from .piso import needs_reference
+        """reference potentialFoam.C: the RHS stays div(phi0) for
+        every non-orthogonal iteration (the loop refines only the
+        corrected-laplacian coefficients); phi -= PhiEqn.flux() ONCE
+        after the loop. (r2 fix: feeding the updated — already
+        divergence-free — flux back into the RHS collapsed Phi to
+        zero on the second iteration.)"""
+        from .piso import needs_reference
 
+        perf = None
+        src0 = surface.surface_sum(mesh, phi0)
+        corrected = case.laplacian_corrected()
+        eqn = None
+        data = Phi_field.data
+        for _ in range(max(nno, 1)):
+            eqn = fvm.laplacian(mesh, 1.0, Phi_field,
+                                corrected=corrected, gamma_dims=dimless)
+            eqn = eqn.replace_fields(source=eqn.source + src0)
             if needs_reference(Phi_field, mesh):
                 eqn = eqn.set_reference(0, 0.0)
             data, perf = linear.solve(mesh, eqn, Phi_field.data, ctl)
             Phi_field = Phi_field.with_data(data)
-            phi = phi0 - eqn.flux(mesh, data)
+        phi = phi0 - eqn.flux(mesh, data)
         return Phi_field, phi, perf
 
     Phi, phi, perf = solve_phi(Phi)

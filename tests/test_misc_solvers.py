@@ -242,3 +242,49 @@ boundaryField
     dp = p_up - p_down
     dp_exact = nu * dcoef * ubulk * 0.2   # Darcy over the 0.2 m block
     assert abs(dp - dp_exact) / dp_exact < 0.15, (dp, dp_exact)
+
+
+def test_potentialfoam_uniform_channel(tmp_path):
+    """potentialFoam on a straight channel must return the exact
+    uniform velocity (r2 regression: the non-orth loop used to feed
+    the updated divergence-free flux back into the RHS, collapsing
+    Phi to zero on the second iteration)."""
+    case = _mk_case(str(tmp_path), "pot",
+                    CHANNEL_BM.format(nx=10, ny=5), {
+        "system/controlDict": (CONTROL.format(
+            app="potentialFoam", end=1, dt=1), "dictionary"),
+        "system/fvSchemes": (SCHEMES.format(ddt="steadyState"),
+                             "dictionary"),
+        "system/fvSolution": ("""
+solvers { p { solver PCG; preconditioner DIC; tolerance 1e-8; relTol 0; } }
+potentialFlow { nNonOrthogonalCorrectors 2; }
+""", "dictionary"),
+        "0/U": ("""
+dimensions [0 1 -1 0 0 0 0];
+internalField uniform (0 0 0);
+boundaryField
+{
+    left  { type fixedValue; value uniform (1 0 0); }
+    right { type zeroGradient; }
+    walls { type slip; }
+    frontAndBack { type empty; }
+}
+""", "volVectorField"),
+        "0/p": ("""
+dimensions [0 2 -2 0 0 0 0];
+internalField uniform 0;
+boundaryField
+{
+    left  { type zeroGradient; }
+    right { type fixedValue; value uniform 0; }
+    walls { type zeroGradient; }
+    frontAndBack { type empty; }
+}
+""", "volScalarField"),
+    })
+    from foamtpu.core.case import run_case
+
+    c = run_case(case, max_steps=1)
+    U = np.asarray(c.final_state["U"].data)
+    assert np.allclose(U[:, 0], 1.0, atol=1e-4)
+    assert np.abs(U[:, 1]).max() < 1e-4
