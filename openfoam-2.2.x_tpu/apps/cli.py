@@ -443,9 +443,53 @@ def snappy_hex_mesh(argv) -> int:
     return 0
 
 
+def post_process(argv) -> int:
+    """postProcess: run the controlDict functions{} objects over the
+    SAVED time directories (reference: the 2.2-era
+    execFlowFunctionObjects utility / later `postProcess`)."""
+    args = _case_arg(argv)
+    from ..core.case import Case
+    from ..functionobjects import make_function_objects
+
+    case = Case(args.case)
+    fol = make_function_objects(case)
+    if not fol.objects:
+        print("postProcess: no functions{} in controlDict")
+        return 0
+    times = []
+    for d in sorted(os.listdir(args.case)):
+        try:
+            t = float(d)
+        except ValueError:
+            continue
+        if os.path.isdir(os.path.join(args.case, d)):
+            times.append(d)
+    if args.time is not None:
+        times = [t for t in times if t == args.time]
+    n = 0
+    for t in times:
+        state = {}
+        for fname in sorted(os.listdir(os.path.join(args.case, t))):
+            base = fname[:-3] if fname.endswith(".gz") else fname
+            try:
+                f = case.read_field(base, time=t)
+            except Exception:
+                continue
+            key = {"p_rgh": "p_rgh"}.get(base, base)
+            state[key] = f
+        if not state:
+            continue
+        fol.execute(t, state)
+        n += 1
+        print(f"Time = {t}: processed {sorted(state)}")
+    print(f"postProcess: {n} times")
+    return 0
+
+
 COMMANDS = {
     "blockMesh": block_mesh,
     "snappyHexMesh": snappy_hex_mesh,
+    "postProcess": post_process,
     "renumberMesh": renumber_mesh,
     "checkMesh": check_mesh,
     "run": run,

@@ -177,3 +177,39 @@ def test_new_utilities_roundtrip(tmp_path):
                  "-translate", "(1 0 0)"]) == 0
     c2 = Case(case)
     assert abs(np.asarray(c2.mesh.c)[:, 0].min() - 1.0) < 0.01
+
+
+def test_postprocess_utility(tmp_path):
+    """postProcess re-runs function objects over saved time dirs."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from foamtpu.apps.cli import main
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(REPO, "tutorials", "incompressible", "icoFoam",
+                       "cavity")
+    case = str(tmp_path / "cavity")
+    shutil.copytree(src, case)
+    # add a fieldMinMax function and a short run that writes one time
+    cd = os.path.join(case, "system", "controlDict")
+    txt = open(cd).read()
+    txt += """
+functions
+{
+    minmax { type fieldMinMax; fields (U p); }
+}
+"""
+    open(cd, "w").write(txt)
+    assert main(["blockMesh", "-case", case]) == 0
+    assert main(["run", "-case", case, "-steps", "20"]) == 0
+    out = os.path.join(case, "postProcessing", "minmax")
+    shutil.rmtree(out, ignore_errors=True)
+    assert main(["postProcess", "-case", case]) == 0
+    files = []
+    for root, _, fs in os.walk(out):
+        files += [os.path.join(root, f) for f in fs]
+    assert files, "postProcess wrote nothing"
+    assert any(os.path.getsize(f) > 0 for f in files)
