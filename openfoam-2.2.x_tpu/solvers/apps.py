@@ -988,11 +988,29 @@ def _buoyant_rho_run(case, steady: bool, max_steps: Optional[int]) -> None:
         turb=model,
         turb_relax=relax.get("k", 0.7),
     )
+    # radiation (constant/radiationProperties, model P1)
+    rad_path = case.const_path("radiationProperties")
+    if os.path.exists(rad_path):
+        rd = parse_file(rad_path)
+        if (str(rd.get("radiation", "on")) in ("on", "yes", "true")
+                and str(rd.get("radiationModel", "none")) == "P1"):
+            from ..models import radiation as rad_mod
+
+            cc = rd.get("constantAbsorptionEmissionCoeffs", FoamDict())
+            cfg = cfg._replace(radiation=rad_mod.P1Config(
+                a=_dim_scalar_of(cc, "absorptivity", 0.5),
+                e=_dim_scalar_of(cc, "emissivity", 0.5),
+                s=_dim_scalar_of(cc, "scatter", 0.0),
+                emissivity=1.0))
     U = case.read_field("U")
     p_rgh = case.read_field("p_rgh")
     T = case.read_field("T")
     state = br_mod.initial_state(mesh, U, p_rgh, T, th, g=cfg.g,
                                  turb_state=tstate, steady=steady)
+    if cfg.radiation is not None:
+        from ..models import radiation as rad_mod
+
+        state["G"] = rad_mod.make_G(mesh, cfg.radiation, T.bcs)
     step = br_mod.make_step(mesh, cfg)
     res_ctl = _residual_control(case, cname)
     name = "buoyantSimpleFoam" if steady else "buoyantPimpleFoam"

@@ -71,6 +71,7 @@ class BuoyantRhoConfig(NamedTuple):
     turb: Any = None
     turb_controls: Dict = None
     turb_relax: float = 0.7
+    radiation: Any = None     # models/radiation.P1Config
 
 
 def buoyantrho_step(mesh, state: Dict, dt: Any, cfg: BuoyantRhoConfig
@@ -213,6 +214,20 @@ def buoyantrho_step(mesh, state: Dict, dt: Any, cfg: BuoyantRhoConfig
                                     phi_slot.bv * Kb)) / mesh.v
         dpdt = jnp.zeros_like(K) if cfg.steady else (p_full - p0) * rdt
         TEqn = TEqn.add_source((dpdt - dKdt - div_phiK) / th.Cp, mesh)
+        if cfg.radiation is not None and "G" in state:
+            # P1 incident radiation: solve G, add Sh/Cp to the
+            # rho-weighted T rows (reference: EEqn.H
+            # `+ radiation->Sh(thermo)`)
+            from ..models import radiation as rad_mod
+
+            Gf, gperf = rad_mod.solve_G(mesh, state["G"], T.data,
+                                        cfg.radiation)
+            state = dict(state)
+            state["G"] = Gf
+            diag["G"] = gperf
+            TEqn = TEqn.add_source(
+                rad_mod.Sh(mesh, Gf, T.data, cfg.radiation) / th.Cp,
+                mesh)
         if relax_now and cfg.alpha_e < 1.0:
             TEqn = TEqn.relax(mesh, cfg.alpha_e, T.data)
         Tdata, tperf = linear.solve(mesh, TEqn, T.data, e_ctrl)
