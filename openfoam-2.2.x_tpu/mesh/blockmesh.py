@@ -7,9 +7,9 @@ Host-side NumPy; produces a PolyMesh in canonical OpenFOAM face order
 grouped per patch).
 
 Supported: multi-block hex meshes, simpleGrading (per-axis expansion
-ratios), vertex merging between blocks, boundary/patches declarations,
-arc edges (circular interpolation). Not yet: edgeGrading lists,
-mergePatchPairs (face merging), spline/polyLine edges.
+ratios), edgeGrading lists, vertex merging between blocks,
+boundary/patches declarations, arc edges (circular interpolation).
+Not yet: mergePatchPairs (face merging), spline/polyLine edges.
 """
 
 from __future__ import annotations

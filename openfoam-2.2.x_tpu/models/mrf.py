@@ -188,7 +188,11 @@ def _build_zone(mesh, name: str, spec: FoamDict) -> MRFZone:
         s, e = patch.start, patch.start + patch.size
         rot = patch.name not in non_rot and patch.type != "empty"
         patch_rotating.append(rot)
-        if rot:
+        # reference MRFZone::relativeFlux corrects includedFaces
+        # (rotating patches) AND excludedFaces (nonRotatingPatches)
+        # owned by zone cells — only empty patches are skipped
+        # (ADVICE r2 #3); patch_rotating alone gates the velocity BC.
+        if patch.type != "empty":
             fmask[s:e] = cmask[owner[s:e]]
     urot_f = np.cross(np.broadcast_to(omega_vec, cf.shape), cf - origin)
     face_corr = np.where(fmask, np.einsum("fd,fd->f", urot_f, sf), 0.0)

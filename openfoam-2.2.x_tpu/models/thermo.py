@@ -210,8 +210,11 @@ class JanafGas:
 def _janaf_from_mixture(mix: FoamDict) -> JanafGas:
     spec = mix.get("specie", FoamDict())
     W = float(spec.get("molWeight", 28.96))
-    nmol = float(spec.get("nMoles", 1))
-    R = 8314.47 / W * nmol
+    # reference: specie::R() = RR/molWeight — nMoles only weights
+    # mixture composition, never the specific gas constant (ADVICE r2
+    # #4); parsed but deliberately unused here.
+    _ = float(spec.get("nMoles", 1))
+    R = 8314.47 / W
     th = mix.get("thermodynamics", FoamDict())
     lo = [float(x) for x in th.get("lowCpCoeffs", [])]
     hi = [float(x) for x in th.get("highCpCoeffs", [])]

@@ -745,9 +745,9 @@ class LaunderSharmaKE(KEpsilon):
     """Launder-Sharma low-Reynolds k-epsilon (reference:
     RAS/LaunderSharmaKE/LaunderSharmaKE.C): damping functions
     fMu = exp(-3.4/(1+Rt/50)^2), f2 = 1 - 0.3 exp(-Rt^2), plus the
-    D = 2 nu |grad sqrt(k)|^2 and E = 2 nu nut |grad grad U|^2 terms
-    (E approximated by its boundary-layer form; integrates to the wall,
-    NO wall functions)."""
+    D = 2 nu |grad sqrt(k)|^2 and E = 2 nu nut magSqrGradGrad(U) terms
+    (E computed from the true second velocity gradient; integrates to
+    the wall, NO wall functions)."""
 
     name = "LaunderSharmaKE"
     sigma_eps = 1.3
@@ -771,7 +771,14 @@ class LaunderSharmaKE(KEpsilon):
         gsk = fvc.grad_component(mesh, sqrtk,
                                  sqrtk[mesh.owner[mesh.n_internal_faces:]])
         D = 2.0 * nu * jnp.sum(gsk * gsk, axis=1)
-        E = 2.0 * nu * nut * S2  # boundary-layer form of the E term
+        # E = 2 nu nut magSqr(grad(grad(U))) [m^2/s^4] — reference:
+        # LaunderSharmaKE.C `E_()`. Second gradient via Gauss grad of
+        # the 9 gradU components (boundary: zero-gradient extrapolation)
+        gU = fvc.grad_component(mesh, U.data, U.boundary_values(mesh))
+        gU9 = gU.reshape(gU.shape[0], 9)
+        ggU = fvc.grad_component(
+            mesh, gU9, gU9[mesh.owner[mesh.n_internal_faces:]])
+        E = 2.0 * nu * nut * jnp.sum(ggU * ggU, axis=(1, 2))
 
         eps_flat, eps_slot = _gamma_forms(mesh, nu, nut_f, self.sigma_eps)
         ddt_e = (fvm.ddt(mesh, eps_f, eps, rdt) if not steady

@@ -228,6 +228,7 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
         # the explicit ddt(rho) part must reference the same state
         p_lin = p_w.data
 
+        use_corr = cfg.corrected and not getattr(mesh, "orthogonal", False)
         for corr in range(n_corr):
             HbyA = rA[:, None] * UEqn.H(mesh, U.data)
             hba = slot_mod.flux_of(mesh, HbyA)  # volumetric
@@ -238,7 +239,15 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
             p_before = p_w.data
 
             for nonorth in range(cfg.n_non_orth + 1):
+                # deferred non-orthogonal correction of laplacian(rho
+                # rAU, p) — mirrors piso.py; without it the
+                # nNonOrthogonalCorrectors loop is a no-op (ADVICE r2 #1)
                 corr_face = None
+                corr_cell = 0.0
+                if use_corr:
+                    corr_face, corr_cell = slot_mod.laplacian_correction(
+                        mesh, rra_slot, p_w.data,
+                        p_w.boundary_values(mesh), limit=cfg.corr_limit)
                 # continuity row: V psi/dt (p'-p0') + div(phiHbyA)
                 #                 - (Lp')_row = 0, with L the assembled
                 # (negative-definite) laplacian — rearranged to
@@ -251,7 +260,7 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
                 # `fvc::ddt(rho) + psi*correction(fvm::ddt(p))`) — the
                 # explicit part carries density changes from T (energy/
                 # chemistry), which pure psi*ddt(p) linearisation loses
-                src = (pEqn0.source
+                src = (pEqn0.source - corr_cell
                        + slot_mod.surface_sum(mesh, phiHbyA)
                        + (0.0 if cfg.steady
                           else mesh.v * rdt * (rho - rho0

@@ -67,6 +67,28 @@ def shallowwater_step(mesh, state: Dict, dt: Any,
     phi_slot = (slot_mod.SlotFace(*state["phi_slot"], bv=phi[nif:])
                 if "phi_slot" in state else slot_mod.from_flat(mesh, phi))
 
+    # Euler ddtCorr(h, hU, phi) (reference: shallowWaterFoam phiHbyA
+    # `fvc::interpolate(rAU)*fvc::ddtCorr(h, hU, phi)`, ADVICE r2 #5):
+    # coeff * rdt * (phi_old - interp(hU_old).Sf) with the standard
+    # consistency damping coeff = 1 - min(|corr|/(|phi_old|+eps), 1).
+    # Boundary part: hU_old extrapolated from owner cells.
+    hba_old = slot_mod.flux_of(
+        mesh, hU_old,
+        bv=jnp.einsum("fd,fd->f", mesh.sf[nif:], hU_old[mesh.owner[nif:]])
+        * mesh.face_active[nif:])
+    phi_old_slot = phi_slot
+
+    def _ddt_corr(po, fo):
+        c = po - fo
+        coeff = 1.0 - jnp.minimum(jnp.abs(c) / (jnp.abs(po) + 1e-30), 1.0)
+        return coeff * rdt * c
+
+    ddt_corr = slot_mod.SlotFace(
+        _ddt_corr(phi_old_slot.sv, hba_old.sv),
+        _ddt_corr(phi_old_slot.fb, hba_old.fb)
+        if mesh.fb_cells.shape[0] else phi_old_slot.fb,
+        _ddt_corr(phi_old_slot.bv, hba_old.bv))
+
     for outer in range(cfg.n_outer):
         final_outer = outer == cfg.n_outer - 1
         # velocity flux phiv = phi / interp(h)
@@ -111,12 +133,18 @@ def shallowwater_step(mesh, state: Dict, dt: Any,
             ghrAUf_slot.bv * sng_h0.bv
             * mesh.mag_sf[nif:] * mesh.face_active[nif:])
 
+        rAU_slot = slot_mod.interpolate(mesh, rAU,
+                                        bv=rAU[mesh.owner[nif:]])
         for corr in range(cfg.n_correctors):
             HbyA = rAU[:, None] * hUEqn.H(mesh, hU.data)
             hba = slot_mod.flux_of(mesh, HbyA)
-            phiHbyA_b = boundary_flux(mesh, hU) - phih0.bv
-            phiHbyA = slot_mod.SlotFace(hba.sv - phih0.sv,
-                                        hba.fb - phih0.fb, phiHbyA_b)
+            phiHbyA_b = (boundary_flux(mesh, hU) - phih0.bv
+                         + rAU_slot.bv * ddt_corr.bv)
+            phiHbyA = slot_mod.SlotFace(
+                hba.sv - phih0.sv + rAU_slot.sv * ddt_corr.sv,
+                (hba.fb - phih0.fb + rAU_slot.fb * ddt_corr.fb)
+                if mesh.fb_cells.shape[0] else hba.fb - phih0.fb,
+                phiHbyA_b)
             hEqn0 = fvm.laplacian(
                 mesh, slot_mod.to_flat(mesh, ghrAUf_slot), h,
                 corrected=False,
