@@ -9,10 +9,21 @@ the pinned estimate for icoFoam on an 8-core 2013-era CPU for a
 400x400 cavity step (2 PISO correctors, PCG pressure solves to 1e-6)
 is ~1.0e6 cell-updates/s. vs_baseline = value / 1.0e6, so the >=20x
 target reads as vs_baseline >= 20.
+
+Artifact-proofing (BENCH_r02 captured a 400x-wrong 798x number because
+block_until_ready through the axon tunnel returned without waiting,
+while the residual fetch that actually synced happened after t1):
+- every timed region ends with a forced device->host scalar transfer
+  (float(jnp.sum(...))) which cannot complete before the enqueued work;
+- report the MEDIAN over >=3 trials;
+- reject timings faster than a physical floor derived from the HBM
+  bandwidth of the chip (a PISO step must at minimum stream the
+  pressure-matrix arrays p_iters times).
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -21,6 +32,43 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_CELLS_PER_SEC = 1.0e6
 N = int(os.environ.get("BENCH_N", "400"))
 NSTEPS = int(os.environ.get("BENCH_STEPS", "10"))
+NTRIALS = int(os.environ.get("BENCH_TRIALS", "3"))
+# v5e HBM ~820 GB/s; use 2 TB/s as a generous "impossible beyond this"
+# ceiling so the floor only rejects fantasy numbers, never real ones.
+HBM_CEIL_BYTES_PER_SEC = 2.0e12
+
+
+def _sync_scalar(x):
+    """Force a real device->host transfer (the honest fence)."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def timed_steps(step, state, dt, nsteps, sync_field="U"):
+    """One timed trial of `nsteps` solver steps, fenced by a host fetch."""
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        state, diag = step(state, dt)
+    _ = _sync_scalar(state[sync_field].data)
+    t1 = time.perf_counter()
+    return t1 - t0, state, diag
+
+
+def median_trials(step, state, dt, nsteps, ntrials, sync_field="U"):
+    times = []
+    diag = None
+    for _ in range(ntrials):
+        sec, state, diag = timed_steps(step, state, dt, nsteps, sync_field)
+        times.append(sec / nsteps)
+    return statistics.median(times), times, state, diag
+
+
+def plausibility_floor(n_cells, p_iters):
+    """Minimum credible sec/step: each pressure iteration must stream at
+    least ~5 f32 arrays of n_cells (diag, x, b, r, p) through HBM."""
+    bytes_per_step = max(int(p_iters), 1) * n_cells * 5 * 4
+    return bytes_per_step / HBM_CEIL_BYTES_PER_SEC
 
 
 def main():
@@ -48,15 +96,23 @@ def main():
 
     # warmup/compile + settle
     state, diag = step(state, dt)
-    jax.block_until_ready(state["U"].data)
+    _ = _sync_scalar(state["U"].data)
 
-    t0 = time.perf_counter()
-    for _ in range(NSTEPS):
-        state, diag = step(state, dt)
-    jax.block_until_ready(state["U"].data)
-    t1 = time.perf_counter()
+    sec_per_step, trial_times, state, diag = median_trials(
+        step, state, dt, NSTEPS, NTRIALS)
 
-    sec_per_step = (t1 - t0) / NSTEPS
+    p_iters = int(diag["p_iters"])
+    floor = plausibility_floor(n_cells, p_iters)
+    implausible = sec_per_step < floor
+    if implausible:
+        # fall back to fully synchronous per-step timing — slower but
+        # impossible to fake
+        t0 = time.perf_counter()
+        for _ in range(NSTEPS):
+            state, diag = step(state, dt)
+            _ = _sync_scalar(state["U"].data)
+        sec_per_step = (time.perf_counter() - t0) / NSTEPS
+
     cells_per_sec = n_cells / sec_per_step
     out = {
         "metric": "cells_per_sec_per_chip",
@@ -67,12 +123,19 @@ def main():
             "case": f"icoFoam cavity {N}x{N}",
             "n_cells": n_cells,
             "sec_per_step": round(sec_per_step, 5),
-            "p_iters_last": int(diag["p_iters"]),
+            "trial_sec_per_step": [round(t, 5) for t in trial_times],
+            "plausibility_floor_sec": round(floor, 6),
+            "resynced_after_implausible": implausible,
+            "p_iters_last": p_iters,
             "p_final_residual": float(diag["p_final"]),
             "continuity": float(diag["continuity"]),
             "device": str(jax.devices()[0]),
         },
     }
+    try:
+        out["detail"]["tight_tol"] = bench_tight()
+    except Exception as e:
+        out["detail"]["tight_tol"] = {"error": f"{type(e).__name__}: {e}"}
     try:
         out["detail"]["pitzDaily"] = bench_pitz()
     except Exception as e:  # keep the primary metric robust
@@ -85,10 +148,37 @@ def main():
     print(json.dumps(out))
 
 
+def bench_tight():
+    """Reference-tutorial-grade tolerances (p tol 1e-6, no relTol
+    shortcut) on the same cavity — the honest comparison row the loose
+    headline must be read against (VERDICT r2 weak #7)."""
+    import jax.numpy as jnp
+
+    from foamtpu.apps.cases import make_cavity
+    from foamtpu.solvers import piso
+
+    mesh, state, cfg = make_cavity(N, p_solver={
+        "solver": "GAMG", "preconditioner": "polynomial",
+        "tolerance": 1e-6, "relTol": 0.0, "maxIter": 1000,
+    })
+    dt = jnp.asarray(0.5 * (0.1 / N), mesh.v.dtype)
+    step = piso.make_step(mesh, cfg)
+    state, diag = step(state, dt)
+    _ = _sync_scalar(state["U"].data)
+    nsteps = max(NSTEPS // 2, 3)
+    sec, _, state, diag = median_trials(step, state, dt, nsteps, 3)
+    return {"sec_per_step": round(sec, 5),
+            "cells_per_sec": round(mesh.n_cells / sec, 1),
+            "vs_baseline": round(mesh.n_cells / sec / BASELINE_CELLS_PER_SEC,
+                                 3),
+            "p_iters_last": int(diag["p_iters"]),
+            "p_final_residual": float(diag["p_final"]),
+            "continuity": float(diag["continuity"])}
+
+
 def bench_scale3d():
     """Scale demo (SCALE.md): n^3 lid-driven cavity, PISO+GAMG on one
     chip. BENCH_SCALE=1 enables (build+compile is minutes at n=100)."""
-    import jax
     import jax.numpy as jnp
 
     from foamtpu.apps.cases import make_cavity
@@ -101,13 +191,8 @@ def bench_scale3d():
     step = piso.make_step(mesh, cfg)
     dt = jnp.asarray(0.3 * (0.1 / n), mesh.v.dtype)
     state, diag = step(state, dt)
-    jax.block_until_ready(state["U"].data)
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        state, diag = step(state, dt)
-    jax.block_until_ready(state["U"].data)
-    sec = (time.perf_counter() - t0) / reps
+    _ = _sync_scalar(state["U"].data)
+    sec, _, state, diag = median_trials(step, state, dt, 10, 3)
     return {"case": f"icoFoam 3D cavity {n}^3", "n_cells": mesh.n_cells,
             "sec_per_step": round(sec, 4),
             "cells_per_sec": round(mesh.n_cells / sec, 1),
@@ -122,7 +207,6 @@ def bench_pitz():
     import shutil
     import tempfile
 
-    import jax
     import numpy as np
 
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -157,15 +241,19 @@ def bench_pitz():
     niter = int(os.environ.get("BENCH_PITZ_ITERS", "50"))
     chunk = simple.make_chunk(mesh, cfg, niter)
     state, diag = chunk(state)             # warmup/compile + develop flow
-    jax.block_until_ready(state["U"].data)
-    t0 = time.perf_counter()
-    state, diag = chunk(state)
-    jax.block_until_ready(state["U"].data)
-    t1 = time.perf_counter()
-    sec_per_iter = (t1 - t0) / niter
+    _ = _sync_scalar(state["U"].data)
+    secs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, diag = chunk(state)
+        _ = _sync_scalar(state["U"].data)
+        secs.append((time.perf_counter() - t0) / niter)
+    sec_per_iter = statistics.median(secs)
 
     # isolated GAMG pressure solve (the reference's hottest kernel):
     # assemble the pEqn once, time repeated jitted solves
+    import jax
+
     from foamtpu.core.dimensions import dimTime
     from foamtpu.ops import fvm as fvm_ops
     from foamtpu.solvers import linear as linear_mod
@@ -188,18 +276,21 @@ def bench_pitz():
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal(mesh.n_cells) * 1e-3, mesh.v.dtype)
     x, perf = solve_p(b, p_f.data)         # compile
-    jax.block_until_ready(x)
+    _ = _sync_scalar(x)
     reps = 20
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        x, perf = solve_p(b, x)
-    jax.block_until_ready(x)
-    t1 = time.perf_counter()
+    solve_ms = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            x, perf = solve_p(b, x)
+        _ = _sync_scalar(x)
+        solve_ms.append((time.perf_counter() - t0) / reps * 1e3)
     return {
         "n_cells": mesh.n_cells,
         "simple_sec_per_iter": round(sec_per_iter, 5),
         "simple_cells_per_sec": round(mesh.n_cells / sec_per_iter, 1),
-        "gamg_p_solve_ms": round((t1 - t0) / reps * 1e3, 3),
+        "simple_trials": [round(s, 5) for s in secs],
+        "gamg_p_solve_ms": round(statistics.median(solve_ms), 3),
         "gamg_p_iters": int(perf.n_iterations),
         "p_initial_residual": float(np.asarray(diag["p_initial"])),
     }
