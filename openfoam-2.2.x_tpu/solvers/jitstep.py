@@ -42,4 +42,15 @@ def jit_with_mesh(fn: Callable, mesh, control_dicts: Sequence[Any]):
             for g, lv0 in zip(gs, levels0):
                 g.levels = lv0
 
-    return lambda *args: inner(mesh, levels0, *args)
+    def _strong(x):
+        # canonicalise weak-typed leaves: a state leaf whose weak_type
+        # flips between calls (e.g. a BC array rebuilt from Python
+        # scalars inside the step) otherwise forces a full retrace +
+        # recompile on the SECOND call — measured as a spurious
+        # 0.2 s/iter "first timed trial" in bench_pitz (round 3)
+        if isinstance(x, jax.Array) and x.weak_type:
+            return jax.lax.convert_element_type(x, x.dtype)
+        return x
+
+    return lambda *args: inner(mesh, levels0,
+                               *jax.tree_util.tree_map(_strong, args))
