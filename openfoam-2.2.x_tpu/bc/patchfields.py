@@ -190,13 +190,26 @@ _VALUE_COEFFS: Dict[str, Callable] = {
 }
 
 
+def _empty_shape(patch, internal):
+    return (patch.size,) + internal.shape[1:]
+
+
 def value_coeffs(bc: PatchField, mesh, patch, internal) -> Tuple[Any, Any]:
+    if bc.kind == "empty":
+        # empty patches carry 2*nC faces on 2D cases and every consumer
+        # masks them out (face_active / compact ab_* scatter) — skip the
+        # O(nC)-sized owner gather entirely
+        z = jnp.zeros(_empty_shape(patch, internal), internal.dtype)
+        return z, z
     vi = _patch_internal(mesh, patch, internal)
     vic, vbc = _VALUE_COEFFS[bc.kind](bc, mesh, patch, vi)
     return jnp.broadcast_to(vic, vi.shape), jnp.broadcast_to(vbc, vi.shape)
 
 
 def grad_coeffs(bc: PatchField, mesh, patch, internal) -> Tuple[Any, Any]:
+    if bc.kind == "empty":
+        z = jnp.zeros(_empty_shape(patch, internal), internal.dtype)
+        return z, z
     vi = _patch_internal(mesh, patch, internal)
     vic, vbc = _VALUE_COEFFS[bc.kind](bc, mesh, patch, vi)
     dc = _col(_patch_delta(mesh, patch), vi)
@@ -205,6 +218,10 @@ def grad_coeffs(bc: PatchField, mesh, patch, internal) -> Tuple[Any, Any]:
 
 
 def evaluate(bc: PatchField, mesh, patch, internal) -> Any:
+    if bc.kind == "empty":
+        # face values on empty patches are never consumed (face_active
+        # masks / compact ab_* indexing skip them): zeros, no gather
+        return jnp.zeros(_empty_shape(patch, internal), internal.dtype)
     vi = _patch_internal(mesh, patch, internal)
     vic, vbc = _VALUE_COEFFS[bc.kind](bc, mesh, patch, vi)
     return vic * vi + vbc

@@ -565,6 +565,16 @@ class FvMesh:
     wall_y: Any        # [nC]
     wall_cnt: Any      # [nC]
 
+    # compact ACTIVE boundary-face indexing: a 2D case stores 2*nC
+    # empty-patch faces in the flat [nBf] boundary arrays, and full-size
+    # boundary gathers/scatters are index-rate-bound (~150M idx/s) — a
+    # 321k-index scatter costs ~4.5 ms at 400^2. All hot-path
+    # boundary motion goes through these instead (the empty faces
+    # contribute exactly zero by the face_active mask).
+    ab_rel: Any        # [nAB] int32, boundary-relative active face ids
+    ab_owner: Any      # [nAB] int32 owner cells
+    ab_sf: Any         # [nAB,3] outward face area vectors
+
     # static metadata
     st_deltas: Tuple[int, ...] = _static()
     n_cells: int = _static()
@@ -676,6 +686,11 @@ def to_device(mesh: PolyMesh) -> FvMesh:
     wall_y = np.where(wall_cnt > 0, wall_yacc / np.maximum(wall_cnt, 1.0),
                       1.0)
 
+    # compact active-boundary tables (skip empty-patch faces entirely)
+    ab_rel = np.nonzero(face_active[nif:] > 0)[0].astype(np.int64)
+    ab_owner = mesh.owner[nif:][ab_rel]
+    ab_sf = mesh.sf[nif:][ab_rel]
+
     def farr(a):
         return np.asarray(a, dtype=sdt)
 
@@ -726,6 +741,9 @@ def to_device(mesh: PolyMesh) -> FvMesh:
         wall_mask=farr(wall_mask),
         wall_y=farr(wall_y),
         wall_cnt=farr(np.maximum(wall_cnt, 1.0)),
+        ab_rel=iarr(ab_rel),
+        ab_owner=iarr(ab_owner),
+        ab_sf=farr(ab_sf),
         st_deltas=tabs["st_deltas"],
         n_cells=mesh.n_cells,
         n_faces=mesh.n_faces,

@@ -163,8 +163,11 @@ def update_geometry(mesh: FvMesh, points: Any, topo: MeshTopo) -> FvMesh:
     else:
         wall_y = mesh.wall_y
 
+    nif_ = mesh.n_internal_faces
+    ab_sf = sf[nif_:][mesh.ab_rel]
     return dataclasses.replace(
-        mesh, sf=sf, mag_sf=mag_sf, cf=cf, c=ctr, v=v, weights=w,
+        mesh, ab_sf=ab_sf,
+        sf=sf, mag_sf=mag_sf, cf=cf, c=ctr, v=v, weights=w,
         delta_coeffs=dc, non_orth_delta_coeffs=nodc,
         correction_vecs=corr, st_wself=st_wself, st_magsf=st_magsf,
         st_dc=st_dc, st_nodc=st_nodc, st_sf=st_sf, st_corr=st_corr,

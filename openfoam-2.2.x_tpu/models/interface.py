@@ -20,9 +20,7 @@ def interface_normals(mesh, alpha: VolField):
     """Face unit normal flux nHatf = (grad alpha)_f . Sf / |grad alpha|_f."""
     g = fvc.grad(mesh, alpha)  # [nC,3]
     gf = surface.interpolate_internal(mesh, g)
-    nif = mesh.n_internal_faces
-    bcells = mesh.owner[nif:]
-    gf_all = jnp.concatenate([gf, g[bcells]], axis=0)
+    gf_all = jnp.concatenate([gf, surface.owner_to_b(mesh, g)], axis=0)
     # deltaN stabiliser: 1e-8 / average cell dimension (reference:
     # interfaceProperties deltaN_)
     delta_n = 1e-8 / jnp.mean(jnp.cbrt(mesh.v))
@@ -43,8 +41,7 @@ def surface_tension_flux(mesh, alpha: VolField, sigma: float) -> Any:
     CSF force used in interFoam's pEqn (reference: interFoam/pEqn.H)."""
     kappa = curvature(mesh, alpha)
     kf = surface.interpolate_internal(mesh, kappa)
-    nif = mesh.n_internal_faces
-    kf_all = jnp.concatenate([kf, kappa[mesh.owner[nif:]]], axis=0)
+    kf_all = jnp.concatenate([kf, surface.owner_to_b(mesh, kappa)], axis=0)
     sng = fvc.sn_grad(mesh, alpha)
     return sigma * kf_all * sng * mesh.mag_sf * mesh.face_active
 

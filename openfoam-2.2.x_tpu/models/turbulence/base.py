@@ -105,10 +105,9 @@ class TurbulenceModel:
             fbt = tau_f.fb.reshape(-1, 3, 3)
             flux_fb = jnp.einsum("fi,fij->fj", mesh.fb_sf, fbt)
             div_tau = div_tau.at[mesh.fb_cells].add(flux_fb)
-        bcells = mesh.owner[nif:]
-        sfb = mesh.sf[nif:] * mesh.face_active[nif:, None]
-        flux_b = jnp.einsum("fi,fij->fj", sfb, tau[bcells])
-        div_tau = div_tau.at[bcells].add(flux_b)
+        # compact active-boundary contribution (zero-gradient tau)
+        flux_b = jnp.einsum("fi,fij->fj", mesh.ab_sf, tau[mesh.ab_owner])
+        div_tau = div_tau.at[mesh.ab_owner].add(flux_b)
         div_tau = div_tau / mesh.v[:, None]
         return mat, -div_tau
 

@@ -703,7 +703,7 @@ class SpalartAllmaras(TurbulenceModel):
 
         # DnuTildaEff = (nuTilda + nu)/sigmaNut
         dcoef = (nuT + nu) / self.sigmaNut
-        d_b = dcoef[mesh.owner[mesh.n_internal_faces:]]
+        d_b = surface.owner_to_b(mesh, dcoef)
         from ...ops import slot as slot_mod
 
         d_slot = slot_mod.interpolate(mesh, dcoef, bv=d_b)
@@ -769,7 +769,7 @@ class LaunderSharmaKE(KEpsilon):
         G, S2 = production(mesh, nut, U)
         sqrtk = jnp.sqrt(jnp.maximum(k, K_MIN))
         gsk = fvc.grad_component(mesh, sqrtk,
-                                 sqrtk[mesh.owner[mesh.n_internal_faces:]])
+                                 surface.owner_to_b(mesh, sqrtk))
         D = 2.0 * nu * jnp.sum(gsk * gsk, axis=1)
         # E = 2 nu nut magSqr(grad(grad(U))) [m^2/s^4] — reference:
         # LaunderSharmaKE.C `E_()`. Second gradient via Gauss grad of
@@ -777,7 +777,7 @@ class LaunderSharmaKE(KEpsilon):
         gU = fvc.grad_component(mesh, U.data, U.boundary_values(mesh))
         gU9 = gU.reshape(gU.shape[0], 9)
         ggU = fvc.grad_component(
-            mesh, gU9, gU9[mesh.owner[mesh.n_internal_faces:]])
+            mesh, gU9, surface.owner_to_b(mesh, gU9))
         E = 2.0 * nu * nut * jnp.sum(ggU * ggU, axis=(1, 2))
 
         eps_flat, eps_slot = _gamma_forms(mesh, nu, nut_f, self.sigma_eps)

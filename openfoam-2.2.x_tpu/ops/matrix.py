@@ -203,9 +203,9 @@ class FvMatrix:
         positive); boundary: ic*psi_c - bc."""
         nif = mesh.n_internal_faces
         f_int = self.upper * psi[mesh.neighbour] - self.lower * psi[mesh.owner[:nif]]
-        bcells = mesh.owner[nif:]
         ic, bc = self.ic, self.bc
-        f_bnd = ic * psi[bcells] - bc
+        # compact owner extrapolation: ic/bc are zero on empty faces
+        f_bnd = ic * surface.owner_to_b(mesh, psi) - bc
         out = jnp.concatenate([f_int, f_bnd], axis=0)
         if self.fcorr is not None:
             # non-orthogonal deferred correction is part of the operator
@@ -253,9 +253,9 @@ class FvMatrix:
             so = so * keep_s
             if mesh.fb_cells.shape[0]:
                 sf = sf * (1.0 - mask[mesh.fb_cells]) * (1.0 - mask[mesh.fb_nbrs])
-        # zero boundary coupling on constrained rows
-        bcells = mesh.owner[nif:]
-        keep_b = 1.0 - mask[bcells]
+        # zero boundary coupling on constrained rows (compact: empty
+        # faces read keep_b=1, and their ic/bc are zero anyway)
+        keep_b = 1.0 - surface.owner_to_b(mesh, mask)
         if self.ic.ndim == 2:
             keep_b = keep_b[:, None]
         src = self.source

@@ -77,10 +77,13 @@ def limiter(mesh, psi: Any, phi_bd: Any, phi_corr: Any, dt: Any,
             jnp.minimum(r_out[own], r_in[nei]),
             jnp.minimum(r_in[own], r_out[nei]),
         )
-        # boundary: limit by the owner cell only
-        bcells = mesh.owner[nif:]
+        # boundary: limit by the owner cell only (compact owner
+        # extrapolation — empty faces carry zero corr anyway)
+        from . import surface
+
         c_b = corr[nif:]
-        lam_b = jnp.where(c_b >= 0, r_out[bcells], r_in[bcells])
+        lam_b = jnp.where(c_b >= 0, surface.owner_to_b(mesh, r_out),
+                          surface.owner_to_b(mesh, r_in))
         lam = lam * jnp.concatenate([lam_i, lam_b], axis=0)
     return lam
 

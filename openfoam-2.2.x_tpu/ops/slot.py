@@ -103,7 +103,7 @@ def surface_sum(mesh, f: SlotFace) -> Any:
                           else mesh.fb_signs)
         acc = acc.at[mesh.fb_cells].add(contrib)
     if f.bv is not None:
-        acc = acc.at[mesh.owner[mesh.n_internal_faces:]].add(f.bv)
+        acc = acc.at[mesh.ab_owner].add(f.bv[mesh.ab_rel])
     return acc
 
 
@@ -118,8 +118,9 @@ def weighted_cell_sum(mesh, f: SlotFace, absolute: bool = False) -> Any:
         c = jnp.abs(f.fb) if absolute else f.fb
         acc = acc.at[mesh.fb_cells].add(c)
     if f.bv is not None:
-        bv = jnp.abs(f.bv) if absolute else f.bv
-        acc = acc.at[mesh.owner[mesh.n_internal_faces:]].add(bv)
+        bva = f.bv[mesh.ab_rel]
+        bva = jnp.abs(bva) if absolute else bva
+        acc = acc.at[mesh.ab_owner].add(bva)
     return acc
 
 
@@ -163,18 +164,15 @@ def grad(mesh, data: Any, bv: Any) -> Any:
         acc = jnp.sum(mesh.st_sf * f.sv[:, :, None], axis=1)
         if mesh.fb_cells.shape[0]:
             acc = acc.at[mesh.fb_cells].add(mesh.fb_sf * f.fb[:, None])
-        nif = mesh.n_internal_faces
-        sfb = mesh.sf[nif:] * mesh.face_active[nif:, None]
-        acc = acc.at[mesh.owner[nif:]].add(sfb * bv[:, None])
+        acc = acc.at[mesh.ab_owner].add(mesh.ab_sf * bv[mesh.ab_rel][:, None])
         return acc / mesh.v[:, None]
     # vector: outer product Sf_i vf_j
     acc = jnp.sum(mesh.st_sf[:, :, :, None] * f.sv[:, :, None, :], axis=1)
     if mesh.fb_cells.shape[0]:
         acc = acc.at[mesh.fb_cells].add(
             mesh.fb_sf[:, :, None] * f.fb[:, None, :])
-    nif = mesh.n_internal_faces
-    sfb = mesh.sf[nif:] * mesh.face_active[nif:, None]
-    acc = acc.at[mesh.owner[nif:]].add(sfb[:, :, None] * bv[:, None, :])
+    acc = acc.at[mesh.ab_owner].add(
+        mesh.ab_sf[:, :, None] * bv[mesh.ab_rel][:, None, :])
     return acc / mesh.v[:, None, None]
 
 

@@ -37,13 +37,24 @@ def surface_sum(mesh, face_vals: Any, weight: Optional[Any] = None) -> Any:
 
 def boundary_sum(mesh, bvals: Any) -> Any:
     """Sum per-boundary-face values [nBf,(3)] into their owner cells.
-    Scatter-add over the (small) boundary-face set — nBf is O(nC^(2/3)),
-    so the scatter costs ~nothing next to any full-mesh gather (TPU
-    gathers/scatters are index-rate bound at ~150M idx/s, measured)."""
-    nif = mesh.n_internal_faces
+    Compact scatter over ACTIVE boundary faces only (mesh.ab_rel):
+    empty-patch faces — 2*nC of them on a 2D case — always carry zero
+    (face_active-masked upstream), and scattering them costs ms at
+    scale (TPU scatters are index-rate bound at ~150M idx/s)."""
     shape = (mesh.n_cells,) if bvals.ndim == 1 else (mesh.n_cells, bvals.shape[1])
     out = jnp.zeros(shape, dtype=bvals.dtype)
-    return out.at[mesh.owner[nif:]].add(bvals)
+    return out.at[mesh.ab_owner].add(bvals[mesh.ab_rel])
+
+
+def owner_to_b(mesh, x: Any) -> Any:
+    """Owner-cell values extrapolated to the boundary, [nBf(,C)]:
+    active faces get x[owner]; empty-patch faces get zero (they are
+    face_active-masked by every consumer). The compact twin of
+    x[mesh.owner[nif:]] — a full [nBf] gather costs ~2.4 ms at 400^2,
+    this costs ~0.2 ms."""
+    nBf = mesh.n_faces - mesh.n_internal_faces
+    z = jnp.zeros((nBf,) + x.shape[1:], x.dtype)
+    return z.at[mesh.ab_rel].set(x[mesh.ab_owner])
 
 
 def interpolate_internal(mesh, data: Any, weights: Optional[Any] = None) -> Any:

@@ -1475,6 +1475,146 @@ def _has_solver(case, name) -> bool:
         return False
 
 
+def reacting_foam(case, max_steps: Optional[int] = None) -> None:
+    """reactingFoam: compressible reacting flow with finite-rate
+    laminar combustion (reference: applications/solvers/combustion/
+    reactingFoam/). Mechanism read from constant/reactions
+    (foamChemistry format) + per-species thermo from
+    constant/thermo.compressibleGas; species fields Yi from 0/
+    (Ydefault fallback). Deviation (documented): the flow thermo is a
+    single mixture gas — janaf of the dominant initial species with the
+    mixture-averaged gas constant — not a per-cell multi-species
+    heThermo mixture."""
+    import dataclasses as _dc
+
+    from ..bc import patchfields as pfm
+    from ..core.fields import VolField
+    from ..models import chemistry as chem_mod, thermo as thermo_mod
+    from . import reacting as reacting_mod
+    from . import rhopimple as rp_mod
+
+    mesh = case.mesh
+    rx = case.properties("reactions")
+    try:
+        thd = case.properties("thermo.compressibleGas")
+    except Exception:
+        thd = None
+    chem, W = chem_mod.from_foam_files(rx, thd)
+    species = list(chem.species)
+
+    flds = []
+    for s in species:
+        try:
+            flds.append(case.read_field(s))
+        except Exception:
+            flds.append(case.read_field("Ydefault"))
+    Ydata = jnp.stack([f.data for f in flds], axis=1)
+    ymean = np.asarray(jnp.mean(Ydata, axis=0))
+
+    bcs = []
+    for ip, p in enumerate(mesh.patches):
+        pbcs = [f.bcs[ip] for f in flds]
+        kinds = [b.kind for b in pbcs]
+        if kinds[0] == "empty":
+            bcs.append(pfm.PatchField(kind="empty", vfrac=0.0))
+            continue
+        kind = kinds[0] if len(set(kinds)) == 1 else "mixed"
+
+        def col(vals):
+            return jnp.stack(
+                [jnp.broadcast_to(jnp.asarray(v, mesh.v.dtype),
+                                  (p.size,)) for v in vals], axis=1)
+
+        # vfrac stays per-face [size] (the mixed machinery broadcasts it
+        # over the species axis) — per-patch BC kinds must agree across
+        # species, which every reference reactingFoam case satisfies
+        bcs.append(pfm.PatchField(
+            kind=kind,
+            ref_value=col([b.ref_value for b in pbcs]),
+            ref_grad=col([b.ref_grad for b in pbcs]),
+            vfrac=jnp.broadcast_to(
+                jnp.asarray(pbcs[0].vfrac, mesh.v.dtype), (p.size,)),
+            opts=pbcs[0].opts))
+    Y = VolField(data=Ydata, bcs=tuple(bcs), name="Y")
+
+    dom = int(np.argmax(ymean))
+    if thd is not None and species[dom] in thd:
+        th = thermo_mod._janaf_from_mixture(thd[species[dom]])
+        wsum = float(np.sum(ymean / np.maximum(W, 1e-3)))
+        th = _dc.replace(th, R=8314.47 * wsum)  # mixture R = Ru sum(Y/W)
+    else:
+        th = thermo_mod.from_dict(
+            case.properties("thermophysicalProperties"))
+
+    model, tstate = _load_turbulence(case, max(th.mu, 1e-12))
+    relax = _relaxation(case)
+    cdict = case.pimple_controls("PIMPLE")
+    try:
+        pf_ctl = case.solver_controls("pFinal")
+    except KeyError:
+        pf_ctl = None
+    flow = rp_mod.RhoPimpleConfig(
+        thermo=th,
+        n_outer=int(cdict.get("nOuterCorrectors", 1)),
+        n_correctors=int(cdict.get("nCorrectors", 2)),
+        n_non_orth=int(cdict.get("nNonOrthogonalCorrectors", 0)),
+        corrected=case.laplacian_corrected(),
+        div_scheme=case.div_scheme("div(phi,U)"),
+        div_scheme_e=case.div_scheme("div(phi,e)"),
+        grad_scheme=case.grad_scheme("grad(p)"),
+        p_ref_value=float(cdict.get("pRefValue", 1e5)),
+        p_controls=case.solver_controls("p"),
+        p_controls_final=pf_ctl,
+        u_controls=case.solver_controls("U"),
+        e_controls=case.solver_controls("T") if _has_solver(case, "T")
+        else None,
+        turb=model,
+        turb_relax=relax.get("k", 0.7),
+    )
+    y_ctl = case.solver_controls("Yi") if _has_solver(case, "Yi") else None
+    cfg = reacting_mod.ReactingConfig(flow=flow, chem=chem, W=W,
+                                      y_controls=y_ctl)
+    U = case.read_field("U")
+    p = case.read_field("p")
+    T = case.read_field("T")
+    state = reacting_mod.initial_state(mesh, U, p, T, Y, th)
+    step = reacting_mod.make_step(mesh, cfg)
+    log.info(f"Starting loop: reactingFoam, {mesh.n_cells} cells, "
+             f"{len(species)} species\n")
+    cumulative = 0.0
+    t = case.time
+    max_iter = max(int(round((t.end_time - t.start_time) / t.delta_t)), 1)
+    if max_steps is not None:
+        max_iter = min(max_iter, max_steps)
+    dt = jnp.asarray(t.delta_t, mesh.v.dtype)
+    from ..functionobjects import make_function_objects
+
+    fol = make_function_objects(case)
+
+    def write(state):
+        fields = [state["U"], state["p"], state["T"]]
+        Yf = state["Y"]
+        for i, s in enumerate(species):
+            fields.append(_dc.replace(flds[i], data=Yf.data[:, i], name=s))
+        if "turb" in state and state["turb"]:
+            fields += list(state["turb"].values())
+        case.write_fields(fields)
+
+    while t.index < max_iter:
+        state, diag = step(state, dt)
+        t.index += 1
+        t.value = t.start_time + t.index * t.delta_t
+        t.current_dt = float(dt)
+        cumulative = _log_step(case, t, diag, cumulative)
+        log.info(log.solver_line("T", diag["T"]))
+        fol.execute(t.name, state)
+        if t.write_time():
+            write(state)
+    write(state)
+    log.info("End\n")
+    case.final_state = state
+
+
 def rho_simplefoam(case, max_steps: Optional[int] = None):
     _rho_pimple_run(case, steady=True, transonic=False, max_steps=max_steps)
 
@@ -1534,6 +1674,8 @@ case_mod.register_application("icoUncoupledKinematicParcelFoam",
                               ico_uncoupled_kinematic_parcel_foam)
 case_mod.register_application("uncoupledKinematicParcelFoam",
                               ico_uncoupled_kinematic_parcel_foam)
+case_mod.register_application("reactingFoam", reacting_foam)
+case_mod.register_application("rhoReactingFoam", reacting_foam)
 case_mod.register_application("scalarTransportFoam", scalar_transport_foam)
 case_mod.register_application("laplacianFoam", laplacian_foam)
 case_mod.register_application("potentialFoam", potential_foam)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..core.dimensions import dimTime, dimViscosity, dimless
 from ..core.fields import VolField
-from ..ops import fvc, fvm, schemes as schemes_mod, slot as slot_mod
+from ..ops import fvc, fvm, schemes as schemes_mod, slot as slot_mod, surface
 from . import linear
 from .piso import (advance_time_state, boundary_flux, ddt_matrix,
                    needs_reference)
@@ -73,7 +73,7 @@ def _sn_grad_slot(mesh, data, bv):
     fb = (mesh.fb_signs * d.fb * mesh.fb_dc
           if mesh.fb_cells.shape[0] else d.fb)
     nif = mesh.n_internal_faces
-    vi = data[mesh.owner[nif:]]
+    vi = surface.owner_to_b(mesh, data)
     bvn = (bv - vi) * mesh.delta_coeffs[nif:]
     return slot_mod.SlotFace(sv, fb, bvn)
 
@@ -126,7 +126,7 @@ def boussinesq_step(mesh, state: Dict, dt: Any, cfg: BoussinesqConfig
         relax_now = cfg.steady or not final_outer
 
         rhok = rhok_of(cfg, T.data)
-        rhok_b = rhok[mesh.owner[nif:]]  # zero-gradient extrapolation
+        rhok_b = surface.owner_to_b(mesh, rhok)  # zero-gradient extrapolation
         sng_rhok = _sn_grad_slot(mesh, rhok, rhok_b)
 
         # -- momentum --------------------------------------------------------
@@ -172,7 +172,7 @@ def boussinesq_step(mesh, state: Dict, dt: Any, cfg: BoussinesqConfig
 
         # -- pressure correction ----------------------------------------------
         rA = 1.0 / UEqn.A(mesh)
-        rA_b = rA[mesh.owner[nif:]]
+        rA_b = surface.owner_to_b(mesh, rA)
         rAf_slot = slot_mod.interpolate(mesh, rA, bv=rA_b)
         rAf = slot_mod.to_flat(mesh, rAf_slot)
         pEqn0 = fvm.laplacian(
@@ -228,7 +228,7 @@ def boussinesq_step(mesh, state: Dict, dt: Any, cfg: BoussinesqConfig
                     F = slot_mod.laplacian_flux(
                         mesh, rAf_slot, p_rgh.data, corrected=use_corr,
                         corr=corr_face)
-                    p_bc = p_rgh.data[mesh.owner[nif:]]
+                    p_bc = surface.owner_to_b(mesh, p_rgh.data)
                     F_b = pEqn.ic * p_bc - pEqn.bc
                     phi_slot = slot_mod.SlotFace(
                         phiHbyA.sv - F.sv, phiHbyA.fb - F.fb,
@@ -255,7 +255,7 @@ def boussinesq_step(mesh, state: Dict, dt: Any, cfg: BoussinesqConfig
         nut = (cfg.turb.nut(mesh, new_turb) if cfg.turb is not None
                else jnp.zeros(mesh.n_cells, mesh.v.dtype))
         alpha_eff = cfg.nu / cfg.pr + nut / cfg.prt
-        a_b = alpha_eff[mesh.owner[nif:]]
+        a_b = surface.owner_to_b(mesh, alpha_eff)
         a_slot = slot_mod.interpolate(mesh, alpha_eff, bv=a_b)
         wt_slot = (None if cfg.div_scheme_t == "linear" else
                    schemes_mod.weights_slot(mesh, phi_slot,

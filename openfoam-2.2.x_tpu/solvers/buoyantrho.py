@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from ..bc import patchfields as pf
 from ..core.dimensions import DimensionSet, dimTime
 from ..core.fields import VolField
-from ..ops import fvm, fvc, schemes as schemes_mod, slot as slot_mod
+from ..ops import fvm, fvc, schemes as schemes_mod, slot as slot_mod, surface
 from . import linear
 from .buoyant import _ghf, _sn_grad_slot
 from .piso import boundary_flux, needs_reference
@@ -140,7 +140,7 @@ def buoyantrho_step(mesh, state: Dict, dt: Any, cfg: BuoyantRhoConfig
         nut = (cfg.turb.nut(mesh, new_turb) if cfg.turb is not None
                else jnp.zeros(mesh.n_cells, mesh.v.dtype))
         mu_eff = mu + rho * nut
-        rho_b = rho[mesh.owner[nif:]]
+        rho_b = surface.owner_to_b(mesh, rho)
         rho_slot = slot_mod.interpolate(mesh, rho, bv=rho_b)
         sng_rho = _sn_grad_slot(mesh, rho, rho_b)
 
@@ -149,7 +149,7 @@ def buoyantrho_step(mesh, state: Dict, dt: Any, cfg: BuoyantRhoConfig
                   schemes_mod.weights_slot(mesh, phi_slot, cfg.div_scheme,
                                            U))
         mu_slot = slot_mod.interpolate(mesh, mu_eff,
-                                       bv=mu_eff[mesh.owner[nif:]])
+                                       bv=surface.owner_to_b(mesh, mu_eff))
         if cfg.steady:
             UEqn = fvm.div(mesh, phi, U, phi_slot=phi_slot,
                            slot_weights=w_slot,
@@ -186,7 +186,7 @@ def buoyantrho_step(mesh, state: Dict, dt: Any, cfg: BuoyantRhoConfig
         alpha_lam = mu / th.Pr
         alpha_eff = alpha_lam + rho * nut / cfg.prt
         a_slot = slot_mod.interpolate(mesh, alpha_eff,
-                                      bv=alpha_eff[mesh.owner[nif:]])
+                                      bv=surface.owner_to_b(mesh, alpha_eff))
         we_slot = (None if cfg.div_scheme_e == "linear" else
                    schemes_mod.weights_slot(mesh, phi_slot,
                                             cfg.div_scheme_e, T))
@@ -206,7 +206,7 @@ def buoyantrho_step(mesh, state: Dict, dt: Any, cfg: BuoyantRhoConfig
             gamma_slot=a_slot)
         dKdt = jnp.zeros_like(K) if cfg.steady else \
             (rho * K - rho0 * K0) * rdt
-        Kb = K[mesh.owner[nif:]]
+        Kb = surface.owner_to_b(mesh, K)
         K_slot = slot_mod.interpolate(mesh, K, bv=Kb)
         div_phiK = slot_mod.surface_sum(
             mesh, slot_mod.SlotFace(phi_slot.sv * K_slot.sv,
@@ -237,7 +237,7 @@ def buoyantrho_step(mesh, state: Dict, dt: Any, cfg: BuoyantRhoConfig
         psi = th.psi(T.data)
         rho = jnp.maximum(th.rho(p_abs(p_w.data, rho), T.data),
                           cfg.rho_min)
-        rho_b = rho[mesh.owner[nif:]]
+        rho_b = surface.owner_to_b(mesh, rho)
         rho_slot = slot_mod.interpolate(mesh, rho, bv=rho_b)
         sng_rho = _sn_grad_slot(mesh, rho, rho_b)
 
@@ -245,7 +245,7 @@ def buoyantrho_step(mesh, state: Dict, dt: Any, cfg: BuoyantRhoConfig
         rA = 1.0 / UEqn.A(mesh)
         rhorA = rho * rA
         rra_slot = slot_mod.interpolate(mesh, rhorA,
-                                        bv=rhorA[mesh.owner[nif:]])
+                                        bv=surface.owner_to_b(mesh, rhorA))
         rra_flat = slot_mod.to_flat(mesh, rra_slot)
         pEqn0 = fvm.laplacian(
             mesh, rra_flat, p_w, corrected=cfg.corrected,
@@ -316,7 +316,7 @@ def buoyantrho_step(mesh, state: Dict, dt: Any, cfg: BuoyantRhoConfig
                     F = slot_mod.laplacian_flux(
                         mesh, rra_slot, p_w.data, corrected=use_corr,
                         corr=corr_face)
-                    p_bcl = p_w.data[mesh.owner[nif:]]
+                    p_bcl = surface.owner_to_b(mesh, p_w.data)
                     F_b = pEqn0.ic * p_bcl - pEqn0.bc
                     phi_slot = slot_mod.SlotFace(
                         phiHbyA.sv - F.sv, phiHbyA.fb - F.fb,
@@ -351,7 +351,7 @@ def buoyantrho_step(mesh, state: Dict, dt: Any, cfg: BuoyantRhoConfig
                 phi_slot.sv / rho_f_sv,
                 phi_slot.fb / jnp.maximum(rho_slot.fb, cfg.rho_min)
                 if mesh.fb_cells.shape[0] else phi_slot.fb,
-                phi_slot.bv / jnp.maximum(rho[mesh.owner[nif:]],
+                phi_slot.bv / jnp.maximum(surface.owner_to_b(mesh, rho),
                                           cfg.rho_min))
             phiv = slot_mod.to_flat(mesh, phiv_slot)
             new_turb, tdiag = cfg.turb.correct(
@@ -390,7 +390,7 @@ def initial_state(mesh, U: VolField, p_rgh: VolField, T: VolField,
     rho = thermo.rho(p_rgh.data, T.data)
     for _ in range(2):
         rho = thermo.rho(p_rgh.data + rho * gh, T.data)
-    rho_b = rho[mesh.owner[mesh.n_internal_faces:]]
+    rho_b = surface.owner_to_b(mesh, rho)
     rho_slot = slot_mod.interpolate(mesh, rho, bv=rho_b)
     uf = slot_mod.flux_of(mesh, U.data, bv=boundary_flux(mesh, U))
     phi_sl = slot_mod.SlotFace(rho_slot.sv * uf.sv, rho_slot.fb * uf.fb,

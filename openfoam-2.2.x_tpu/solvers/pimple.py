@@ -106,7 +106,7 @@ def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
             UEqn = UEqn.add_source(-visc_expl, mesh)
         elif cfg.nu_fn is not None:
             nu_cell = cfg.nu_fn(mesh, U)
-            nu_b = nu_cell[mesh.owner[nif:]]
+            nu_b = surface.owner_to_b(mesh, nu_cell)
             nu_slot = slot_mod.interpolate(mesh, nu_cell, bv=nu_b)
             UEqn = UEqn - fvm.laplacian(
                 mesh, slot_mod.to_flat(mesh, nu_slot), U,
@@ -137,7 +137,7 @@ def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
 
         # -- PISO corrector loop -------------------------------------------
         rA = 1.0 / UEqn.A(mesh)
-        rA_b = rA[mesh.owner[nif:]]
+        rA_b = surface.owner_to_b(mesh, rA)
         rAf_slot = slot_mod.interpolate(mesh, rA, bv=rA_b)
         rAf = slot_mod.to_flat(mesh, rAf_slot)
         pEqn0 = fvm.laplacian(
@@ -190,7 +190,7 @@ def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
                     F = slot_mod.laplacian_flux(
                         mesh, rAf_slot, p.data, corrected=use_corr,
                         corr=corr_face)
-                    p_bc = p.data[mesh.owner[nif:]]
+                    p_bc = surface.owner_to_b(mesh, p.data)
                     F_b = pEqn.ic * p_bc - pEqn.bc
                     phi_slot = slot_mod.SlotFace(
                         phiHbyA.sv - F.sv, phiHbyA.fb - F.fb,

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..core.dimensions import dimTime, dimViscosity
 from ..core.fields import VolField
 from ..mesh import moving
-from ..ops import fvc, fvm, schemes as schemes_mod, slot as slot_mod
+from ..ops import fvc, fvm, schemes as schemes_mod, slot as slot_mod, surface
 from . import linear
 from .piso import boundary_flux, needs_reference
 
@@ -86,7 +86,7 @@ def pimpledym_step(mesh: Any, state: Dict, dt: Any, cfg: DyMConfig
     # -- PISO correctors (relative fluxes) ----------------------------------
     rA = 1.0 / UEqn.A(mesh_t)
     rAf_slot = slot_mod.interpolate(mesh_t, rA,
-                                    bv=rA[mesh_t.owner[nif:]])
+                                    bv=surface.owner_to_b(mesh_t, rA))
     rAf = slot_mod.to_flat(mesh_t, rAf_slot)
     pEqn0 = fvm.laplacian(mesh_t, rAf, p, corrected=cfg.corrected,
                           gamma_dims=dimTime, limit=cfg.corr_limit,
@@ -120,7 +120,7 @@ def pimpledym_step(mesh: Any, state: Dict, dt: Any, cfg: DyMConfig
             if nonorth == cfg.n_non_orth:
                 F = slot_mod.laplacian_flux(mesh_t, rAf_slot, p.data,
                                             corrected=False, corr=None)
-                p_bc = p.data[mesh_t.owner[nif:]]
+                p_bc = surface.owner_to_b(mesh_t, p.data)
                 F_b = pEqn.ic * p_bc - pEqn.bc
                 phi_slot = slot_mod.SlotFace(
                     phiHbyA.sv - F.sv, phiHbyA.fb - F.fb,

@@ -121,7 +121,7 @@ def face_interp_cell(mesh, data: Any) -> Any:
     """Interpolate per-cell scalar data to ALL faces with zero-gradient
     boundary extrapolation (for rAU etc.)."""
     vi = surface.interpolate_internal(mesh, data)
-    vb = data[mesh.owner[mesh.n_internal_faces:]]
+    vb = surface.owner_to_b(mesh, data)
     return jnp.concatenate([vi, vb], axis=0)
 
 
@@ -170,7 +170,7 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
         # non-Newtonian viscosity (reference: nonNewtonianIcoFoam +
         # singlePhaseTransportModel): nu(strainRate) updated each step
         nu_cell = cfg.nu_fn(mesh, U)
-        nu_b = nu_cell[mesh.owner[nif:]]
+        nu_b = surface.owner_to_b(mesh, nu_cell)
         nu_slot = slot_mod.interpolate(mesh, nu_cell, bv=nu_b)
         UEqn = UEqn - fvm.laplacian(
             mesh, slot_mod.to_flat(mesh, nu_slot), U,
@@ -198,7 +198,7 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
 
     # -- PISO corrector loop ----------------------------------------------------
     rA = 1.0 / UEqn.A(mesh)
-    rA_b = rA[mesh.owner[nif:]]
+    rA_b = surface.owner_to_b(mesh, rA)
     rAf_slot = slot_mod.interpolate(mesh, rA, bv=rA_b)
     rAf = slot_mod.to_flat(mesh, rAf_slot)   # flat view: GAMG coarsening
     rAf_dims = dimTime
@@ -265,7 +265,7 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
                 F = slot_mod.laplacian_flux(
                     mesh, rAf_slot, p.data, corrected=use_corr,
                     corr=corr_face)
-                p_bc = p.data[mesh.owner[nif:]]
+                p_bc = surface.owner_to_b(mesh, p.data)
                 F_b = pEqn.ic * p_bc - pEqn.bc
                 phi_slot = slot_mod.SlotFace(
                     phiHbyA.sv - F.sv, phiHbyA.fb - F.fb, phiHbyA_b - F_b)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..core.dimensions import DimensionSet
 from ..core.fields import VolField
-from ..ops import fvm, slot as slot_mod, schemes as schemes_mod
+from ..ops import fvm, slot as slot_mod, schemes as schemes_mod, surface
 from . import linear
 from .rhopimple import RhoPimpleConfig, rhopimple_step, _rho_ddt
 
@@ -68,7 +68,7 @@ def reacting_step(mesh, state: Dict, dt: Any, cfg: ReactingConfig
         jnp.full(mesh.n_cells, th.mu, mesh.v.dtype)
     gamma = mu / cfg.Sc               # rho*D
     g_slot = slot_mod.interpolate(mesh, gamma,
-                                  bv=gamma[mesh.owner[nif:]])
+                                  bv=surface.owner_to_b(mesh, gamma))
     w_slot = schemes_mod.weights_slot(mesh, phi_slot, "upwind", Y)
     YEqn = (_rho_ddt(mesh, Y, rho, rho0, Y0, rdt)
             + fvm.div(mesh, phi, Y, phi_slot=phi_slot,

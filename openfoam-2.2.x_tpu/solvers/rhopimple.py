@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..bc import patchfields as pf
 from ..core.dimensions import DimensionSet, dimTime, dimless
 from ..core.fields import VolField
-from ..ops import fvm, fvc, schemes as schemes_mod, slot as slot_mod
+from ..ops import fvm, fvc, schemes as schemes_mod, slot as slot_mod, surface
 from ..ops.matrix import FvMatrix, zero_matrix
 from . import linear
 from .piso import boundary_flux, needs_reference
@@ -119,14 +119,14 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
         nut = (cfg.turb.nut(mesh, new_turb) if cfg.turb is not None
                else jnp.zeros(mesh.n_cells, mesh.v.dtype))
         mu_eff = mu + rho * nut
-        rho_b = rho[mesh.owner[nif:]]
+        rho_b = surface.owner_to_b(mesh, rho)
         rho_slot = slot_mod.interpolate(mesh, rho, bv=rho_b)
 
         # -- momentum ----------------------------------------------------------
         w_slot = (None if cfg.div_scheme == "linear" else
                   schemes_mod.weights_slot(mesh, phi_slot, cfg.div_scheme, U))
         mu_slot = slot_mod.interpolate(mesh, mu_eff,
-                                       bv=mu_eff[mesh.owner[nif:]])
+                                       bv=surface.owner_to_b(mesh, mu_eff))
         if cfg.steady:
             UEqn = fvm.div(mesh, phi, U, phi_slot=phi_slot,
                            slot_weights=w_slot,
@@ -154,7 +154,7 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
         alpha_lam = mu / th.Pr                     # kappa/Cp
         alpha_eff = alpha_lam + rho * nut / 0.85   # Prt = 0.85
         a_slot = slot_mod.interpolate(mesh, alpha_eff,
-                                      bv=alpha_eff[mesh.owner[nif:]])
+                                      bv=surface.owner_to_b(mesh, alpha_eff))
         we_slot = (None if cfg.div_scheme_e == "linear" else
                    schemes_mod.weights_slot(mesh, phi_slot,
                                             cfg.div_scheme_e, T))
@@ -174,7 +174,7 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
         # RHS/Cp: dp/dt + kinetic-energy transport
         dKdt = jnp.zeros_like(K) if cfg.steady else \
             (rho * K - rho0 * K0) * rdt
-        Kb = K[mesh.owner[nif:]]
+        Kb = surface.owner_to_b(mesh, K)
         K_slot = slot_mod.interpolate(mesh, K, bv=Kb)
         div_phiK = slot_mod.surface_sum(
             mesh, slot_mod.SlotFace(phi_slot.sv * K_slot.sv,
@@ -196,7 +196,7 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
         psi = th.psi(T.data)
         rho = jnp.maximum(th.rho(p.data, T.data), cfg.rho_min)
         rho_slot = slot_mod.interpolate(mesh, rho,
-                                        bv=rho[mesh.owner[nif:]])
+                                        bv=surface.owner_to_b(mesh, rho))
 
         # -- pressure ----------------------------------------------------------
         # f32-critical: solve for the SHIFTED pressure p' = p - pRef.
@@ -213,7 +213,7 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
         p0_w = p0 - p_op
         rA = 1.0 / UEqn.A(mesh)
         rhorA = rho * rA
-        rra_b = rhorA[mesh.owner[nif:]]
+        rra_b = surface.owner_to_b(mesh, rhorA)
         rra_slot = slot_mod.interpolate(mesh, rhorA, bv=rra_b)
         rra_flat = slot_mod.to_flat(mesh, rra_slot)
         pEqn0 = fvm.laplacian(
@@ -232,7 +232,7 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
         for corr in range(n_corr):
             HbyA = rA[:, None] * UEqn.H(mesh, U.data)
             hba = slot_mod.flux_of(mesh, HbyA)  # volumetric
-            rho_bv = rho[mesh.owner[nif:]]
+            rho_bv = surface.owner_to_b(mesh, rho)
             phiHbyA_b = rho_bv * boundary_flux(mesh, U)
             phiHbyA = slot_mod.SlotFace(rho_slot.sv * hba.sv,
                                         rho_slot.fb * hba.fb, phiHbyA_b)
@@ -275,7 +275,7 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
                     # phiHbyA is then NOT in the source. Shifted form:
                     # div(phid (p'+p_op)) -> implicit div(phid,p') plus
                     # p_op*div(phid) moved to the RHS.
-                    psi_b = psi[mesh.owner[nif:]]
+                    psi_b = surface.owner_to_b(mesh, psi)
                     psi_slot = slot_mod.interpolate(mesh, psi, bv=psi_b)
                     phid = slot_mod.SlotFace(
                         psi_slot.sv * hba.sv, psi_slot.fb * hba.fb,
@@ -314,7 +314,7 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
                         mesh, rra_slot, p_w.data,
                         corrected=cfg.corrected and not mesh.orthogonal,
                         corr=corr_face)
-                    p_bcl = p_w.data[mesh.owner[nif:]]
+                    p_bcl = surface.owner_to_b(mesh, p_w.data)
                     F_b = pEqn0.ic * p_bcl - pEqn0.bc
                     if cfg.transonic:
                         # mass flux carried by the implicit convection:
@@ -359,7 +359,7 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
                 phi_slot.sv / rho_f_sv,
                 phi_slot.fb / jnp.maximum(rho_slot.fb, cfg.rho_min)
                 if mesh.fb_cells.shape[0] else phi_slot.fb,
-                phi_slot.bv / jnp.maximum(rho[mesh.owner[nif:]],
+                phi_slot.bv / jnp.maximum(surface.owner_to_b(mesh, rho),
                                           cfg.rho_min))
             phiv = slot_mod.to_flat(mesh, phiv_slot)
             new_turb, tdiag = cfg.turb.correct(
@@ -395,7 +395,7 @@ def initial_state(mesh, U: VolField, p: VolField, T: VolField, thermo,
                   turb_state: Optional[Dict] = None,
                   steady: bool = False) -> Dict:
     rho = thermo.rho(p.data, T.data)
-    rho_b = rho[mesh.owner[mesh.n_internal_faces:]]
+    rho_b = surface.owner_to_b(mesh, rho)
     rho_slot = slot_mod.interpolate(mesh, rho, bv=rho_b)
     uf = slot_mod.flux_of(mesh, U.data, bv=boundary_flux(mesh, U))
     phi_sl = slot_mod.SlotFace(rho_slot.sv * uf.sv, rho_slot.fb * uf.fb,

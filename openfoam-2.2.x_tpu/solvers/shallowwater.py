@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..core.dimensions import DimensionSet, dimless
 from ..core.fields import VolField
-from ..ops import fvc, fvm, schemes as schemes_mod, slot as slot_mod
+from ..ops import fvc, fvm, schemes as schemes_mod, slot as slot_mod, surface
 from . import linear
 from .buoyant import _sn_grad_slot
 from .piso import boundary_flux, needs_reference
@@ -74,7 +74,7 @@ def shallowwater_step(mesh, state: Dict, dt: Any,
     # Boundary part: hU_old extrapolated from owner cells.
     hba_old = slot_mod.flux_of(
         mesh, hU_old,
-        bv=jnp.einsum("fd,fd->f", mesh.sf[nif:], hU_old[mesh.owner[nif:]])
+        bv=jnp.einsum("fd,fd->f", mesh.sf[nif:], surface.owner_to_b(mesh, hU_old))
         * mesh.face_active[nif:])
     phi_old_slot = phi_slot
 
@@ -93,7 +93,7 @@ def shallowwater_step(mesh, state: Dict, dt: Any,
         final_outer = outer == cfg.n_outer - 1
         # velocity flux phiv = phi / interp(h)
         hf = slot_mod.interpolate(mesh, h.data,
-                                  bv=h.data[mesh.owner[nif:]])
+                                  bv=surface.owner_to_b(mesh, h.data))
         phiv = slot_mod.SlotFace(
             phi_slot.sv / jnp.maximum(hf.sv, cfg.h_min),
             phi_slot.fb / jnp.maximum(hf.fb, cfg.h_min)
@@ -108,7 +108,7 @@ def shallowwater_step(mesh, state: Dict, dt: Any,
                            slot_weights=w_slot))
         eta = fvc.grad_component(
             mesh, h.data + h0,
-            (h.data + h0)[mesh.owner[nif:]])   # grad(h + h0), zeroGrad
+            surface.owner_to_b(mesh, (h.data + h0)))   # grad(h + h0), zeroGrad
         src = -gmag * h.data[:, None] * eta
         if cfg.rotating:
             F = 2.0 * jnp.asarray(cfg.omega, mesh.v.dtype)
@@ -124,8 +124,8 @@ def shallowwater_step(mesh, state: Dict, dt: Any,
         rAU = 1.0 / hUEqn.A(mesh)
         hrAU = h.data * rAU
         ghrAUf_slot = slot_mod.interpolate(
-            mesh, gmag * hrAU, bv=(gmag * hrAU)[mesh.owner[nif:]])
-        sng_h0 = _sn_grad_slot(mesh, h0, h0[mesh.owner[nif:]])
+            mesh, gmag * hrAU, bv=surface.owner_to_b(mesh, (gmag * hrAU)))
+        sng_h0 = _sn_grad_slot(mesh, h0, surface.owner_to_b(mesh, h0))
         phih0 = slot_mod.SlotFace(
             ghrAUf_slot.sv * sng_h0.sv * mesh.st_magsf,
             (ghrAUf_slot.fb * sng_h0.fb * mesh.fb_magsf
@@ -134,7 +134,7 @@ def shallowwater_step(mesh, state: Dict, dt: Any,
             * mesh.mag_sf[nif:] * mesh.face_active[nif:])
 
         rAU_slot = slot_mod.interpolate(mesh, rAU,
-                                        bv=rAU[mesh.owner[nif:]])
+                                        bv=surface.owner_to_b(mesh, rAU))
         for corr in range(cfg.n_correctors):
             HbyA = rAU[:, None] * hUEqn.H(mesh, hU.data)
             hba = slot_mod.flux_of(mesh, HbyA)
@@ -166,14 +166,14 @@ def shallowwater_step(mesh, state: Dict, dt: Any,
                     F_h = slot_mod.laplacian_flux(
                         mesh, ghrAUf_slot, h.data, corrected=False,
                         corr=None)
-                    h_bc = h.data[mesh.owner[nif:]]
+                    h_bc = surface.owner_to_b(mesh, h.data)
                     F_b = hEqn0.ic * h_bc - hEqn0.bc
                     phi_slot = slot_mod.SlotFace(
                         phiHbyA.sv - F_h.sv, phiHbyA.fb - F_h.fb,
                         phiHbyA_b - F_b)
             # hU = HbyA - rAU g h grad(h + h0)
             eta = fvc.grad_component(
-                mesh, h.data + h0, (h.data + h0)[mesh.owner[nif:]])
+                mesh, h.data + h0, surface.owner_to_b(mesh, (h.data + h0)))
             hU = hU.with_data(
                 HbyA - (rAU * gmag * h.data)[:, None] * eta)
             hU = hU.correct_boundary_conditions(mesh)
@@ -196,7 +196,7 @@ def shallowwater_step(mesh, state: Dict, dt: Any,
 
 
 def initial_state(mesh, h: VolField, hU: VolField, h0) -> Dict:
-    hf = h.data[mesh.owner[mesh.n_internal_faces:]]
+    hf = surface.owner_to_b(mesh, h.data)
     phi = fvc.flux(mesh, hU)
     sl = slot_mod.from_flat(mesh, phi)
     return {"h": h, "hU": hU, "h0": jnp.asarray(h0, mesh.v.dtype),

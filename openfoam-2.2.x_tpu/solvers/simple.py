@@ -127,7 +127,7 @@ def simple_step(mesh, state: Dict, cfg: SimpleConfig) -> Tuple[Dict, Dict]:
     if closed:
         phiHbyA_b = adjust_phi(mesh, phiHbyA_b, U)
         phiHbyA = phiHbyA._replace(bv=phiHbyA_b)
-    rA_b = rA[mesh.owner[nif:]]
+    rA_b = surface.owner_to_b(mesh, rA)
     rAf_slot = slot_mod.interpolate(mesh, rA, bv=rA_b)
     rAf = slot_mod.to_flat(mesh, rAf_slot)
 
@@ -162,7 +162,7 @@ def simple_step(mesh, state: Dict, cfg: SimpleConfig) -> Tuple[Dict, Dict]:
         if nonorth == cfg.n_non_orth:
             F = slot_mod.laplacian_flux(mesh, rAf_slot, p.data,
                                         corrected=use_corr, corr=corr_face)
-            p_bc = p.data[mesh.owner[nif:]]
+            p_bc = surface.owner_to_b(mesh, p.data)
             F_b = pEqn.ic * p_bc - pEqn.bc
             phi_slot = slot_mod.SlotFace(
                 phiHbyA.sv - F.sv, phiHbyA.fb - F.fb, phiHbyA_b - F_b)

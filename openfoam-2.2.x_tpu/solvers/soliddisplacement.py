@@ -80,7 +80,7 @@ def _div_tensor(mesh, T):
     nC = T.shape[0]
     nif = mesh.n_internal_faces
     Tf_i = surface.interpolate_internal(mesh, T.reshape(nC, 9))
-    Tf_b = T.reshape(nC, 9)[mesh.owner[nif:]]
+    Tf_b = surface.owner_to_b(mesh, T.reshape(nC, 9))
     Tf = jnp.concatenate([Tf_i, Tf_b], axis=0).reshape(-1, 3, 3)
     Ff = jnp.einsum("fi,fij->fj", mesh.sf, Tf)
     Ff = Ff * mesh.face_active[:, None]
