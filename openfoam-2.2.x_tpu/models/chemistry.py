@@ -106,3 +106,83 @@ class ChemistryModel:
                                  rtol=rtol, atol=atol).y
 
         return jax.vmap(one)(c_field, T_field)
+
+
+# ---------------------------------------------------------------------------
+# foamChemistry-format mechanism reader
+# (reference: src/thermophysicalModels/reactionThermo/chemistryReaders/
+#  foamChemistryReader/ — `species (...)` + `reactions { ... }` dicts,
+#  thermo data from a thermo.compressibleGas-style dictionary)
+# ---------------------------------------------------------------------------
+
+_R_UNIV = 8314.47  # J/(kmol K)
+
+
+def parse_reaction(s: str) -> Tuple[List[Tuple[str, float]],
+                                    List[Tuple[str, float]]]:
+    """Parse a reaction equation string "CH4 + 2O2 = CO2 + 2H2O" into
+    (lhs, rhs) stoichiometric lists (reference: Reaction::setLRhs).
+    Coefficients may be real ("0.5O2"); "^" exponents are not
+    supported (documented deviation)."""
+    import re
+
+    def side(txt):
+        out = []
+        for term in txt.split("+"):
+            term = term.strip()
+            if not term:
+                continue
+            m = re.match(r"^([\d.]*)\s*([A-Za-z(][\w()\-+,*']*)$", term)
+            if not m:
+                raise ValueError(f"cannot parse reaction term {term!r}")
+            coef = float(m.group(1)) if m.group(1) else 1.0
+            out.append((m.group(2), coef))
+        return out
+
+    lhs_txt, rhs_txt = s.split("=")
+    return side(lhs_txt), side(rhs_txt)
+
+
+def _species_hf(entry) -> Tuple[float, float]:
+    """(molWeight, formation enthalpy [J/kmol]) from a species thermo
+    entry: janaf NASA-7 evaluated at Tstd=298.15 (reference:
+    janafThermo::Hc) or an hConst `Hf` [J/kg] entry."""
+    spec = entry.get("specie", {})
+    W = float(spec.get("molWeight", 28.96))
+    th = entry.get("thermodynamics", {})
+    if "Hf" in th:
+        return W, float(th["Hf"]) * W
+    lo = [float(x) for x in th.get("lowCpCoeffs", [])]
+    if len(lo) >= 6:
+        T = 298.15
+        h_RT = (lo[0] + lo[1] * T / 2 + lo[2] * T ** 2 / 3
+                + lo[3] * T ** 3 / 4 + lo[4] * T ** 4 / 5 + lo[5] / T)
+        return W, h_RT * _R_UNIV * T
+    return W, 0.0
+
+
+def from_foam_files(reactions_dict, thermo_dict=None):
+    """Build (ChemistryModel, W [nS]) from parsed `constant/reactions` +
+    `constant/thermo.compressibleGas` dictionaries."""
+    species = [str(s) for s in reactions_dict["species"]]
+    rxns = []
+    rsec = reactions_dict.get("reactions", {})
+    for name, spec in (rsec.items() if hasattr(rsec, "items") else []):
+        if not hasattr(spec, "get"):
+            continue
+        eq = str(spec.get("reaction", "")).strip().strip('"')
+        if not eq:
+            continue
+        lhs, rhs = parse_reaction(eq)
+        rxns.append({"lhs": lhs, "rhs": rhs,
+                     "A": float(spec.get("A", 1.0)),
+                     "beta": float(spec.get("beta", 0.0)),
+                     "Ta": float(spec.get("Ta", 0.0))})
+    W = np.full(len(species), 28.96)
+    hf = np.zeros(len(species))
+    if thermo_dict is not None:
+        for i, s in enumerate(species):
+            if s in thermo_dict:
+                W[i], hf[i] = _species_hf(thermo_dict[s])
+    model = ChemistryModel.build(species, rxns, hf=hf)
+    return model, W

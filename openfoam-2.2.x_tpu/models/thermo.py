@@ -110,7 +110,9 @@ def from_dict(d: FoamDict) -> PerfectGas:
         nums = [float(x) for x in mix if isinstance(x, (int, float))]
         if len(nums) >= 5:
             nmol, W, CpCv, Hf_or_mu = nums[0], nums[1], nums[2], nums[3]
-            R = 8314.47 / W * nmol
+            # R never scales with nMoles (reference: specie::R(); same
+            # fix as _janaf_from_mixture, ADVICE r2 #4)
+            R = 8314.47 / W
             Cv = CpCv - R if CpCv > R else CpCv
             if len(nums) >= 6:
                 mu, Pr = nums[4], nums[5]
@@ -155,10 +157,14 @@ class JanafGas:
 
     @property
     def Cp(self) -> float:
-        """Cp at 300 K (for code paths assuming a constant)."""
-        import numpy as _np
-
-        return float(_np.asarray(self.Cp_of(jnp.asarray(300.0))))
+        """Cp at 300 K (for code paths assuming a constant). Pure
+        host-side arithmetic — this property is reached from inside
+        jitted code (e.g. gamma/c for the Mach diagnostic), where a
+        float() of a jnp expression would fail on a tracer."""
+        T = 300.0
+        a = self.coeffs_low if T < self.T_common else self.coeffs_high
+        return self.R * (a[0] + T * (a[1] + T * (a[2] + T * (a[3]
+                                                             + T * a[4]))))
 
     @property
     def Cv(self) -> float:

@@ -71,3 +71,37 @@ def test_forwardstep_case(tmp_path_factory):
     pg = th.from_dict(case.properties("thermophysicalProperties"))
     np.testing.assert_allclose(pg.R, 0.714286, rtol=1e-4)
     np.testing.assert_allclose(pg.gamma, 1.4, rtol=1e-3)
+
+
+def test_counterflowflame_reactingfoam(tmp_path_factory):
+    """reactingFoam runs dictionary-driven from the counterFlowFlame2D
+    tutorial: foamChemistry mechanism + janaf species thermo + Yi
+    fields (reference: tutorials/combustion/reactingFoam/laminar/
+    counterFlowFlame2D)."""
+    dst = _setup(tmp_path_factory,
+                 ["combustion", "reactingFoam", "counterFlowFlame2D"])
+    from foamtpu.core.case import Case, run_case
+
+    case = run_case(dst, max_steps=3)
+    state = case.final_state
+    Y = np.asarray(state["Y"].data)
+    T = np.asarray(state["T"].data)
+    assert np.isfinite(Y).all() and np.isfinite(T).all()
+    assert Y.min() > -1e-6 and Y.max() < 1.0 + 1e-6
+    assert np.allclose(Y.sum(axis=1), 1.0, atol=1e-4)
+    assert T.min() > 200.0 and T.max() < 4000.0
+    # the mechanism parsed into one CH4 oxidation reaction
+    from foamtpu.models import chemistry as chem_mod
+
+    rx = case.properties("reactions")
+    thd = case.properties("thermo.compressibleGas")
+    chem, W = chem_mod.from_foam_files(rx, thd)
+    assert list(chem.species) == ["O2", "H2O", "CH4", "CO2", "N2"]
+    assert chem.lhs.shape == (1, 5)
+    i_ch4 = chem.species.index("CH4")
+    i_o2 = chem.species.index("O2")
+    assert float(chem.lhs[0, i_ch4]) == 1.0
+    assert float(chem.lhs[0, i_o2]) == 2.0
+    # janaf-derived formation enthalpies: CH4 ~ -74.9 MJ/kmol
+    assert abs(float(chem.hf[i_ch4]) / 1e6 + 74.9) < 3.0
+    assert abs(float(W[i_ch4]) - 16.04) < 0.1
