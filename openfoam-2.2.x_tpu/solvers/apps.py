@@ -1475,6 +1475,84 @@ def _has_solver(case, name) -> bool:
         return False
 
 
+def pimple_dym_foam(case, max_steps: Optional[int] = None) -> None:
+    """pimpleDyMFoam: transient incompressible flow on a moving mesh
+    (reference: applications/solvers/incompressible/pimpleFoam/
+    pimpleDyMFoam/). Motion from constant/dynamicMeshDict
+    solidBodyMotionFvMesh functions (linear / oscillatingLinear /
+    rotating). Laminar (documented deviation: no turbulence coupling on
+    the moving-mesh path yet)."""
+    from ..mesh import moving
+    from . import pimpledym as dym_mod
+
+    mesh = case.mesh
+    dmd = case.properties("dynamicMeshDict")
+    coeffs = dmd.get("solidBodyMotionFvMeshCoeffs", dmd)
+    fn = str(coeffs.get("solidBodyMotionFunction", "linearMotion"))
+    c = coeffs.get(fn + "Coeffs", FoamDict())
+
+    def vec(key, default=(0.0, 0.0, 0.0)):
+        v = c.get(key, default)
+        return tuple(float(q) for q in v)
+
+    def scal(key, default=1.0):
+        v = c.get(key, default)
+        if isinstance(v, (list, tuple)):
+            v = v[-1]
+        return float(v)
+
+    if fn == "oscillatingLinearMotion":
+        pts_fn, umesh_fn = moving.oscillating_linear_motion(
+            vec("amplitude"), scal("omega"))
+    elif fn == "rotatingMotion":
+        pts_fn, umesh_fn = moving.rotating_motion(
+            vec("origin"), vec("axis", (0.0, 0.0, 1.0)), scal("omega"))
+    elif fn == "linearMotion":
+        pts_fn, umesh_fn = moving.linear_motion(vec("velocity"))
+    else:
+        raise ValueError(f"unsupported solidBodyMotionFunction {fn!r}")
+
+    _, nu = dimensioned_scalar(case.transport_properties()["nu"])
+    cdict = case.pimple_controls("PIMPLE")
+    cfg = dym_mod.DyMConfig(
+        nu=nu, pts_fn=pts_fn, umesh_fn=umesh_fn,
+        n_correctors=int(cdict.get("nCorrectors", 2)),
+        n_non_orth=int(cdict.get("nNonOrthogonalCorrectors", 0)),
+        corrected=case.laplacian_corrected(),
+        div_scheme=case.div_scheme("div(phi,U)"),
+        p_ref_cell=int(cdict.get("pRefCell", 0)),
+        p_ref_value=float(cdict.get("pRefValue", 0.0)),
+        p_controls=case.solver_controls("p"),
+        u_controls=case.solver_controls("U"))
+    U = case.read_field("U")
+    p = case.read_field("p")
+    state = dym_mod.initial_state(case.poly_mesh, mesh, U, p, umesh_fn)
+    step = dym_mod.make_step(mesh, cfg)
+    log.info(f"Starting loop: pimpleDyMFoam ({fn}), "
+             f"{mesh.n_cells} cells\n")
+    cumulative = 0.0
+    t = case.time
+    max_iter = max(int(round((t.end_time - t.start_time) / t.delta_t)), 1)
+    if max_steps is not None:
+        max_iter = min(max_iter, max_steps)
+    dt = jnp.asarray(t.delta_t, mesh.v.dtype)
+
+    def write(state):
+        case.write_fields([state["U"], state["p"]])
+
+    while t.index < max_iter:
+        state, diag = step(state, dt)
+        t.index += 1
+        t.value = t.start_time + t.index * t.delta_t
+        t.current_dt = float(dt)
+        cumulative = _log_step(case, t, diag, cumulative)
+        if t.write_time():
+            write(state)
+    write(state)
+    log.info("End\n")
+    case.final_state = state
+
+
 def reacting_foam(case, max_steps: Optional[int] = None) -> None:
     """reactingFoam: compressible reacting flow with finite-rate
     laminar combustion (reference: applications/solvers/combustion/
@@ -1674,6 +1752,7 @@ case_mod.register_application("icoUncoupledKinematicParcelFoam",
                               ico_uncoupled_kinematic_parcel_foam)
 case_mod.register_application("uncoupledKinematicParcelFoam",
                               ico_uncoupled_kinematic_parcel_foam)
+case_mod.register_application("pimpleDyMFoam", pimple_dym_foam)
 case_mod.register_application("reactingFoam", reacting_foam)
 case_mod.register_application("rhoReactingFoam", reacting_foam)
 case_mod.register_application("scalarTransportFoam", scalar_transport_foam)

@@ -105,3 +105,21 @@ def test_counterflowflame_reactingfoam(tmp_path_factory):
     # janaf-derived formation enthalpies: CH4 ~ -74.9 MJ/kmol
     assert abs(float(chem.hf[i_ch4]) / 1e6 + 74.9) < 3.0
     assert abs(float(W[i_ch4]) - 16.04) < 0.1
+
+
+def test_oscillatingbox_pimpledymfoam(tmp_path_factory):
+    """pimpleDyMFoam runs dictionary-driven from constant/
+    dynamicMeshDict (solidBodyMotionFvMesh / oscillatingLinearMotion)
+    (reference: pimpleDyMFoam + dynamicMeshDict tutorials)."""
+    dst = _setup(tmp_path_factory,
+                 ["incompressible", "pimpleDyMFoam", "oscillatingBox"])
+    from foamtpu.core.case import Case, run_case
+
+    case = run_case(dst, max_steps=5)
+    state = case.final_state
+    u = np.asarray(state["U"].data)
+    assert np.isfinite(u).all()
+    # the mesh really moved: state points differ from points0
+    pts = np.asarray(state["points"])
+    pts0 = np.asarray(state["points0"])
+    assert np.abs(pts - pts0).max() > 1e-5
