@@ -25,6 +25,8 @@ def _case_arg(argv):
     ap.add_argument("-case", default=".")
     ap.add_argument("-steps", type=int, default=None)
     ap.add_argument("-time", default=None)
+    ap.add_argument("-parallel", action="store_true",
+                    help="shard the case over all local devices (GSPMD)")
     return ap.parse_args(argv)
 
 
@@ -64,7 +66,8 @@ def run(argv) -> int:
     args = _case_arg(argv)
     from ..core.case import run_case
 
-    run_case(args.case, max_steps=args.steps)
+    run_case(args.case, max_steps=args.steps,
+             parallel=getattr(args, "parallel", False))
     return 0
 
 

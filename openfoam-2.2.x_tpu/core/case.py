@@ -64,6 +64,30 @@ class Case:
             self._mesh = to_device(self.poly_mesh)
         return self._mesh
 
+    def request_parallel(self, n_devices: Optional[int] = None) -> None:
+        """`run -parallel`: shard the mesh over the local device mesh
+        (GSPMD). The reference's decomposePar/processor<i> pipeline
+        collapses to a NamedSharding of the global padded arrays
+        (SURVEY.md §2b); solver state picks up the sharding through
+        XLA propagation on the first step. numberOfSubdomains from
+        system/decomposeParDict caps the device count when present."""
+        import jax
+
+        from ..parallel import gspmd
+
+        n = n_devices
+        dd = os.path.join(self.dir, "system", "decomposeParDict")
+        if n is None and os.path.exists(dd):
+            n = int(parse_file(dd).get("numberOfSubdomains", 0)) or None
+        n = min(n or len(jax.devices()), len(jax.devices()))
+        jmesh = gspmd.space_mesh(n)
+        m = self.mesh
+        self._mesh = gspmd.shard_pytree(m, jmesh, m.n_cells, m.n_faces)
+        self.jmesh = jmesh
+        from ..utils import logging as log
+
+        log.info(f"Parallel: GSPMD sharding over {n} device(s)\n")
+
     # -- dictionaries -----------------------------------------------------------
     def transport_properties(self) -> FoamDict:
         return parse_file(self.const_path("transportProperties"))
@@ -196,7 +220,8 @@ def register_application(name: str, fn: Callable) -> None:
     _APPLICATIONS[name] = fn
 
 
-def run_case(case_dir: str, max_steps: Optional[int] = None) -> Case:
+def run_case(case_dir: str, max_steps: Optional[int] = None,
+             parallel: bool = False) -> Case:
     case = Case(case_dir)
     app = case.application
     # lazy-register bundled solvers
@@ -206,5 +231,7 @@ def run_case(case_dir: str, max_steps: Optional[int] = None) -> Case:
         raise ValueError(
             f"unknown application {app!r}; available: {sorted(_APPLICATIONS)}"
         )
+    if parallel:
+        case.request_parallel()
     _APPLICATIONS[app](case, max_steps=max_steps)
     return case

@@ -49,7 +49,12 @@ def _sharded_body(n_dev: int) -> None:
     from foamtpu.solvers import piso
 
     n = int(os.environ.get("SCALE_N", "48"))
-    mesh, state, cfg = make_cavity(n, three_d=True)
+    # production pressure path: sharded GAMG (reshape transfers +
+    # dense coarse solve) — the multigrid hierarchy must run under the
+    # sharded cell axis, not just PCG (VERDICT r2 weak #5/#6)
+    mesh, state, cfg = make_cavity(n, three_d=True, p_solver={
+        "solver": "GAMG", "preconditioner": "polynomial",
+        "tolerance": 1e-7, "relTol": 0.01, "maxIter": 500})
     # cut statistics: (a) the contiguous-block split GSPMD actually
     # shards (array order = blockMesh order, z-major slabs), (b) the
     # RCB decomposition renumber_for would relabel to
