@@ -79,8 +79,6 @@ def limiter(mesh, psi: Any, phi_bd: Any, phi_corr: Any, dt: Any,
         )
         # boundary: limit by the owner cell only (compact owner
         # extrapolation — empty faces carry zero corr anyway)
-        from . import surface
-
         c_b = corr[nif:]
         lam_b = jnp.where(c_b >= 0, surface.owner_to_b(mesh, r_out),
                           surface.owner_to_b(mesh, r_in))

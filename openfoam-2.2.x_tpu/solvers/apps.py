@@ -1475,6 +1475,86 @@ def _has_solver(case, name) -> bool:
         return False
 
 
+def compressible_inter_foam(case, max_steps: Optional[int] = None) -> None:
+    """compressibleInterFoam: two compressible phases + MULES VOF
+    (reference: applications/solvers/multiphase/compressibleInterFoam/).
+    Phase EOS from constant/thermophysicalProperties `phase1`
+    (perfectGas: R, Cv, nu) / `phase2` (perfectFluid: R, rho0, Cv, nu);
+    sigma + g from constant/{transportProperties,g}."""
+    from . import compressibleinter as ci_mod
+
+    mesh = case.mesh
+    th = case.properties("thermophysicalProperties")
+    ph1 = th.get("phase1", FoamDict())
+    ph2 = th.get("phase2", FoamDict())
+    tp = case.transport_properties()
+    _, sigma = dimensioned_scalar(tp.get("sigma", 0.07))
+    gvec = _read_gravity(case)
+    cdict = case.pimple_controls("PIMPLE")
+    cfg = ci_mod.CompIntConfig(
+        R1=_dim_scalar_of(ph1, "R", 287.0),
+        R2=_dim_scalar_of(ph2, "R", 3000.0),
+        rho0_2=_dim_scalar_of(ph2, "rho0", 1000.0),
+        nu1=_dim_scalar_of(ph1, "nu", 1.5e-5),
+        nu2=_dim_scalar_of(ph2, "nu", 1e-6),
+        Cv1=_dim_scalar_of(ph1, "Cv", 718.0),
+        Cv2=_dim_scalar_of(ph2, "Cv", 4186.0),
+        sigma=sigma, g=gvec,
+        c_alpha=float(cdict.get("cAlpha", 1.0)),
+        n_alpha_subcycles=int(cdict.get("nAlphaSubCycles", 1)),
+        n_correctors=int(cdict.get("nCorrectors", 3)),
+        n_non_orth=int(cdict.get("nNonOrthogonalCorrectors", 0)),
+        corrected=case.laplacian_corrected(),
+        p_min=float(th.get("pMin", [0, 1000.0])[-1]
+                    if isinstance(th.get("pMin"), (list, tuple))
+                    else th.get("pMin", 1000.0)),
+        p_controls=case.solver_controls("p_rgh")
+        if _has_solver(case, "p_rgh") else case.solver_controls("p"),
+        u_controls=case.solver_controls("U"),
+        t_controls=case.solver_controls("T") if _has_solver(case, "T")
+        else None,
+    )
+    U = case.read_field("U")
+    p_rgh = case.read_field("p_rgh")
+    T = case.read_field("T")
+    try:
+        alpha = case.read_field("alpha1")
+    except Exception:
+        alpha = case.read_field("alpha")
+    state = ci_mod.initial_state(mesh, U, p_rgh, T, alpha, cfg)
+    step = ci_mod.make_step(mesh, cfg)
+    log.info(f"Starting loop: compressibleInterFoam, "
+             f"{mesh.n_cells} cells\n")
+    cumulative = 0.0
+    t = case.time
+    max_iter = max(int(round((t.end_time - t.start_time) / t.delta_t)), 1)
+    if max_steps is not None:
+        max_iter = min(max_iter, max_steps)
+    dt = jnp.asarray(t.delta_t, mesh.v.dtype)
+
+    def write(state):
+        case.write_fields([state["U"], state["p_rgh"], state["T"],
+                           state["alpha"]])
+
+    while t.index < max_iter:
+        state, diag = step(state, dt)
+        t.index += 1
+        t.value = t.start_time + t.index * t.delta_t
+        t.current_dt = float(dt)
+        log.info(f"Time = {t.name}\n")
+        log.info(
+            "Phase-1 volume fraction = "
+            f"{float(jnp.mean(state['alpha'].data)):.6g}  "
+            f"Min(alpha1) = {float(diag['alpha_min']):.6g}  "
+            f"Max(alpha1) = {float(diag['alpha_max']):.6g}\n")
+        cumulative = _log_step(case, t, diag, cumulative)
+        if t.write_time():
+            write(state)
+    write(state)
+    log.info("End\n")
+    case.final_state = state
+
+
 def pimple_dym_foam(case, max_steps: Optional[int] = None) -> None:
     """pimpleDyMFoam: transient incompressible flow on a moving mesh
     (reference: applications/solvers/incompressible/pimpleFoam/
@@ -1753,6 +1833,8 @@ case_mod.register_application("icoUncoupledKinematicParcelFoam",
 case_mod.register_application("uncoupledKinematicParcelFoam",
                               ico_uncoupled_kinematic_parcel_foam)
 case_mod.register_application("pimpleDyMFoam", pimple_dym_foam)
+case_mod.register_application("compressibleInterFoam",
+                              compressible_inter_foam)
 case_mod.register_application("reactingFoam", reacting_foam)
 case_mod.register_application("rhoReactingFoam", reacting_foam)
 case_mod.register_application("scalarTransportFoam", scalar_transport_foam)

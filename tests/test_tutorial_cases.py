@@ -123,3 +123,22 @@ def test_oscillatingbox_pimpledymfoam(tmp_path_factory):
     pts = np.asarray(state["points"])
     pts0 = np.asarray(state["points0"])
     assert np.abs(pts - pts0).max() > 1e-5
+
+
+def test_depthcharge2d_compressibleinterfoam(tmp_path_factory):
+    """compressibleInterFoam runs dictionary-driven from the
+    depthCharge2D tutorial (reference: tutorials/multiphase/
+    compressibleInterFoam/laminar/depthCharge2D)."""
+    dst = _setup(tmp_path_factory,
+                 ["multiphase", "compressibleInterFoam", "depthCharge2D"],
+                 steps_cmds=["setFields"])
+    from foamtpu.core.case import run_case
+
+    case = run_case(dst, max_steps=5)
+    state = case.final_state
+    a = np.asarray(state["alpha"].data)
+    p = np.asarray(state["p_abs"])
+    assert np.isfinite(a).all() and np.isfinite(p).all()
+    assert a.min() > -1e-4 and a.max() < 1.0 + 1e-4
+    # the charge is over-pressurised and the far field is still ambient
+    assert p.max() > 2e5 and p.min() < 2e5
