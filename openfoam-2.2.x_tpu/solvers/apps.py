@@ -1475,6 +1475,71 @@ def _has_solver(case, name) -> bool:
         return False
 
 
+def two_phase_euler_foam(case, max_steps: Optional[int] = None) -> None:
+    """twoPhaseEulerFoam: Euler-Euler two-phase flow with drag
+    coupling (reference: applications/solvers/multiphase/
+    twoPhaseEulerFoam/). Phase properties from constant/
+    transportProperties `phasea`/`phaseb` entries (rho, nu, d);
+    Schiller-Naumann drag (constant/interfacialProperties is accepted
+    but only SchillerNaumann is implemented — documented)."""
+    from . import twophaseeuler as tpe_mod
+
+    mesh = case.mesh
+    tp = case.transport_properties()
+    pa = tp.get("phasea", tp.get("phase1", FoamDict()))
+    pb = tp.get("phaseb", tp.get("phase2", FoamDict()))
+    cdict = case.pimple_controls("PIMPLE")
+    cfg = tpe_mod.TwoPhaseConfig(
+        rhoa=_dim_scalar_of(pa, "rho", 1.2),
+        rhob=_dim_scalar_of(pb, "rho", 1000.0),
+        nua=_dim_scalar_of(pa, "nu", 1.5e-5),
+        nub=_dim_scalar_of(pb, "nu", 1e-6),
+        d_a=_dim_scalar_of(pa, "d", 3e-3),
+        g=_read_gravity(case),
+        n_correctors=int(cdict.get("nCorrectors", 2)),
+        n_non_orth=int(cdict.get("nNonOrthogonalCorrectors", 0)),
+        corrected=case.laplacian_corrected(),
+        p_ref_cell=int(cdict.get("pRefCell", 0)),
+        p_ref_value=float(cdict.get("pRefValue", 0.0)),
+        p_controls=case.solver_controls("p"),
+        u_controls=case.solver_controls("U")
+        if _has_solver(case, "U") else case.solver_controls("Ua"),
+    )
+    Ua = case.read_field("Ua")
+    Ub = case.read_field("Ub")
+    p = case.read_field("p")
+    alpha = case.read_field("alpha")
+    state = tpe_mod.initial_state(mesh, Ua, Ub, p, alpha)
+    step = tpe_mod.make_step(mesh, cfg)
+    log.info(f"Starting loop: twoPhaseEulerFoam, {mesh.n_cells} cells\n")
+    cumulative = 0.0
+    t = case.time
+    max_iter = max(int(round((t.end_time - t.start_time) / t.delta_t)), 1)
+    if max_steps is not None:
+        max_iter = min(max_iter, max_steps)
+    dt = jnp.asarray(t.delta_t, mesh.v.dtype)
+
+    def write(state):
+        case.write_fields([state["Ua"], state["Ub"], state["p"],
+                           state["alpha"]])
+
+    while t.index < max_iter:
+        state, diag = step(state, dt)
+        t.index += 1
+        t.value = t.start_time + t.index * t.delta_t
+        t.current_dt = float(dt)
+        log.info(f"Time = {t.name}\n")
+        log.info(
+            f"Min(alpha) = {float(diag['alpha_min']):.6g}  "
+            f"Max(alpha) = {float(diag['alpha_max']):.6g}\n")
+        cumulative = _log_step(case, t, diag, cumulative)
+        if t.write_time():
+            write(state)
+    write(state)
+    log.info("End\n")
+    case.final_state = state
+
+
 def compressible_inter_foam(case, max_steps: Optional[int] = None) -> None:
     """compressibleInterFoam: two compressible phases + MULES VOF
     (reference: applications/solvers/multiphase/compressibleInterFoam/).
@@ -1835,6 +1900,8 @@ case_mod.register_application("uncoupledKinematicParcelFoam",
 case_mod.register_application("pimpleDyMFoam", pimple_dym_foam)
 case_mod.register_application("compressibleInterFoam",
                               compressible_inter_foam)
+case_mod.register_application("twoPhaseEulerFoam", two_phase_euler_foam)
+case_mod.register_application("bubbleFoam", two_phase_euler_foam)
 case_mod.register_application("reactingFoam", reacting_foam)
 case_mod.register_application("rhoReactingFoam", reacting_foam)
 case_mod.register_application("scalarTransportFoam", scalar_transport_foam)

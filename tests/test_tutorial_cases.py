@@ -142,3 +142,26 @@ def test_depthcharge2d_compressibleinterfoam(tmp_path_factory):
     assert a.min() > -1e-4 and a.max() < 1.0 + 1e-4
     # the charge is over-pressurised and the far field is still ambient
     assert p.max() > 2e5 and p.min() < 2e5
+
+
+def test_bubblecolumn_twophaseeulerfoam(tmp_path_factory):
+    """twoPhaseEulerFoam runs dictionary-driven from the bubbleColumn
+    tutorial: air injected at the bottom of a water column rises
+    (reference: tutorials/multiphase/twoPhaseEulerFoam/bubbleColumn)."""
+    dst = _setup(tmp_path_factory,
+                 ["multiphase", "twoPhaseEulerFoam", "bubbleColumn"])
+    from foamtpu.core.case import run_case
+
+    case = run_case(dst, max_steps=50)
+    state = case.final_state
+    a = np.asarray(state["alpha"].data)
+    ua = np.asarray(state["Ua"].data)
+    assert np.isfinite(a).all() and np.isfinite(ua).all()
+    assert a.min() > -1e-5 and a.max() < 1.0 + 1e-5
+    # air entered at the bottom and is rising
+    assert a.max() > 0.05
+    c = np.asarray(case.mesh.c)
+    low = c[:, 1] < 0.2
+    assert a[low].max() > 0.05
+    sel = a > 0.01
+    assert ua[sel, 1].mean() > 0.01
