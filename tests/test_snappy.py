@@ -181,3 +181,94 @@ castellatedMeshControls
     out = mesh_io.read(case + "/constant/polyMesh")
     assert out.n_cells < 12 ** 3
     assert any(p.name == "obstacle" for p in out.patches)
+
+
+def _sphere_tris(center, r, n_theta=12, n_phi=24):
+    """UV-sphere triangulation (non-axis-aligned geometry for the
+    refine/snap tests)."""
+    cx, cy, cz = center
+    th = np.linspace(0, np.pi, n_theta + 1)
+    ph = np.linspace(0, 2 * np.pi, n_phi + 1)
+    tris = []
+    for i in range(n_theta):
+        for j in range(n_phi):
+            p = []
+            for (a, b) in ((th[i], ph[j]), (th[i + 1], ph[j]),
+                           (th[i + 1], ph[j + 1]), (th[i], ph[j + 1])):
+                p.append([cx + r * np.sin(a) * np.cos(b),
+                          cy + r * np.sin(a) * np.sin(b),
+                          cz + r * np.cos(a)])
+            if i > 0:
+                tris.append([p[0], p[1], p[2]])
+            if i < n_theta - 1:
+                tris.append([p[0], p[2], p[3]])
+    return np.asarray(tris)
+
+
+def test_octree_refine_and_snap_sphere():
+    """Octree refinement around a sphere + castellate + snap: the
+    refined mesh passes checkMesh, has more cells near the body, and
+    snapping pulls the staircase body patch onto the sphere (max point
+    distance to the surface << the fine cell size, and the carved
+    volume approaches the exact sphere volume)."""
+    from foamtpu.core.dictionary import parse_string
+    from foamtpu.mesh import blockmesh
+    from foamtpu.mesh.check import check
+
+    pm = blockmesh.generate(parse_string("""
+convertToMeters 1;
+vertices ( (0 0 0) (1 0 0) (1 1 0) (0 1 0)
+           (0 0 1) (1 0 1) (1 1 1) (0 1 1) );
+blocks ( hex (0 1 2 3 4 5 6 7) (8 8 8) simpleGrading (1 1 1) );
+boundary (
+  inlet  { type patch; faces ((0 4 7 3)); }
+  outlet { type patch; faces ((2 6 5 1)); }
+  walls  { type wall; faces ((1 5 4 0) (3 7 6 2) (0 3 2 1) (4 5 6 7)); }
+);
+"""))
+    tris = _sphere_tris((0.5, 0.5, 0.5), 0.25)
+    box = snappy._background_box(pm)
+    assert box is not None
+    bb_min, bb_max, base_n, side_patches, two_d = box
+    assert base_n == (8, 8, 8) and not two_d
+    assert side_patches["x-"][0] == "inlet"
+    assert side_patches["x+"][0] == "outlet"
+
+    leaves = snappy.octree_refine(bb_min, bb_max, base_n, tris, 2)
+    levels = {c[0] for c in leaves}
+    assert levels == {0, 1, 2}
+    # 2:1 balance: no leaf has a face-neighbour 2+ levels finer
+    ref = snappy.octree_mesh(bb_min, bb_max, base_n, leaves,
+                             side_patches)
+    assert ref.n_cells == len(leaves)
+    check(ref, verbose=False)
+    # volume conserved by refinement
+    assert abs(ref.v.sum() - 1.0) < 1e-9
+
+    out = snappy.castellate(ref, tris, (0.02, 0.02, 0.02))
+    check(out, verbose=False)
+    body = out.patch("body")
+    assert body.size > 0
+
+    snapped = snappy.snap(out, tris, "body", n_iter=6)
+    check(snapped, verbose=False)
+    # body points sit on the sphere: |r - 0.25| small vs fine cell 1/32
+    b = snapped.patch("body")
+    valid = (np.arange(snapped.face_pts.shape[1])[None, :]
+             < snapped.face_npts[b.slice][:, None]) \
+        & (snapped.face_pts[b.slice] >= 0)
+    pids = np.unique(snapped.face_pts[b.slice][valid])
+    r = np.linalg.norm(snapped.points[pids] - 0.5, axis=1)
+    # quality-guarded (frozen) fringe points may stay at their
+    # castellated position, bounded by the fine cell size 1/32;
+    # the bulk of the patch sits on the faceted sphere (chord error
+    # ~0.009)
+    assert np.abs(r - 0.25).max() < 1.0 / 32.0
+    assert np.abs(r - 0.25).mean() < 0.006
+    # carved volume close to box - sphere (castellated-only is much
+    # farther off at this resolution)
+    vol_exact = 1.0 - 4.0 / 3.0 * np.pi * 0.25 ** 3
+    assert abs(snapped.v.sum() - vol_exact) / vol_exact < 0.02
+    # and snapping genuinely moved the boundary (staircase was worse)
+    assert np.abs(np.linalg.norm(out.points[pids] - 0.5, axis=1)
+                  - 0.25).max() > 0.02
