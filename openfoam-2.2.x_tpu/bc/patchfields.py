@@ -138,6 +138,25 @@ def _vc_calculated(bc, mesh, patch, vi):
     return jnp.zeros_like(vi), rv
 
 
+def ami_values(mesh, internal):
+    """cyclicAMI interpolated values on ALL boundary faces [nBf,(C)]:
+    sum_j w_ij psi_own(Bj) on AMI faces, zero elsewhere
+    (reference: cyclicAMIFvPatchField::patchNeighbourField)."""
+    nbf = mesh.n_faces - mesh.n_internal_faces
+    src = internal[mesh.ami_entry_cell]
+    w = mesh.ami_entry_w
+    contrib = (w[:, None] * src) if internal.ndim == 2 else w * src
+    out = jnp.zeros((nbf,) + internal.shape[1:], internal.dtype)
+    return out.at[mesh.ami_entry_face].add(contrib)
+
+
+def _ami_patch_values(mesh, patch, internal):
+    """AMI-interpolated values for one patch [size,(C)]."""
+    nif = mesh.n_internal_faces
+    return ami_values(mesh, internal)[patch.start - nif:
+                                      patch.start - nif + patch.size]
+
+
 def _vc_symmetry(bc, mesh, patch, vi):
     if vi.ndim == 1:  # scalar: zero gradient
         return jnp.ones_like(vi), jnp.zeros_like(vi)
@@ -195,6 +214,17 @@ def _empty_shape(patch, internal):
 
 
 def value_coeffs(bc: PatchField, mesh, patch, internal) -> Tuple[Any, Any]:
+    if bc.kind == "cyclicAMI":
+        # explicit coupled face VALUE: distance-weighted blend of the
+        # own cell and the AMI-interpolated neighbour cells (reference:
+        # cyclicAMIFvPatchField::evaluate); implicit diffusion coupling
+        # is carried by the matrix ami_coef + the solver matvec term
+        vb = _ami_patch_values(mesh, patch, internal)
+        nif = mesh.n_internal_faces
+        w = mesh.ami_wown[patch.start - nif:
+                          patch.start - nif + patch.size]
+        w = w[:, None] if vb.ndim == 2 else w
+        return jnp.broadcast_to(w, vb.shape), (1.0 - w) * vb
     if bc.kind == "empty":
         # empty patches carry 2*nC faces on 2D cases and every consumer
         # masks them out (face_active / compact ab_* scatter) — skip the
@@ -210,6 +240,12 @@ def grad_coeffs(bc: PatchField, mesh, patch, internal) -> Tuple[Any, Any]:
     if bc.kind == "empty":
         z = jnp.zeros(_empty_shape(patch, internal), internal.dtype)
         return z, z
+    if bc.kind == "cyclicAMI":
+        vi = _patch_internal(mesh, patch, internal)
+        vb = _ami_patch_values(mesh, patch, internal)
+        dc = _col(_patch_delta(mesh, patch), vi)
+        return jnp.broadcast_to(-dc, vi.shape), \
+            jnp.broadcast_to(dc * vb, vi.shape)
     vi = _patch_internal(mesh, patch, internal)
     vic, vbc = _VALUE_COEFFS[bc.kind](bc, mesh, patch, vi)
     dc = _col(_patch_delta(mesh, patch), vi)
@@ -218,6 +254,14 @@ def grad_coeffs(bc: PatchField, mesh, patch, internal) -> Tuple[Any, Any]:
 
 
 def evaluate(bc: PatchField, mesh, patch, internal) -> Any:
+    if bc.kind == "cyclicAMI":
+        vb = _ami_patch_values(mesh, patch, internal)
+        vi = _patch_internal(mesh, patch, internal)
+        nif = mesh.n_internal_faces
+        w = mesh.ami_wown[patch.start - nif:
+                          patch.start - nif + patch.size]
+        w = w[:, None] if vb.ndim == 2 else w
+        return w * vi + (1.0 - w) * vb
     if bc.kind == "empty":
         # face values on empty patches are never consumed (face_active
         # masks / compact ab_* indexing skip them): zeros, no gather
@@ -357,7 +401,8 @@ def shift_value_bcs(bcs, delta) -> Tuple[PatchField, ...]:
     out = []
     for bc in bcs:
         if bc.kind in ("zeroGradient", "fixedGradient", "empty",
-                       "symmetry", "symmetryPlane", "wedge", "slip"):
+                       "symmetry", "symmetryPlane", "wedge", "slip",
+                       "cyclicAMI"):
             out.append(bc)
         else:
             out.append(bc.replace(ref_value=bc.ref_value + delta))
@@ -386,7 +431,8 @@ def default_bcs(mesh, rank: int) -> Tuple[PatchField, ...]:
     for p in mesh.patches:
         if p.type == "empty":
             out.append(PatchField(kind="empty", vfrac=0.0))
-        elif p.type in ("symmetryPlane", "symmetry", "wedge"):
+        elif p.type in ("symmetryPlane", "symmetry", "wedge",
+                        "cyclicAMI"):
             out.append(PatchField(kind=p.type, vfrac=0.0))
         else:
             out.append(zero_gradient())

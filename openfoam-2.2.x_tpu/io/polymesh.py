@@ -105,6 +105,17 @@ def read(mesh_dir: str) -> PolyMesh:
         name = str(items[i])
         spec = items[i + 1]
         if isinstance(spec, FoamDict):
+            extras = []
+            for key in ("transform", "rotationAxis", "rotationCentre",
+                        "separationVector"):
+                if key in spec:
+                    val = spec[key]
+                    if isinstance(val, (list, tuple)) or hasattr(
+                            val, "tolist"):
+                        val = " ".join(str(float(x)) for x in
+                                       (val.tolist() if hasattr(
+                                           val, "tolist") else val))
+                    extras.append((key, str(val)))
             patches.append(
                 Patch(
                     name=name,
@@ -114,6 +125,7 @@ def read(mesh_dir: str) -> PolyMesh:
                     neighbour_patch=(
                         str(spec["neighbourPatch"]) if "neighbourPatch" in spec else None
                     ),
+                    attrs=tuple(extras),
                 )
             )
             i += 2

@@ -46,6 +46,7 @@ PATCH_TYPES = (
     "wedge",
     "processor",
     "mappedWall",
+    "cyclicAMI",
 )
 
 
@@ -57,8 +58,16 @@ class Patch:
     type: str
     start: int
     size: int
-    # for cyclic patches: name of the coupled partner
+    # for cyclic/cyclicAMI patches: name of the coupled partner
     neighbour_patch: Optional[str] = None
+    # static extras (cyclicAMI transform etc.) as hashable pairs
+    attrs: Tuple[Tuple[str, str], ...] = ()
+
+    def attr(self, key: str, default=None):
+        for k, v in self.attrs:
+            if k == key:
+                return v
+        return default
 
     @property
     def slice(self) -> slice:
@@ -575,6 +584,16 @@ class FvMesh:
     ab_owner: Any      # [nAB] int32 owner cells
     ab_sf: Any         # [nAB,3] outward face area vectors
 
+    # cyclicAMI interpolation tables (mesh/ami.py): COO entries
+    # face-of-A <- owner-cell-of-B with normalised overlap weights;
+    # empty arrays when the mesh has no AMI interfaces
+    ami_entry_face: Any   # [nE] int32 boundary-relative receiving face
+    ami_entry_row: Any    # [nE] int32 owner cell of receiving face
+    ami_entry_cell: Any   # [nE] int32 source owner cell
+    ami_entry_w: Any      # [nE]
+    ami_mask: Any         # [nBf] 1.0 on cyclicAMI faces
+    ami_wown: Any         # [nBf] own-side blend weight (1 off AMI)
+
     # static metadata
     st_deltas: Tuple[int, ...] = _static()
     n_cells: int = _static()
@@ -587,6 +606,7 @@ class FvMesh:
     # entirely at trace time (it is identically zero — reference:
     # orthogonal meshes take the uncorrected path for free)
     orthogonal: bool = _static(default=False)
+    has_ami: bool = _static(default=False)
 
     @property
     def n_boundary_faces(self) -> int:
@@ -691,6 +711,32 @@ def to_device(mesh: PolyMesh) -> FvMesh:
     ab_owner = mesh.owner[nif:][ab_rel]
     ab_sf = mesh.sf[nif:][ab_rel]
 
+    # cyclicAMI interpolation tables
+    from . import ami as ami_mod
+
+    ami = ami_mod.build(mesh)
+    dcs_all = mesh.delta_coeffs
+    nodcs_all = mesh.non_orth_delta_coeffs
+    if ami is None:
+        nbf_ = mesh.n_faces - nif
+        ami_ef = np.zeros(0, dtype=np.int64)
+        ami_er = np.zeros(0, dtype=np.int64)
+        ami_ec = np.zeros(0, dtype=np.int64)
+        ami_ew = np.zeros(0)
+        ami_mask = np.zeros(nbf_)
+        ami_wown = np.ones(nbf_)
+    else:
+        ami_ef, ami_er = ami.entry_face, ami.entry_row
+        ami_ec, ami_ew = ami.entry_cell, ami.entry_w
+        ami_mask = ami.face_mask
+        ami_wown = ami.w_own
+        # coupled faces carry the two-sided (cell-to-cell) delta
+        dcs_all = dcs_all.copy()
+        nodcs_all = nodcs_all.copy()
+        on = ami.face_mask > 0
+        dcs_all[nif:][on] = ami.dc_eff[on]
+        nodcs_all[nif:][on] = ami.dc_eff[on]
+
     def farr(a):
         return np.asarray(a, dtype=sdt)
 
@@ -704,8 +750,8 @@ def to_device(mesh: PolyMesh) -> FvMesh:
         c=farr(mesh.c),
         v=farr(mesh.v),
         weights=farr(mesh.weights),
-        delta_coeffs=farr(mesh.delta_coeffs),
-        non_orth_delta_coeffs=farr(mesh.non_orth_delta_coeffs),
+        delta_coeffs=farr(dcs_all),
+        non_orth_delta_coeffs=farr(nodcs_all),
         correction_vecs=farr(mesh.correction_vecs),
         face_active=face_active,
         owner=iarr(mesh.owner),
@@ -744,6 +790,12 @@ def to_device(mesh: PolyMesh) -> FvMesh:
         ab_rel=iarr(ab_rel),
         ab_owner=iarr(ab_owner),
         ab_sf=farr(ab_sf),
+        ami_entry_face=iarr(ami_ef),
+        ami_entry_row=iarr(ami_er),
+        ami_entry_cell=iarr(ami_ec),
+        ami_entry_w=farr(ami_ew),
+        ami_mask=farr(ami_mask),
+        ami_wown=farr(ami_wown),
         st_deltas=tabs["st_deltas"],
         n_cells=mesh.n_cells,
         n_faces=mesh.n_faces,
@@ -751,5 +803,6 @@ def to_device(mesh: PolyMesh) -> FvMesh:
         max_faces=int(tabs["max_faces"]),
         patches=tuple(mesh.patches),
         orthogonal=orthogonal,
+        has_ami=ami is not None,
     )
     return jax.device_put(fv)

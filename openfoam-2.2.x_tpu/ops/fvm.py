@@ -329,7 +329,25 @@ def laplacian(
 
     gb = gamma_f * mesh.mag_sf * act
     ics, bcs = [], []
+    ami_coef = None
     for p, bc in zip(mesh.patches, field.bcs):
+        if bc.kind == "cyclicAMI":
+            # IMPLICIT coupled-interface diffusion: own side on the
+            # diagonal here, the interpolated-neighbour off-diagonal
+            # rides the matrix ami_coef through every matvec
+            # (reference: cyclicAMIFvPatchField::updateInterfaceMatrix)
+            dcp = dc[p.slice]
+            gbp = _colv(gb[p.slice], field.data)
+            dcp_c = _colv(dcp, field.data)
+            shape = (p.size,) + field.data.shape[1:]
+            ics.append(jnp.broadcast_to(gbp * (-dcp_c), shape))
+            bcs.append(jnp.zeros(shape, diag.dtype))
+            if ami_coef is None:
+                ami_coef = jnp.zeros(mesh.n_faces - nif, diag.dtype)
+            rel = p.start - nif
+            ami_coef = ami_coef.at[rel:rel + p.size].set(
+                (gb * dc)[p.slice])
+            continue
         gic, gbc = pf.grad_coeffs(bc, mesh, p, field.data)
         gbp = _colv(gb[p.slice], field.data)
         ics.append(gbp * gic)
@@ -343,7 +361,8 @@ def laplacian(
     dims = gdims * field.dims * dimLength
     return FvMatrix(
         diag=diag, lower=lower, upper=upper, source=src, ic=ic, bc=bcc,
-        fcorr=fcorr, soff=soff, sfb=sfb, dims=dims, symmetric=True,
+        fcorr=fcorr, soff=soff, sfb=sfb, ami_coef=ami_coef, dims=dims,
+        symmetric=True,
     )
 
 

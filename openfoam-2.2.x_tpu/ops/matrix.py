@@ -64,6 +64,11 @@ class FvMatrix:
     # slot-form inputs.
     soff: Any = None
     sfb: Any = None
+    # cyclicAMI implicit coupling coefficient per boundary face [nBf]
+    # (zero off the AMI patches): row(owner(Af)) gains
+    # +ami_coef[f] * sum_j w_fj psi[cell_j] in every matvec
+    # (reference: cyclicAMIFvPatchField::updateInterfaceMatrix)
+    ami_coef: Any = None
     dims: DimensionSet = _static(default=dimless)   # of source (= op * volume)
     symmetric: bool = _static(default=True)
 
@@ -85,6 +90,12 @@ class FvMatrix:
             else:
                 so = self.soff + other.soff
                 sf = self.sfb + other.sfb
+            if self.ami_coef is None:
+                am = other.ami_coef
+            elif other.ami_coef is None:
+                am = self.ami_coef
+            else:
+                am = self.ami_coef + other.ami_coef
             return FvMatrix(
                 diag=self.diag + other.diag,
                 lower=self.lower + other.lower,
@@ -95,6 +106,7 @@ class FvMatrix:
                 fcorr=fc,
                 soff=so,
                 sfb=sf,
+                ami_coef=am,
                 dims=d,
                 symmetric=self.symmetric and other.symmetric,
             )
@@ -107,6 +119,7 @@ class FvMatrix:
             fcorr=None if self.fcorr is None else -self.fcorr,
             soff=None if self.soff is None else -self.soff,
             sfb=None if self.sfb is None else -self.sfb,
+            ami_coef=None if self.ami_coef is None else -self.ami_coef,
             dims=self.dims, symmetric=self.symmetric,
         )
 
@@ -147,19 +160,44 @@ class FvMatrix:
         lo = self.lower[mesh.cface_i]
         return jnp.where(mesh.csign > 0, up, lo) * mesh.cnbr_valid
 
+    def ami_mul(self, mesh, psi: Any) -> Any:
+        """cyclicAMI off-diagonal product [nC,(C)] (zero without AMI)."""
+        if self.ami_coef is None or not getattr(mesh, "has_ami", False):
+            return 0.0
+        c = self.ami_coef
+        if c.ndim == 2:
+            c = c[:, 0]
+        ce = c[mesh.ami_entry_face] * mesh.ami_entry_w
+        src = psi[mesh.ami_entry_cell]
+        contrib = ce[:, None] * src if psi.ndim == 2 else ce * src
+        acc = jnp.zeros_like(psi)
+        return acc.at[mesh.ami_entry_row].add(contrib)
+
     def amul(self, mesh, psi: Any, diag_eff: Optional[Any] = None) -> Any:
         """A @ psi for a scalar psi [nC] (the hot SpMV)."""
         if diag_eff is None:
             diag_eff = self.diag_eff(mesh)
         off = self.off_coeffs(mesh)
-        return diag_eff * psi + jnp.sum(off * psi[mesh.cnbr], axis=1)
+        out = diag_eff * psi + jnp.sum(off * psi[mesh.cnbr], axis=1)
+        if self.ami_coef is not None:
+            out = out + self.ami_mul(mesh, psi)
+        return out
 
     def row_sum(self, mesh, diag_eff: Optional[Any] = None) -> Any:
         """sumA: diag + sum of off-diagonals per row (for the reference's
         residual normalisation, lduMatrix::sumA)."""
         if diag_eff is None:
             diag_eff = self.diag_eff(mesh)
-        return diag_eff + jnp.sum(self.off_coeffs(mesh), axis=1)
+        rs = diag_eff + jnp.sum(self.off_coeffs(mesh), axis=1)
+        if self.ami_coef is not None and getattr(mesh, "has_ami", False):
+            c = self.ami_coef
+            if c.ndim == 2:
+                c = c[:, 0]
+            ce = c[mesh.ami_entry_face] * mesh.ami_entry_w
+            add = jnp.zeros(mesh.n_cells, rs.dtype).at[
+                mesh.ami_entry_row].add(ce)
+            rs = rs + (add[:, None] if rs.ndim == 2 else add)
+        return rs
 
     # ---- PISO/SIMPLE operator splits ----------------------------------------
     def A(self, mesh) -> Any:
@@ -174,14 +212,15 @@ class FvMatrix:
     def off_mul(self, mesh, psi: Any) -> Any:
         """Off-diagonal product sum_f off(f)*psi[nbr(f)] — slot (roll)
         path when soff is present, gather path otherwise."""
+        ami = self.ami_mul(mesh, psi) if self.ami_coef is not None else 0.0
         if self.soff is not None:
             from . import slot as slot_mod
 
-            return slot_mod.off_apply(mesh, self.soff, self.sfb, psi)
+            return slot_mod.off_apply(mesh, self.soff, self.sfb, psi) + ami
         off = self.off_coeffs(mesh)
         if psi.ndim == 2:
-            return jnp.sum(off[:, :, None] * psi[mesh.cnbr], axis=1)
-        return jnp.sum(off * psi[mesh.cnbr], axis=1)
+            return jnp.sum(off[:, :, None] * psi[mesh.cnbr], axis=1) + ami
+        return jnp.sum(off * psi[mesh.cnbr], axis=1) + ami
 
     def H(self, mesh, psi: Any) -> Any:
         """(source_eff - offdiag*psi + (Dav - Dc)*psi) / V
@@ -206,6 +245,14 @@ class FvMatrix:
         ic, bc = self.ic, self.bc
         # compact owner extrapolation: ic/bc are zero on empty faces
         f_bnd = ic * surface.owner_to_b(mesh, psi) - bc
+        if self.ami_coef is not None and getattr(mesh, "has_ami", False):
+            # coupled-face flux gains the interpolated neighbour part
+            nbf = mesh.n_faces - nif
+            av = jnp.zeros((nbf,), psi.dtype).at[mesh.ami_entry_face].add(
+                mesh.ami_entry_w * psi[mesh.ami_entry_cell])
+            c = self.ami_coef if self.ami_coef.ndim == 1 \
+                else self.ami_coef[:, 0]
+            f_bnd = f_bnd + c * av
         out = jnp.concatenate([f_int, f_bnd], axis=0)
         if self.fcorr is not None:
             # non-orthogonal deferred correction is part of the operator
@@ -282,8 +329,15 @@ class FvMatrix:
             s = jnp.sum(jnp.abs(self.soff), axis=1)
             if mesh.fb_cells.shape[0]:
                 s = s.at[mesh.fb_cells].add(jnp.abs(self.sfb))
-            return s
-        return jnp.sum(jnp.abs(self.off_coeffs(mesh)), axis=1)
+        else:
+            s = jnp.sum(jnp.abs(self.off_coeffs(mesh)), axis=1)
+        if self.ami_coef is not None and getattr(mesh, "has_ami", False):
+            c = self.ami_coef
+            if c.ndim == 2:
+                c = c[:, 0]
+            ce = jnp.abs(c[mesh.ami_entry_face] * mesh.ami_entry_w)
+            s = s.at[mesh.ami_entry_row].add(ce)
+        return s
 
     def relax(self, mesh, alpha: float, psi: Any) -> "FvMatrix":
         """Under-relaxation (reference: fvMatrix::relax): add the

@@ -68,6 +68,13 @@ def solve(mesh, mat, psi: Any, controls: Dict) -> Tuple[Any, SolverPerf]:
     """Solve mat*psi = source for the field data psi [nC,(3)];
     returns (new_psi, perf-of-first-component)."""
     name = str(controls.get("solver", "PCG"))
+    if name == "GAMG" and mat.ami_coef is not None:
+        # the Galerkin coarsening does not (yet) carry the AMI
+        # interface: dispatch to Krylov, which sees the full coupled
+        # operator through the matvec
+        name = "PBiCGStab"
+        controls = dict(controls)
+        controls.setdefault("preconditioner", "polynomial")
     if name == "GAMG":
         from .gamg import solve_gamg
 
@@ -98,6 +105,26 @@ def solve(mesh, mat, psi: Any, controls: Dict) -> Tuple[Any, SolverPerf]:
     if st.fb_cells.shape[0]:
         row_off = row_off.at[st.fb_cells].add(st.fb_coeffs)
 
+    base_off = st.apply_off
+    if mat.ami_coef is not None and getattr(mesh, "has_ami", False):
+        # coupled-interface (cyclicAMI) off-diagonal term in every
+        # matvec: +ami_coef[f] * sum_j w_fj psi[cell_j] on owner rows
+        amc = mat.ami_coef if mat.ami_coef.ndim == 1 else \
+            mat.ami_coef[:, 0]
+        ce = amc[mesh.ami_entry_face] * mesh.ami_entry_w
+        rows_ami = mesh.ami_entry_row
+        cells_ami = mesh.ami_entry_cell
+
+        def apply_off(x):
+            acc = base_off(x)
+            contrib = (ce[:, None] * x[cells_ami] if x.ndim == 2
+                       else ce * x[cells_ami])
+            return acc.at[rows_ami].add(contrib)
+
+        row_off = row_off.at[rows_ami].add(ce)
+    else:
+        apply_off = base_off
+
     if name == "smoothSolver":
         if mat.symmetric:
             # Gershgorin bound on D^-1 A for the Chebyshev smoother
@@ -124,10 +151,10 @@ def solve(mesh, mat, psi: Any, controls: Dict) -> Tuple[Any, SolverPerf]:
         b = mat.source_eff(mesh)
 
         def amul(x):
-            return d * x + st.apply_off(x)
+            return d * x + apply_off(x)
 
         return fn(amul, psi, b, d, row_sum=d + row_off,
-                  amul_off=st.apply_off, **kw)
+                  amul_off=apply_off, **kw)
 
     # vector solve: all components as one multi-RHS system
     # (identical per-component math; 3x fewer sequential solves)
@@ -135,7 +162,7 @@ def solve(mesh, mat, psi: Any, controls: Dict) -> Tuple[Any, SolverPerf]:
     b = mat.source_eff(mesh)      # [nC,C]
 
     def amul_v(x):
-        return d * x + st.apply_off(x)
+        return d * x + apply_off(x)
 
     return fn(amul_v, psi, b, d, row_sum=d + row_off[:, None],
-              amul_off=st.apply_off, **kw)
+              amul_off=apply_off, **kw)
