@@ -79,6 +79,13 @@ _ALIASES = {
     "turbulentMixingLengthFrequencyInlet": "turbulentMixingLengthFrequencyInlet",
     "surfaceNormalFixedValue": "surfaceNormalFixedValue",
     "flowRateInletVelocity": "flowRateInletVelocity",
+    "fixedFluxPressure": "fixedFluxPressure",
+    "waveTransmissive": "waveTransmissive",
+    "pressureInletVelocity": "pressureInletVelocity",
+    "rotatingWallVelocity": "rotatingWallVelocity",
+    "supersonicFreestream": "supersonicFreestream",
+    "variableHeightFlowRate": "variableHeightFlowRate",
+    "cyclicAMI": "cyclicAMI",
 }
 
 
@@ -166,4 +173,47 @@ def from_dict(spec: FoamDict, patch, rank: int, dtype,
         kw["ref_value"] = val if val is not None else 0.0
         kw["vfrac"] = 1.0
         kw["mixingLength"] = float(spec.get("mixingLength", 0.001))
+    elif kind == "fixedFluxPressure":
+        kw["ref_grad"] = grad if grad is not None else 0.0
+        kw["vfrac"] = 0.0
+    elif kind == "waveTransmissive":
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 0.0
+        fi = spec.get("fieldInf")
+        if fi is not None:
+            kw["fieldInf"] = float(np.asarray(fi).reshape(-1)[-1]) \
+                if not isinstance(fi, (list, tuple)) else float(fi[-1])
+        kw["lInf"] = float(spec.get("lInf", 0.0))
+    elif kind == "pressureInletVelocity":
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 1.0
+    elif kind == "rotatingWallVelocity":
+        # static: U = omega x (Cf - origin) (reference:
+        # rotatingWallVelocityFvPatchVectorField)
+        origin = np.asarray(spec.get("origin", (0.0, 0.0, 0.0)),
+                            dtype=float).reshape(3)
+        axis = np.asarray(spec.get("axis", (0.0, 0.0, 1.0)),
+                          dtype=float).reshape(3)
+        axis = axis / max(np.linalg.norm(axis), 1e-30)
+        om = spec.get("omega", 0.0)
+        if isinstance(om, (list, tuple)):
+            om = om[-1]
+        if mesh is not None:
+            cf = np.asarray(mesh.cf)[patch.slice]
+            u = np.cross(float(om) * axis, cf - origin)
+            kw["ref_value"] = jnp.asarray(u, dtype)
+        else:
+            kw["ref_value"] = 0.0
+        kw["vfrac"] = 1.0
+        kind = "fixedValue"
+    elif kind == "supersonicFreestream":
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 0.0
+    elif kind == "variableHeightFlowRate":
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 0.0
+        kw["lowerBound"] = float(spec.get("lowerBound", 0.0))
+        kw["upperBound"] = float(spec.get("upperBound", 1.0))
+    elif kind == "cyclicAMI":
+        kw["vfrac"] = 0.0
     return make(kind, **kw)

@@ -206,6 +206,25 @@ _VALUE_COEFFS: Dict[str, Callable] = {
     "epsilonWallFunction": _vc_zero_gradient,
     "omegaWallFunction": _vc_zero_gradient,
     "kLowReWallFunction": _vc_fixed_value,
+    # fixedFluxPressure (reference: fvPatchFields/derived/
+    # fixedFluxPressure/): a fixedGradient whose gradient the pressure
+    # solver sets so the boundary flux matches the velocity BC. Our
+    # pEqns carry body-force fluxes explicitly in phiHbyA, so the
+    # consistent default gradient is the stored ref_grad (zero unless a
+    # solver supplies `snGradP` through the update rule).
+    "fixedFluxPressure": _vc_fixed_gradient,
+    # waveTransmissive: mixed with a dynamically updated valueFraction
+    # (update rule below); behaves like zeroGradient until phi/c/dt
+    # context arrives
+    "waveTransmissive": _vc_mixed,
+    "pressureInletVelocity": _vc_fixed_value,
+    "rotatingWallVelocity": _vc_fixed_value,
+    # supersonicFreestream (documented simplification: the reference
+    # solves oblique-shock relations for attached flow; here inflow
+    # fixes the freestream state and outflow extrapolates — the
+    # supersonic-outlet limit)
+    "supersonicFreestream": _vc_mixed,
+    "variableHeightFlowRate": _vc_mixed,
 }
 
 
@@ -350,6 +369,91 @@ def update(bc: PatchField, mesh, patch, internal, **ctx) -> PatchField:
 def register_update(kind: str, fn: Callable) -> None:
     """Extension point for model libraries (e.g. wall functions)."""
     _UPDATE[kind] = fn
+
+
+def _up_fixed_flux_pressure(bc, mesh, patch, internal, *, snGradP=None,
+                            **ctx):
+    """fixedFluxPressure: the solver hands the consistent boundary
+    snGrad (reference: updated from the assembled phiHbyA each pEqn);
+    without it the stored gradient stands."""
+    if snGradP is None:
+        return bc
+    return bc.replace(ref_grad=snGradP[patch.slice])
+
+
+def _up_wave_transmissive(bc, mesh, patch, internal, *, phi=None,
+                          dt=None, c_sound=None, **ctx):
+    """waveTransmissive (reference: fvPatchFields/derived/
+    waveTransmissive/ + advective base): the face value follows the
+    outgoing characteristic D(psi)/Dt = 0 at speed |Un| + c, relaxed
+    toward fieldInf over lInf:
+        v_new = (v_old + Co v_c + k v_inf) / (1 + Co + k)
+        Co = (|Un| + c) dt deltaCoeff,   k = (|Un| + c) dt / lInf
+    stored as the mixed triple (vfrac=1, ref_value=v_new)."""
+    if phi is None or dt is None:
+        return bc
+    sl = patch.slice
+    un = jnp.abs(phi[sl]) / jnp.maximum(mesh.mag_sf[sl], 1e-30)
+    cs = c_sound[sl] if c_sound is not None else 0.0
+    speed = un + cs
+    dc = mesh.delta_coeffs[sl]
+    co = speed * dt * dc
+    l_inf = float(bc.opt("lInf", 0.0) or 0.0)
+    v_inf = bc.opt("fieldInf", None)
+    k = speed * dt / l_inf if l_inf > 0 and v_inf is not None else 0.0
+    vi = _patch_internal(mesh, patch, internal)
+    v_old = bc.ref_value
+    if vi.ndim == 2 and jnp.ndim(co) == 1:
+        co = co[:, None]
+        k = k[:, None] if jnp.ndim(k) == 1 else k
+    vinf_t = jnp.asarray(v_inf, vi.dtype) if v_inf is not None else 0.0
+    v_new = (v_old + co * vi + k * vinf_t) / (1.0 + co + k)
+    return bc.replace(ref_value=v_new, vfrac=jnp.ones(patch.size,
+                                                      vi.dtype))
+
+
+def _up_pressure_inlet_velocity(bc, mesh, patch, internal, *, phi=None,
+                                **ctx):
+    """pressureInletVelocity (reference: fvPatchFields/derived/
+    pressureInletVelocity/): the inlet velocity takes the flux's
+    normal magnitude, U = n phi/|Sf|."""
+    if phi is None:
+        return bc
+    sl = patch.slice
+    n = mesh.sf[sl] / jnp.maximum(mesh.mag_sf[sl], 1e-30)[:, None]
+    u = (phi[sl] / jnp.maximum(mesh.mag_sf[sl], 1e-30))[:, None] * n
+    return bc.replace(ref_value=u, vfrac=jnp.ones(patch.size,
+                                                  internal.dtype))
+
+
+def _up_variable_height_flow_rate(bc, mesh, patch, internal, **ctx):
+    """variableHeightFlowRate (reference: fvPatchFields/derived/
+    variableHeightFlowRate/): phase fraction outlet — zeroGradient
+    while the adjacent alpha is between the bounds, clamped fixedValue
+    outside them."""
+    lo = float(bc.opt("lowerBound", 0.0))
+    hi = float(bc.opt("upperBound", 1.0))
+    vi = _patch_internal(mesh, patch, internal)
+    below = vi < lo
+    above = vi > hi
+    f = jnp.where(below | above, 1.0, 0.0).astype(vi.dtype)
+    rv = jnp.where(below, lo, jnp.where(above, hi, vi))
+    return bc.replace(ref_value=rv, vfrac=f)
+
+
+def _up_supersonic_freestream(bc, mesh, patch, internal, *, phi=None,
+                              **ctx):
+    if phi is None:
+        return bc
+    f = jnp.where(phi[patch.slice] < 0.0, 1.0, 0.0)
+    return bc.replace(vfrac=f.astype(jnp.asarray(internal).dtype))
+
+
+_UPDATE["fixedFluxPressure"] = _up_fixed_flux_pressure
+_UPDATE["waveTransmissive"] = _up_wave_transmissive
+_UPDATE["pressureInletVelocity"] = _up_pressure_inlet_velocity
+_UPDATE["variableHeightFlowRate"] = _up_variable_height_flow_rate
+_UPDATE["supersonicFreestream"] = _up_supersonic_freestream
 
 
 def register_value_coeffs(kind: str, fn: Callable) -> None:

@@ -351,6 +351,17 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
         p = p.with_data(p_w.data + p_op)
         phi = slot_mod.to_flat(mesh, phi_slot)
         rho = jnp.maximum(th.rho(p.data, T.data), cfg.rho_min)
+        # waveTransmissive/advective outlets: characteristic update of
+        # the outlet p/T/U values from the VOLUMETRIC flux, local sound
+        # speed and dt (no-op for other BC kinds)
+        rho_bf = jnp.maximum(surface.owner_to_b(mesh, rho), cfg.rho_min)
+        phiv_b = jnp.zeros_like(phi).at[nif:].set(phi[nif:] / rho_bf)
+        c_face = jnp.zeros_like(phi).at[nif:].set(
+            surface.owner_to_b(mesh, th.c(T.data)))
+        p = p.correct_boundary_conditions(mesh, phi=phiv_b, dt=dt,
+                                          c_sound=c_face)
+        T = T.correct_boundary_conditions(mesh, phi=phiv_b, dt=dt,
+                                          c_sound=c_face)
 
         # -- turbulence (volumetric flux) ---------------------------------------
         if cfg.turb is not None and final_outer:
