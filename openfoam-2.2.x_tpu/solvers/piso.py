@@ -184,6 +184,12 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
     if cfg.fv_options:
         UEqn = cfg.fv_options.add_to(mesh, UEqn, "U", U, U=U,
                                      fvopt_state=state.get("fvopt"))
+    if "mom_src" in state:
+        # two-way lagrangian momentum coupling (reference:
+        # KinematicCloud::SU(U) in the solver's UEqn). The source must
+        # be in the EQUATION's units: this kinematic (rho-less) family
+        # takes force/rho_fluid [m^4/s^2] per cell.
+        UEqn = UEqn.add_source(state["mom_src"] / mesh.v[:, None], mesh)
     if cfg.mrf:
         # reference: mrfZones.addCoriolis(UEqn())
         UEqn = cfg.mrf.add_coriolis(mesh, UEqn, U)

@@ -201,3 +201,126 @@ boundaryField { outlet { type zeroGradient; }
     assert outs, "cloud output not written"
     txt = open(sorted(outs)[-1]).read()
     assert "(" in txt and "Cloud" in txt
+
+
+def test_patch_injection_bounded_rate():
+    """patchInjection activates floor(rate*dt+carry) dead slots per
+    step, cycling candidate positions; the cloud never exceeds its slot
+    budget (reference: InjectionModel parcelsToInject)."""
+    mesh = _mesh()
+    cloud = lag.make_cloud(mesh, np.empty((0, 3)), (0, 0, 0), 1e-4,
+                           1000.0, n_slots=40)
+    inj = lag.patch_injection(mesh, "walls", u0=(0.0, -0.5, 0.0),
+                              d0=2e-4, rho0=800.0, rate=500.0)
+    carry = jnp.zeros(())
+    counter = jnp.zeros((), jnp.int32)
+    dt = 0.01   # 5 parcels/step
+    for i in range(5):
+        cloud, carry, counter = lag.inject(cloud, inj, carry, counter,
+                                           dt)
+    assert int(cloud.n_active) == 25
+    assert int(counter) == 25
+    a = np.asarray(cloud.active)
+    d = np.asarray(cloud.d)[a]
+    r = np.asarray(cloud.rho)[a]
+    assert np.allclose(d, 2e-4) and np.allclose(r, 800.0)
+    # slot budget respected even when the rate exceeds free slots
+    for i in range(10):
+        cloud, carry, counter = lag.inject(cloud, inj, carry, counter,
+                                           dt)
+    assert int(cloud.n_active) <= 40
+
+
+def test_two_way_momentum_coupling():
+    """Falling parcels drag the carrier with them: with the mom_src
+    state hook the fluid in the parcel column gains downward momentum
+    vs the uncoupled run, and the exchanged momentum is equal and
+    opposite (reference: icoUncoupledKinematicParcelFoam vs the
+    coupled parcel solvers)."""
+    from foamtpu.bc import patchfields as pf
+    from foamtpu.solvers import piso
+
+    mesh = _mesh()
+    bt = jnp.asarray(lag.face_boundary_types(mesh))
+    cfg_c = lag.CloudConfig(rho_f=1000.0, mu_f=1e-3,
+                            g=(0.0, -9.81, 0.0))
+    x0 = np.stack([np.full(12, 0.5),
+                   np.linspace(0.3, 0.8, 12),
+                   np.full(12, 0.5)], axis=1)
+    def make():
+        return lag.make_cloud(mesh, x0, (0.0, 0.0, 0.0), 2e-3, 8000.0,
+                              n_slots=16)
+
+    ubcs, pbcs = [], []
+    for p in mesh.patches:
+        if p.type == "empty":
+            ubcs.append(pf.PatchField(kind="empty", vfrac=0.0))
+            pbcs.append(pf.PatchField(kind="empty", vfrac=0.0))
+        else:
+            ubcs.append(pf.fixed_value(jnp.zeros(3)))
+            pbcs.append(pf.zero_gradient())
+    from foamtpu.core.dimensions import DimensionSet, dimVelocity
+    from foamtpu.core.fields import vol_scalar, vol_vector
+
+    U = vol_vector(mesh, jnp.zeros(3), name="U", dims=dimVelocity,
+                   bcs=tuple(ubcs))
+    pfld = vol_scalar(mesh, 0.0, name="p",
+                      dims=DimensionSet.of(0, 2, -2), bcs=tuple(pbcs))
+    pcfg = piso.PisoConfig(nu=1e-6, n_correctors=2)
+    n_parcels = 1e4
+
+    def run(coupled):
+        cloud = make()
+        state = piso.initial_state(mesh, U, pfld)
+        state["mom_src"] = jnp.zeros((mesh.n_cells, 3), mesh.v.dtype)
+        step = jax.jit(lambda s, d: piso.piso_step(mesh, s, d, pcfg))
+        dt = jnp.asarray(1e-3, mesh.v.dtype)
+        for _ in range(15):
+            before = cloud
+            cloud = lag.evolve(mesh, cloud, state["U"].data, dt, bt,
+                               cfg_c)
+            src = lag.momentum_source(mesh, before, cloud, n_parcels,
+                                      dt, cfg_c) / cfg_c.rho_f
+            state["mom_src"] = src if coupled else 0.0 * src
+            state, diag = step(state, dt)
+        return cloud, state
+
+    cloud_c, st_c = run(True)
+    cloud_u, st_u = run(False)
+    uy_c = float(np.asarray(st_c["U"].data)[:, 1].min())
+    uy_u = float(np.asarray(st_u["U"].data)[:, 1].min())
+    # coupled carrier is dragged down where parcels fall
+    assert uy_c < uy_u - 1e-4
+    assert np.isfinite(np.asarray(st_c["U"].data)).all()
+    # and the parcels fall SLOWER in the coupled run (momentum given up
+    # shows up as reduced relative slip is not guaranteed; instead
+    # check sign consistency: source points downward net)
+    # re-derive one exchange step for sign:
+    before = cloud_u
+    after = lag.evolve(mesh, cloud_u, st_u["U"].data,
+                       jnp.asarray(1e-3, mesh.v.dtype), bt, cfg_c)
+    src = lag.momentum_source(mesh, before, after, n_parcels,
+                              jnp.asarray(1e-3, mesh.v.dtype), cfg_c)
+    assert float(np.asarray(src)[:, 1].sum()) < 0.0
+
+
+def test_thermo_parcel_ranz_marshall():
+    """A hot parcel in still cold fluid relaxes toward the fluid
+    temperature with the Ranz-Marshall (Nu=2 quiescent) time constant
+    tau = rho_p cp_p d^2 / (12 k_f)."""
+    mesh = _mesh()
+    bt = jnp.asarray(lag.face_boundary_types(mesh))
+    cfg = lag.CloudConfig(rho_f=1.2, mu_f=1.8e-5, g=(0.0, 0.0, 0.0),
+                          drag=False, solve_T=True, cp_p=1000.0,
+                          k_f=0.026)
+    cloud = lag.make_cloud(mesh, [[0.5, 0.5, 0.5]], (0, 0, 0),
+                           1e-3, 2000.0, T0=400.0)
+    Tf = jnp.full(mesh.n_cells, 300.0)
+    Uf = jnp.zeros((mesh.n_cells, 3))
+    tau = 2000.0 * 1000.0 * (1e-3) ** 2 / (12.0 * 0.026)
+    dt = jnp.asarray(tau / 50.0, mesh.v.dtype)
+    for _ in range(50):   # one time constant
+        cloud = lag.evolve(mesh, cloud, Uf, dt, bt, cfg, T_cell=Tf)
+    T = float(np.asarray(cloud.T)[0])
+    expect = 300.0 + 100.0 * np.exp(-1.0)
+    assert abs(T - expect) < 2.5, (T, expect)
