@@ -425,6 +425,89 @@ def write_cell_centres(argv) -> int:
     return 0
 
 
+def topo_set_cmd(argv) -> int:
+    """topoSet: create cell/face sets from system/topoSetDict
+    (reference: applications/utilities/mesh/manipulation/topoSet/)."""
+    args = _case_arg(argv)
+    from . import meshutils
+
+    names = meshutils.topo_set(args.case)
+    print(f"topoSet: wrote sets {names}")
+    return 0
+
+
+def create_patch_cmd(argv) -> int:
+    """createPatch: re-group boundary faces into new patches from
+    faceSets/patch lists (reference: .../createPatch/)."""
+    args = _case_arg(argv)
+    from . import meshutils
+
+    out = meshutils.create_patch(args.case)
+    print(f"createPatch: patches now "
+          f"{[(p.name, p.size) for p in out.patches]}")
+    return 0
+
+
+def extrude_mesh_cmd(argv) -> int:
+    """extrudeMesh: linearNormal patch extrusion
+    (reference: .../mesh/generation/extrudeMesh/)."""
+    args = _case_arg(argv)
+    from . import meshutils
+
+    out = meshutils.extrude_mesh(args.case)
+    print(f"extrudeMesh: {out.n_cells} cells, "
+          f"{[p.name for p in out.patches]}")
+    return 0
+
+
+def refine_mesh_cmd(argv) -> int:
+    """refineMesh: one 2x2x2 refinement level of a cellSet or the whole
+    (uniform box) mesh (reference: .../refineMesh/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-set", dest="set_name", default=None)
+    a = ap.parse_args(argv)
+    from . import meshutils
+
+    out = meshutils.refine_mesh(a.case, a.set_name)
+    print(f"refineMesh: {out.n_cells} cells")
+    return 0
+
+
+def change_dictionary_cmd(argv) -> int:
+    """changeDictionary: apply system/changeDictionaryDict replacements
+    (reference: .../preProcessing/changeDictionary/)."""
+    args = _case_arg(argv)
+    from . import meshutils
+
+    changed = meshutils.change_dictionary(args.case,
+                                          time=args.time or "0")
+    print(f"changeDictionary: updated {changed}")
+    return 0
+
+
+def gmsh_to_foam_cmd(argv) -> int:
+    """gmshToFoam: convert a Gmsh MSH-2 ASCII mesh to polyMesh
+    (reference: .../mesh/conversion/gmshToFoam/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("mshFile")
+    ap.add_argument("-case", default=".")
+    a = ap.parse_args(argv)
+    from ..io import polymesh as mesh_io
+    from ..mesh import gmsh
+
+    pm = gmsh.convert(a.mshFile)
+    out = os.path.join(a.case, "constant", "polyMesh")
+    mesh_io.write(pm, out)
+    print(f"gmshToFoam: {pm.n_cells} cells, {pm.n_faces} faces, "
+          f"patches {[p.name for p in pm.patches]} -> {out}")
+    return 0
+
+
 def snappy_hex_mesh(argv) -> int:
     """snappyHexMesh (castellated stage only — see mesh/snappy.py):
     carve the existing constant/polyMesh against the STL geometry in
@@ -492,6 +575,12 @@ def post_process(argv) -> int:
 COMMANDS = {
     "blockMesh": block_mesh,
     "snappyHexMesh": snappy_hex_mesh,
+    "topoSet": topo_set_cmd,
+    "createPatch": create_patch_cmd,
+    "extrudeMesh": extrude_mesh_cmd,
+    "refineMesh": refine_mesh_cmd,
+    "changeDictionary": change_dictionary_cmd,
+    "gmshToFoam": gmsh_to_foam_cmd,
     "postProcess": post_process,
     "renumberMesh": renumber_mesh,
     "checkMesh": check_mesh,
