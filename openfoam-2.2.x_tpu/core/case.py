@@ -38,6 +38,9 @@ class Case:
         self.fv_schemes = parse_file(self.sys_path("fvSchemes"))
         self.fv_solution = parse_file(self.sys_path("fvSolution"))
         self.time = runtime.Time(self.control_dict, self.dir)
+        from ..utils import logging as _log
+
+        _log.load_debug_switches(self.control_dict)
         self._mesh = None
         self._poly = None
 

@@ -37,6 +37,11 @@ class Time:
         self.max_co = float(control.get("maxCo", 1.0))
         self.max_delta_t = float(control.get("maxDeltaT", 1e30))
         self.time_precision = int(control.get("timePrecision", 6))
+        self.run_time_modifiable = str(
+            control.get("runTimeModifiable", "no")) in (
+            "yes", "true", "on", "1")
+        self.stop_now = False
+        self._ctrl_mtime = self._control_mtime()
 
         if str(control.get("startFrom", "startTime")) == "latestTime":
             latest = self.latest_time()
@@ -67,7 +72,8 @@ class Time:
 
     # -- loop -------------------------------------------------------------------
     def loop(self) -> Iterator["Time"]:
-        while self.value < self.end_time - 1e-10 * max(abs(self.end_time), 1.0):
+        while (not self.stop_now and self.value
+               < self.end_time - 1e-10 * max(abs(self.end_time), 1.0)):
             dt = min(self.delta_t, self.end_time - self.value)
             self.value += dt
             self.current_dt = dt
@@ -82,6 +88,46 @@ class Time:
         factor = min(min(self.max_co / courant_max, 1.0 + 0.1 * self.max_co / courant_max), 1.2)
         self.delta_t = min(factor * self.delta_t, self.max_delta_t)
 
+    def _control_mtime(self):
+        try:
+            return os.stat(os.path.join(
+                self.case_dir, "system", "controlDict")).st_mtime_ns
+        except OSError:
+            return None
+
+    def read_if_modified(self) -> bool:
+        """runTimeModifiable: re-read system/controlDict between jitted
+        chunks when its mtime changed (reference: Time::run ->
+        regIOobject::readIfModified via fileMonitor). endTime, deltaT,
+        write scheduling, purgeWrite and stopAt writeNow/noWriteNow are
+        picked up mid-run."""
+        if not self.run_time_modifiable:
+            return False
+        m = self._control_mtime()
+        if m is None or m == self._ctrl_mtime:
+            return False
+        self._ctrl_mtime = m
+        from .dictionary import parse_file
+
+        try:
+            c = parse_file(os.path.join(self.case_dir, "system",
+                                        "controlDict"))
+        except Exception:
+            return False
+        self.control = c
+        self.end_time = float(c.get("endTime", self.end_time))
+        self.delta_t = float(c.get("deltaT", self.delta_t))
+        self.write_control = str(c.get("writeControl",
+                                       self.write_control))
+        self.write_interval = float(c.get("writeInterval",
+                                          self.write_interval))
+        self.purge_write = int(c.get("purgeWrite", self.purge_write))
+        self.max_co = float(c.get("maxCo", self.max_co))
+        stop_at = str(c.get("stopAt", "endTime"))
+        if stop_at in ("writeNow", "noWriteNow", "nextWrite"):
+            self.stop_now = True
+        return True
+
     # -- write scheduling ---------------------------------------------------------
     def write_time(self) -> bool:
         if self.write_control == "timeStep":
@@ -92,6 +138,10 @@ class Time:
         return False
 
     def register_write(self, name: str) -> None:
+        if name in self._written:
+            # the final write re-writes the already-registered latest
+            # time — re-registering would purge a genuine older entry
+            return
         self._written.append(name)
         if self.purge_write > 0 and len(self._written) > self.purge_write:
             victim = self._written.pop(0)

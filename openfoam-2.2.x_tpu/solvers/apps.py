@@ -119,6 +119,10 @@ def _log_step(case, t, diag, cumulative, extra_fields=()):
         log.info(log.continuity_line(local, glob, cumulative))
     log.info(f"ExecutionTime = {t.execution_time():.2f} s"
              f"  ClockTime = {t.clock_time():.0f} s\n")
+    # runTimeModifiable: pick up controlDict edits between chunks
+    if t.read_if_modified():
+        log.info("regIOobject::readIfModified() : "
+                 "Re-reading object controlDict\n")
     return cumulative
 
 
@@ -384,7 +388,8 @@ def simplefoam(case, max_steps: Optional[int] = None) -> None:
     from ..functionobjects import make_function_objects
 
     fol = make_function_objects(case)
-    while t.index < max_iter:
+    while (t.index < max_iter and not t.stop_now
+           and t.value < t.end_time - 1e-12):
         state, diag = chunk(state)
         t.index += chunk_n
         t.value = t.start_time + t.index * t.delta_t
@@ -919,7 +924,8 @@ def _boussinesq_run(case, steady: bool, max_steps: Optional[int]) -> None:
             fields += list(state["turb"].values())
         case.write_fields(fields)
 
-    while t.index < max_iter:
+    while (t.index < max_iter and not t.stop_now
+           and t.value < t.end_time - 1e-12):
         state, diag = chunk(state, dt)
         t.index += chunk_n
         t.value = t.start_time + t.index * t.delta_t
@@ -1031,7 +1037,8 @@ def _buoyant_rho_run(case, steady: bool, max_steps: Optional[int]) -> None:
             fields += list(state["turb"].values())
         case.write_fields(fields)
 
-    while t.index < max_iter:
+    while (t.index < max_iter and not t.stop_now
+           and t.value < t.end_time - 1e-12):
         state, diag = step(state, dt)
         t.index += 1
         t.value = t.start_time + t.index * t.delta_t
@@ -1350,7 +1357,8 @@ def _solid_run(case, steady: bool, max_steps: Optional[int]) -> None:
         max_iter = min(max_iter, max_steps)
     dt = jnp.asarray(1.0 if steady else t.delta_t, mesh.v.dtype)
     cumulative = 0.0
-    while t.index < max_iter:
+    while (t.index < max_iter and not t.stop_now
+           and t.value < t.end_time - 1e-12):
         state, diag = step(state, dt)
         t.index += 1
         t.value = t.start_time + t.index * t.delta_t
@@ -1449,7 +1457,8 @@ def _rho_pimple_run(case, steady: bool, transonic: bool,
             fields += list(state["turb"].values())
         case.write_fields(fields)
 
-    while t.index < max_iter:
+    while (t.index < max_iter and not t.stop_now
+           and t.value < t.end_time - 1e-12):
         state, diag = step(state, dt)
         t.index += 1
         t.value = t.start_time + t.index * t.delta_t
@@ -1523,7 +1532,8 @@ def two_phase_euler_foam(case, max_steps: Optional[int] = None) -> None:
         case.write_fields([state["Ua"], state["Ub"], state["p"],
                            state["alpha"]])
 
-    while t.index < max_iter:
+    while (t.index < max_iter and not t.stop_now
+           and t.value < t.end_time - 1e-12):
         state, diag = step(state, dt)
         t.index += 1
         t.value = t.start_time + t.index * t.delta_t
@@ -1601,7 +1611,8 @@ def compressible_inter_foam(case, max_steps: Optional[int] = None) -> None:
         case.write_fields([state["U"], state["p_rgh"], state["T"],
                            state["alpha"]])
 
-    while t.index < max_iter:
+    while (t.index < max_iter and not t.stop_now
+           and t.value < t.end_time - 1e-12):
         state, diag = step(state, dt)
         t.index += 1
         t.value = t.start_time + t.index * t.delta_t
@@ -1685,7 +1696,8 @@ def pimple_dym_foam(case, max_steps: Optional[int] = None) -> None:
     def write(state):
         case.write_fields([state["U"], state["p"]])
 
-    while t.index < max_iter:
+    while (t.index < max_iter and not t.stop_now
+           and t.value < t.end_time - 1e-12):
         state, diag = step(state, dt)
         t.index += 1
         t.value = t.start_time + t.index * t.delta_t
@@ -1823,7 +1835,8 @@ def reacting_foam(case, max_steps: Optional[int] = None) -> None:
             fields += list(state["turb"].values())
         case.write_fields(fields)
 
-    while t.index < max_iter:
+    while (t.index < max_iter and not t.stop_now
+           and t.value < t.end_time - 1e-12):
         state, diag = step(state, dt)
         t.index += 1
         t.value = t.start_time + t.index * t.delta_t

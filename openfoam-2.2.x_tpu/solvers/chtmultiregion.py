@@ -286,7 +286,8 @@ def cht_multi_region_foam(case, max_steps: Optional[int] = None) -> None:
         max_iter = min(max_iter, max_steps)
     any_mesh = next(iter(regions.values()))["mesh"]
     dt = jnp.asarray(1.0 if steady else t.delta_t, any_mesh.v.dtype)
-    while t.index < max_iter:
+    while (t.index < max_iter and not t.stop_now
+           and t.value < t.end_time - 1e-12):
         exchange()
         for name, r in regions.items():
             if r["kind"] == "solid":

@@ -67,7 +67,14 @@ def prepare_controls(mesh, mat, *controls_list):
 def solve(mesh, mat, psi: Any, controls: Dict) -> Tuple[Any, SolverPerf]:
     """Solve mat*psi = source for the field data psi [nC,(3)];
     returns (new_psi, perf-of-first-component)."""
+    from ...utils import logging as _log
+
     name = str(controls.get("solver", "PCG"))
+    if _log.debug("lduMatrix"):
+        _log.info(f"lduMatrix: solver={name} n={mesh.n_cells} "
+                  f"symmetric={mat.symmetric} "
+                  f"slot={'yes' if mat.soff is not None else 'no'} "
+                  f"ami={'yes' if mat.ami_coef is not None else 'no'}\n")
     if name == "GAMG" and mat.ami_coef is not None:
         # the Galerkin coarsening does not (yet) carry the AMI
         # interface: dispatch to Krylov, which sees the full coupled

@@ -46,3 +46,38 @@ def continuity_line(local: float, global_: float, cumulative: float) -> str:
         f"sum local = {local:.6g}, global = {global_:.6g}, "
         f"cumulative = {cumulative:.6g}"
     )
+
+
+# ---------------------------------------------------------------------------
+# DebugSwitches (reference: etc/controlDict DebugSwitches { fvMesh 1; }
+# gating per-class `if (debug)` blocks, togglable without recompiling).
+# Sources, later wins: FOAMTPU_DEBUG env ("lduMatrix,fvMesh") and the
+# case controlDict's DebugSwitches subdict (loaded by Case).
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_DEBUG_SWITCHES = {}
+
+
+def load_debug_switches(control_dict=None) -> None:
+    _DEBUG_SWITCHES.clear()
+    for name in _os.environ.get("FOAMTPU_DEBUG", "").split(","):
+        if name.strip():
+            _DEBUG_SWITCHES[name.strip()] = 1
+    if control_dict is not None:
+        ds = control_dict.get("DebugSwitches")
+        if ds is not None and hasattr(ds, "items"):
+            for k, v in ds.items():
+                try:
+                    _DEBUG_SWITCHES[str(k)] = int(v)
+                except (TypeError, ValueError):
+                    _DEBUG_SWITCHES[str(k)] = 1
+
+
+def debug(name: str) -> bool:
+    """Gate for per-subsystem debug output (DebugSwitches analogue)."""
+    return _DEBUG_SWITCHES.get(name, 0) > 0
+
+
+load_debug_switches()
