@@ -285,3 +285,12 @@ def domain_integrate(mesh, data: Any) -> Any:
     if data.ndim == 2:
         return jnp.sum(data * mesh.v[:, None], axis=0)
     return jnp.sum(data * mesh.v)
+
+
+def curl(mesh, field: VolField) -> Any:
+    """fvc::curl(U) [nC,3] from the Gauss gradient: curl_i =
+    eps_ijk d(u_k)/d(x_j) (reference: fvcCurl.C — 2*skew(grad U))."""
+    g = grad(mesh, field)   # g[c,i,j] = d(u_j)/d(x_i)
+    return jnp.stack([g[:, 1, 2] - g[:, 2, 1],
+                      g[:, 2, 0] - g[:, 0, 2],
+                      g[:, 0, 1] - g[:, 1, 0]], axis=1)

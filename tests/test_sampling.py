@@ -102,3 +102,76 @@ seedSampleSet { type uniform; start (0.02 0.09 0.005);
     # near-lid seeds get advected in +x by the moving wall
     t0 = arr[arr[:, 0] == 0]
     assert t0[-1, 1] > t0[0, 1]
+
+
+def test_sampled_surfaces_cutting_plane_and_iso(tmp_path):
+    """sampledSurfaces: a cutting plane through the cavity and an
+    isoSurface of a radial scalar come out as closed triangulations
+    with correctly interpolated vertex values (reference:
+    src/sampling/sampledSurface/{cuttingPlane,isoSurface})."""
+    import os
+    import shutil
+
+    import jax.numpy as jnp
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(repo, "tutorials", "incompressible", "icoFoam",
+                       "cavity")
+    dst = os.path.join(tmp_path, "cavity")
+    shutil.copytree(src, dst)
+    from foamtpu.apps.cli import main
+
+    assert main(["blockMesh", "-case", dst]) == 0
+    from foamtpu.core.case import Case
+    from foamtpu.core.dictionary import parse_string
+    from foamtpu.functionobjects.surfaces import SampledSurfaces
+
+    case = Case(dst)
+    pm = case.poly_mesh
+    spec = parse_string("""
+type surfaces;
+fields (T U);
+surfaces
+(
+    midPlane
+    {
+        type cuttingPlane;
+        pointAndNormalDict
+        { basePoint (0.05 0.05 0.005); normalVector (1 0 0); }
+    }
+    ring
+    {
+        type isoSurface;
+        isoField T;
+        isoValue 0.03;
+    }
+);
+""")
+    fo = SampledSurfaces("sampled", spec, case)
+    c = np.asarray(pm.c)
+    # T = distance from the cavity axis (x=0.05, y=0.05)
+    T = np.linalg.norm(c[:, :2] - 0.05, axis=1)
+    state = {"T": jnp.asarray(T),
+             "U": type("F", (), {"data": jnp.asarray(c)})()}
+    fo.execute("0.1", state)
+    base = os.path.join(dst, "postProcessing", "sampled", "0.1")
+    for fn in ("midPlane.vtk", "ring.vtk"):
+        assert os.path.exists(os.path.join(base, fn))
+    # parse the plane back: all verts at x ~ 0.05, T values match r
+    txt = open(os.path.join(base, "midPlane.vtk")).read().split("\n")
+    npts = int(txt[4].split()[1])
+    verts = np.array([[float(x) for x in txt[5 + i].split()]
+                      for i in range(npts)])
+    assert npts > 0
+    assert np.allclose(verts[:, 0], 0.05, atol=1e-8)
+    # plane spans the cavity
+    assert verts[:, 1].min() < 0.01 and verts[:, 1].max() > 0.09
+    # isoSurface: vertices lie near r = 0.03 (linear interp on a
+    # coarse 20x20 mesh: few-mm tolerance)
+    txt = open(os.path.join(base, "ring.vtk")).read().split("\n")
+    npts = int(txt[4].split()[1])
+    verts = np.array([[float(x) for x in txt[5 + i].split()]
+                      for i in range(npts)])
+    r = np.linalg.norm(verts[:, :2] - 0.05, axis=1)
+    assert np.abs(r - 0.03).max() < 0.01
+    assert np.abs(r - 0.03).mean() < 0.003
