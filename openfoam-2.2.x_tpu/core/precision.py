@@ -27,3 +27,19 @@ def scalar_dtype():
 
 
 label_np = np.int32
+
+
+def install_fpe_trap() -> bool:
+    """sigFpe analogue (reference: src/OSspecific/POSIX/signals/
+    sigFpe.C — feenableexcept + FOAM_SIGFPE): FOAMTPU_SIGFPE=1 turns
+    on jax_debug_nans so the first NaN-producing primitive raises with
+    a traceback instead of silently poisoning the run."""
+    if os.environ.get("FOAMTPU_SIGFPE", "0") in ("0", "", "false"):
+        return False
+    import jax
+
+    jax.config.update("jax_debug_nans", True)
+    return True
+
+
+install_fpe_trap()

@@ -672,6 +672,11 @@ class SpalartAllmaras(TurbulenceModel):
         c3 = chi ** 3
         return c3 / (c3 + self.Cv1 ** 3)
 
+    def d_tilda(self, mesh, U, nuT_f):
+        """The length scale in the destruction term — plain wall
+        distance for RANS SA; the DES variants shrink it off-wall."""
+        return self.y_wall
+
     def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
                 controls=None, phi_slot=None):
         nuT_f: VolField = tstate["nuTilda"]
@@ -680,7 +685,7 @@ class SpalartAllmaras(TurbulenceModel):
         rdt = 1.0 / dt
         diag = {}
         phi_sl = _phi_slotform(mesh, phi, phi_slot)
-        y = self.y_wall
+        y = self.d_tilda(mesh, U, nuT_f)
         nu = self.nu
 
         chi = nuT / nu
@@ -828,6 +833,55 @@ class LaunderSharmaKE(KEpsilon):
         return new, diag
 
 
+class SpalartAllmarasDES(SpalartAllmaras):
+    """Detached-eddy simulation SA-DES (reference: incompressible/
+    LES/SpalartAllmarasDES): dTilda = min(y_wall, CDES*delta) with
+    delta = cubeRootVol — SA behaves as an LES subgrid model away from
+    walls. The min is static (both inputs are mesh geometry), so it is
+    folded into y_wall at init."""
+
+    name = "SpalartAllmarasDES"
+    CDES = 0.65
+
+    def __init__(self, nu, coeffs=None, y_wall=None):
+        super().__init__(nu, coeffs, y_wall)
+        c = self.coeffs or {}
+        self.CDES = float(c.get("CDES", self.CDES))
+
+    def init_wall_distance(self, poly_mesh, dtype):
+        super().init_wall_distance(poly_mesh, dtype)
+        delta = np.cbrt(np.asarray(poly_mesh.v))
+        self.y_wall = jnp.minimum(
+            self.y_wall, jnp.asarray((self.CDES * delta).astype(dtype)))
+
+
+class SpalartAllmarasDDES(SpalartAllmarasDES):
+    """Delayed DES (reference: LES/SpalartAllmarasDDES): the shield
+    function fd = 1 - tanh((8 rd)^3) keeps the RANS length scale inside
+    attached boundary layers; dTilda = y - fd max(0, y - CDES delta),
+    evaluated per step from the velocity gradient."""
+
+    name = "SpalartAllmarasDDES"
+
+    def init_wall_distance(self, poly_mesh, dtype):
+        # keep the PLAIN wall distance; store the DES scale separately
+        SpalartAllmaras.init_wall_distance(self, poly_mesh, dtype)
+        delta = np.cbrt(np.asarray(poly_mesh.v))
+        self._cdes_delta = jnp.asarray(
+            (self.CDES * delta).astype(dtype))
+
+    def d_tilda(self, mesh, U, nuT_f):
+        y = self.y_wall
+        g = fvc.grad(mesh, U)
+        mag_gu = jnp.sqrt(jnp.maximum(jnp.sum(g * g, axis=(1, 2)),
+                                      1e-20))
+        rd = jnp.minimum(
+            (nuT_f.data + self.nu)
+            / (mag_gu * (self.kappa * y) ** 2 + 1e-20), 10.0)
+        fd = 1.0 - jnp.tanh((8.0 * rd) ** 3)
+        return y - fd * jnp.maximum(y - self._cdes_delta, 0.0)
+
+
 register("kEpsilon", KEpsilon)
 register("RNGkEpsilon", RNGkEpsilon)
 register("realizableKE", RealizableKE)
@@ -835,3 +889,5 @@ register("kOmegaSST", KOmegaSST)
 register("kOmega", KOmega)
 register("SpalartAllmaras", SpalartAllmaras)
 register("LaunderSharmaKE", LaunderSharmaKE)
+register("SpalartAllmarasDES", SpalartAllmarasDES)
+register("SpalartAllmarasDDES", SpalartAllmarasDDES)

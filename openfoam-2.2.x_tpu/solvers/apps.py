@@ -1484,6 +1484,68 @@ def _has_solver(case, name) -> bool:
         return False
 
 
+def two_liquid_mixing_foam(case, max_steps: Optional[int] = None) -> None:
+    """twoLiquidMixingFoam: two miscible incompressible liquids
+    (reference: applications/solvers/multiphase/twoLiquidMixingFoam/).
+    Phase properties from constant/transportProperties phase1/phase2
+    (rho, nu) + Dab."""
+    from . import twoliquidmixing as tlm_mod
+
+    mesh = case.mesh
+    tp = case.transport_properties()
+    ph1 = tp.get("phase1", FoamDict())
+    ph2 = tp.get("phase2", FoamDict())
+    cdict = case.pimple_controls("PIMPLE")
+    cfg = tlm_mod.TwoLiquidConfig(
+        rho1=_dim_scalar_of(ph1, "rho", 1010.0),
+        rho2=_dim_scalar_of(ph2, "rho", 1000.0),
+        nu1=_dim_scalar_of(ph1, "nu", 1e-6),
+        nu2=_dim_scalar_of(ph2, "nu", 1e-6),
+        Dab=_dim_scalar_of(tp, "Dab", 1e-6),
+        g=_read_gravity(case),
+        n_correctors=int(cdict.get("nCorrectors", 3)),
+        n_non_orth=int(cdict.get("nNonOrthogonalCorrectors", 0)),
+        corrected=case.laplacian_corrected(),
+        p_controls=case.solver_controls("p_rgh")
+        if _has_solver(case, "p_rgh") else case.solver_controls("p"),
+        u_controls=case.solver_controls("U"),
+        a_controls=case.solver_controls("alpha")
+        if _has_solver(case, "alpha") else None,
+    )
+    U = case.read_field("U")
+    p_rgh = case.read_field("p_rgh")
+    try:
+        alpha = case.read_field("alpha")
+    except Exception:
+        alpha = case.read_field("alpha1")
+    state = tlm_mod.initial_state(mesh, U, p_rgh, alpha, cfg)
+    step = tlm_mod.make_step(mesh, cfg)
+    log.info(f"Starting loop: twoLiquidMixingFoam, "
+             f"{mesh.n_cells} cells\n")
+    cumulative = 0.0
+    t = case.time
+    max_iter = max(int(round((t.end_time - t.start_time) / t.delta_t)), 1)
+    if max_steps is not None:
+        max_iter = min(max_iter, max_steps)
+    dt = jnp.asarray(t.delta_t, mesh.v.dtype)
+
+    def write(state):
+        case.write_fields([state["U"], state["p_rgh"], state["alpha"]])
+
+    while (t.index < max_iter and not t.stop_now
+           and t.value < t.end_time - 1e-12):
+        state, diag = step(state, dt)
+        t.index += 1
+        t.value = t.start_time + t.index * t.delta_t
+        t.current_dt = float(dt)
+        cumulative = _log_step(case, t, diag, cumulative)
+        if t.write_time():
+            write(state)
+    write(state)
+    log.info("End\n")
+    case.final_state = state
+
+
 def two_phase_euler_foam(case, max_steps: Optional[int] = None) -> None:
     """twoPhaseEulerFoam: Euler-Euler two-phase flow with drag
     coupling (reference: applications/solvers/multiphase/
@@ -1914,6 +1976,8 @@ case_mod.register_application("pimpleDyMFoam", pimple_dym_foam)
 case_mod.register_application("compressibleInterFoam",
                               compressible_inter_foam)
 case_mod.register_application("twoPhaseEulerFoam", two_phase_euler_foam)
+case_mod.register_application("twoLiquidMixingFoam",
+                              two_liquid_mixing_foam)
 case_mod.register_application("bubbleFoam", two_phase_euler_foam)
 case_mod.register_application("reactingFoam", reacting_foam)
 case_mod.register_application("rhoReactingFoam", reacting_foam)

@@ -366,3 +366,51 @@ def test_launder_sharma_channel():
     assert np.isfinite(u).all() and np.isfinite(kk).all()
     assert (kk > 0).all() and (ee > 0).all()
     assert float(diag["continuity"]) < 1e-3
+
+
+def test_spalart_allmaras_des_length_scale():
+    """SA-DES clips the destruction length scale to CDES*delta away
+    from walls while SA-DDES's shield keeps the near-wall RANS scale
+    (reference: LES/SpalartAllmarasDES, DDES fd function)."""
+    import jax.numpy as jnp
+
+    from foamtpu.models.turbulence.ras import (SpalartAllmaras,
+                                               SpalartAllmarasDDES,
+                                               SpalartAllmarasDES)
+
+    from foamtpu.core.dictionary import parse_string as _ps
+
+    d = _ps('''
+vertices (
+    (0 0 0) (1 0 0) (1 1 0) (0 1 0)
+    (0 0 0.05) (1 0 0.05) (1 1 0.05) (0 1 0.05)
+);
+blocks ( hex (0 1 2 3 4 5 6 7) (12 12 1) simpleGrading (1 1 1) );
+boundary (
+    walls { type wall; faces ((1 5 4 0) (3 7 6 2) (0 4 7 3) (2 6 5 1)); }
+    frontAndBack { type empty; faces ((0 3 2 1) (4 5 6 7)); }
+);
+''')
+    pm = blockmesh.generate(d)
+    mesh = to_device(pm)
+    sa = SpalartAllmaras(nu=1e-5)
+    des = SpalartAllmarasDES(nu=1e-5)
+    ddes = SpalartAllmarasDDES(nu=1e-5)
+    for m in (sa, des, ddes):
+        m.init_wall_distance(pm, np.float32)
+    y = np.asarray(sa.y_wall)
+    yd = np.asarray(des.y_wall)
+    delta = 0.65 * np.cbrt(np.asarray(pm.v))
+    assert np.allclose(yd, np.minimum(y, delta), atol=1e-7)
+    # far from the wall the DES scale is the grid scale
+    far = y > delta
+    assert far.any() and np.allclose(yd[far], delta[far], atol=1e-7)
+    # DDES with zero velocity gradient: rd saturates -> fd ~ 0 (calm
+    # flow => shielded, RANS length scale everywhere)
+    from foamtpu.core.dimensions import dimVelocity
+    from foamtpu.core.fields import vol_scalar, vol_vector
+
+    U = vol_vector(mesh, jnp.zeros(3), name="U", dims=dimVelocity)
+    nuT = vol_scalar(mesh, 1e-4, name="nuTilda")
+    dt = np.asarray(ddes.d_tilda(mesh, U, nuT))
+    assert np.allclose(dt, y, atol=1e-6)
