@@ -1484,6 +1484,85 @@ def _has_solver(case, name) -> bool:
         return False
 
 
+def multiphase_inter_foam(case, max_steps: Optional[int] = None) -> None:
+    """multiphaseInterFoam: N immiscible phases with pairwise MULES
+    compression (reference: applications/solvers/multiphase/
+    multiphaseInterFoam/). Phases from constant/transportProperties
+    `phases (name1 name2 ...)` with per-phase subdicts {rho, nu} and
+    `sigmas ((a b s) ...)`; fractions read from 0/alpha<name>."""
+    import dataclasses as _dc
+
+    from ..core.fields import VolField
+    from . import multiphaseinter as mpi_mod
+
+    mesh = case.mesh
+    tp = case.transport_properties()
+    names = [str(x) for x in tp.get("phases", [])]
+    if not names:
+        raise ValueError("multiphaseInterFoam needs transportProperties"
+                         " `phases (...)`")
+    rhos, nus = [], []
+    for n in names:
+        ph = tp.get(n, FoamDict())
+        rhos.append(_dim_scalar_of(ph, "rho", 1000.0))
+        nus.append(_dim_scalar_of(ph, "nu", 1e-6))
+    sigmas = {}
+    for row in tp.get("sigmas", []) or []:
+        try:
+            arr = np.asarray(row, dtype=float).ravel()
+            if arr.size == 3:
+                sigmas[(int(arr[0]), int(arr[1]))] = float(arr[2])
+        except (TypeError, ValueError):
+            continue
+    flds = [case.read_field(f"alpha{n}") for n in names]
+    A = jnp.stack([f.data for f in flds], axis=1)
+    alphas = VolField(data=A, bcs=flds[0].bcs, name="alphas")
+    cdict = case.pimple_controls("PIMPLE")
+    cfg = mpi_mod.MultiphaseConfig(
+        rhos=tuple(rhos), nus=tuple(nus), sigmas=sigmas,
+        g=_read_gravity(case),
+        c_alpha=float(cdict.get("cAlpha", 1.0)),
+        n_correctors=int(cdict.get("nCorrectors", 3)),
+        n_non_orth=int(cdict.get("nNonOrthogonalCorrectors", 0)),
+        corrected=case.laplacian_corrected(),
+        p_controls=case.solver_controls("p_rgh")
+        if _has_solver(case, "p_rgh") else case.solver_controls("p"),
+        u_controls=case.solver_controls("U"))
+    U = case.read_field("U")
+    p_rgh = case.read_field("p_rgh")
+    state = mpi_mod.initial_state(mesh, U, p_rgh, alphas, cfg)
+    step = mpi_mod.make_step(mesh, cfg)
+    log.info(f"Starting loop: multiphaseInterFoam, {mesh.n_cells} "
+             f"cells, phases {names}\n")
+    cumulative = 0.0
+    t = case.time
+    max_iter = max(int(round((t.end_time - t.start_time) / t.delta_t)), 1)
+    if max_steps is not None:
+        max_iter = min(max_iter, max_steps)
+    dt = jnp.asarray(t.delta_t, mesh.v.dtype)
+
+    def write(state):
+        A = state["alphas"]
+        fields = [state["U"], state["p_rgh"]]
+        for i, n in enumerate(names):
+            fields.append(_dc.replace(flds[i], data=A.data[:, i],
+                                      name=f"alpha{n}"))
+        case.write_fields(fields)
+
+    while (t.index < max_iter and not t.stop_now
+           and t.value < t.end_time - 1e-12):
+        state, diag = step(state, dt)
+        t.index += 1
+        t.value = t.start_time + t.index * t.delta_t
+        t.current_dt = float(dt)
+        cumulative = _log_step(case, t, diag, cumulative)
+        if t.write_time():
+            write(state)
+    write(state)
+    log.info("End\n")
+    case.final_state = state
+
+
 def two_liquid_mixing_foam(case, max_steps: Optional[int] = None) -> None:
     """twoLiquidMixingFoam: two miscible incompressible liquids
     (reference: applications/solvers/multiphase/twoLiquidMixingFoam/).
@@ -1978,6 +2057,8 @@ case_mod.register_application("compressibleInterFoam",
 case_mod.register_application("twoPhaseEulerFoam", two_phase_euler_foam)
 case_mod.register_application("twoLiquidMixingFoam",
                               two_liquid_mixing_foam)
+case_mod.register_application("multiphaseInterFoam",
+                              multiphase_inter_foam)
 case_mod.register_application("bubbleFoam", two_phase_euler_foam)
 case_mod.register_application("reactingFoam", reacting_foam)
 case_mod.register_application("rhoReactingFoam", reacting_foam)
