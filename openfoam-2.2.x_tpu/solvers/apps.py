@@ -701,7 +701,8 @@ def potential_foam(case, max_steps: Optional[int] = None) -> None:
     log.info("End\n")
 
 
-def interfoam_app(case, max_steps: Optional[int] = None) -> None:
+def interfoam_app(case, max_steps: Optional[int] = None,
+                  lts: bool = False) -> None:
     """interFoam from case files (reference:
     applications/solvers/multiphase/interFoam/)."""
     import jax.numpy as jnp
@@ -740,6 +741,9 @@ def interfoam_app(case, max_steps: Optional[int] = None) -> None:
     p_rgh = case.read_field("p_rgh")
     pdict = case.pimple_controls("PIMPLE")
     cfg = inter_mod.InterConfig(
+        lts=lts,
+        lts_max_co=float(case.control_dict.get("maxCo", 0.5)),
+        lts_max_dt=float(case.control_dict.get("maxDeltaT", 1e6)),
         rho1=rho1, rho2=rho2, nu1=nu1, nu2=nu2, sigma=sigma, g=g_vec,
         c_alpha=float(pdict.get("cAlpha", 1.0)),
         n_alpha_subcycles=int(pdict.get("nAlphaSubCycles", 1)),
@@ -2020,6 +2024,10 @@ case_mod.register_application("buoyantBoussinesqPimpleFoam",
 case_mod.register_application("icoFoam", icofoam)
 case_mod.register_application("nonNewtonianIcoFoam", non_newtonian_icofoam)
 case_mod.register_application("interFoam", interfoam_app)
+case_mod.register_application(
+    "LTSInterFoam",
+    lambda case, max_steps=None: interfoam_app(case, max_steps,
+                                               lts=True))
 case_mod.register_application("rhoCentralFoam", rhocentralfoam_app)
 case_mod.register_application("pisoFoam", pisofoam)
 case_mod.register_application("pimpleFoam", pimplefoam)

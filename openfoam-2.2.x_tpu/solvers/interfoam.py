@@ -36,6 +36,14 @@ class InterConfig(NamedTuple):
     sigma: float
     g: Tuple[float, float, float] = (0.0, -9.81, 0.0)
     c_alpha: float = 1.0
+    # LTSInterFoam mode (reference: applications/solvers/multiphase/
+    # LTSInterFoam/setRDeltaT.H): per-cell pseudo-time from the local
+    # Courant limit, smoothed and change-rate damped
+    lts: bool = False
+    lts_max_co: float = 0.5
+    lts_max_dt: float = 1e6
+    lts_smooth_sweeps: int = 3
+    lts_damping: float = 1.2         # dt may grow <=20% per step
     n_alpha_subcycles: int = 1
     n_alpha_corr: int = 1
     n_correctors: int = 3
@@ -196,7 +204,8 @@ def interfoam_step(mesh, state: Dict, dt: Any, cfg: InterConfig
     diag["continuity"] = jnp.sum(jnp.abs(div_phi)) / jnp.sum(mesh.v)
     diag["continuity_global"] = jnp.sum(div_phi) / jnp.sum(mesh.v)
     sum_phi = jnp.sum(jnp.abs(phi)[mesh.cface] * jnp.abs(mesh.csign), axis=1)
-    diag["courant_max"] = 0.5 * jnp.max(sum_phi / mesh.v) * dt
+    # elementwise before the max so a per-cell LTS dt works too
+    diag["courant_max"] = 0.5 * jnp.max(sum_phi / mesh.v * dt)
 
     new_state = dict(state)
     new_state.update(U=U, p_rgh=p_rgh, alpha=alpha, phi=phi, rho=rho,
@@ -207,6 +216,8 @@ def interfoam_step(mesh, state: Dict, dt: Any, cfg: InterConfig
 def make_step(mesh, cfg: InterConfig):
     @jax.jit
     def step(state, dt):
+        if cfg.lts:
+            return lts_interfoam_step(mesh, state, dt, cfg)
         return interfoam_step(mesh, state, dt, cfg)
 
     return step
@@ -215,5 +226,55 @@ def make_step(mesh, cfg: InterConfig):
 def initial_state(mesh, U: VolField, p_rgh: VolField, alpha: VolField,
                   cfg: InterConfig) -> Dict:
     rho, _ = mixture(cfg, alpha.data)
-    return {"U": U, "p_rgh": p_rgh, "alpha": alpha,
-            "phi": fvc.flux(mesh, U), "rho": rho, "U0": U.data}
+    st = {"U": U, "p_rgh": p_rgh, "alpha": alpha,
+          "phi": fvc.flux(mesh, U), "rho": rho, "U0": U.data}
+    if cfg.lts:
+        # stable pytree structure across steps
+        st["lts_rdt"] = jnp.full(mesh.n_cells, 1.0 / cfg.lts_max_dt,
+                                 mesh.v.dtype)
+    return st
+
+
+# ---------------------------------------------------------------------------
+# LTSInterFoam: local (per-cell) pseudo-time stepping
+# (reference: applications/solvers/multiphase/LTSInterFoam/setRDeltaT.H
+#  + the fv::localEulerDdtScheme family)
+# ---------------------------------------------------------------------------
+
+
+def lts_rdelta_t(mesh, phi, rdt_old, cfg: InterConfig):
+    """Per-cell 1/deltaT: local Courant limit, neighbour-max smoothing
+    (the fvc::smooth analogue), and growth damping vs the previous
+    field."""
+    from ..ops import slot as slot_mod
+
+    sum_phi = jnp.sum(jnp.abs(phi)[mesh.cface] * jnp.abs(mesh.csign),
+                      axis=1)
+    rdt = jnp.maximum(sum_phi / (2.0 * cfg.lts_max_co * mesh.v),
+                      1.0 / cfg.lts_max_dt)
+    for _ in range(cfg.lts_smooth_sweeps):
+        nb = slot_mod.nbr_values(mesh, rdt)
+        nb = jnp.where(mesh.st_valid > 0, nb, 0.0)
+        rdt = jnp.maximum(rdt, 0.7 * jnp.max(nb, axis=1))
+    if rdt_old is not None:
+        # dt must not grow faster than lts_damping per step
+        rdt = jnp.maximum(rdt, rdt_old / cfg.lts_damping)
+    return rdt
+
+
+def lts_interfoam_step(mesh, state, dt_unused, cfg: InterConfig):
+    """One LTS pseudo-time step: each cell advances by its own local
+    dt toward steady state; the `dt` argument is ignored (kept for the
+    shared driver signature)."""
+    rdt = lts_rdelta_t(mesh, state["phi"], state.get("lts_rdt"), cfg)
+    dt_cell = 1.0 / rdt
+    new_state, diag = interfoam_step(mesh, state, dt_cell, cfg)
+    # the local CFL is computed from the PREVIOUS step's flux; during
+    # startup transients the lagged bound can transiently violate
+    # strict FCT boundedness — clamp, as the reference LTS practice
+    a = new_state["alpha"]
+    new_state["alpha"] = a.with_data(jnp.clip(a.data, 0.0, 1.0))
+    new_state["lts_rdt"] = rdt
+    diag["lts_dt_min"] = jnp.min(dt_cell)
+    diag["lts_dt_max"] = jnp.max(dt_cell)
+    return new_state, diag

@@ -119,3 +119,46 @@ def test_velocity_finite(dam_result):
     assert np.isfinite(u).all()
     # bounded by free-fall-ish speeds for t=0.08s: v = g*t ~ 0.8 m/s; allow 5x
     assert np.abs(u).max() < 5.0
+
+
+def test_lts_interfoam_reaches_hydrostatic_rest():
+    """LTSInterFoam: per-cell pseudo-time marches a stratified column
+    to hydrostatic rest much like the transient solver would, with the
+    local dt varying across the mesh and alpha staying bounded
+    (reference: LTSInterFoam/setRDeltaT.H + localEuler ddt)."""
+    mesh = dam_mesh(16)
+    ubcs, pbcs, abcs = [], [], []
+    for patch in mesh.patches:
+        if patch.type == "empty":
+            for lst in (ubcs, pbcs, abcs):
+                lst.append(pf.PatchField(kind="empty", vfrac=0.0))
+        else:
+            ubcs.append(pf.fixed_value(jnp.zeros(3)))
+            pbcs.append(pf.zero_gradient())
+            abcs.append(pf.zero_gradient())
+    U = vol_vector(mesh, jnp.zeros(3), name="U", dims=dimVelocity,
+                   bcs=tuple(ubcs))
+    p_rgh = vol_scalar(mesh, 0.0, name="p_rgh",
+                       dims=DimensionSet.of(0, 2, -2), bcs=tuple(pbcs))
+    alpha = vol_scalar(mesh, 0.0, name="alpha", bcs=tuple(abcs))
+    # stable stratification: water below
+    c = np.asarray(mesh.c)
+    a0 = jnp.asarray((c[:, 1] < 0.3).astype(np.float32))
+    alpha = alpha.with_data(a0)
+    cfg = interfoam.InterConfig(
+        rho1=1000.0, rho2=1.0, nu1=1e-6, nu2=1.5e-5, sigma=0.0,
+        n_correctors=2, lts=True, lts_max_co=0.25, lts_max_dt=0.01)
+    state = interfoam.initial_state(mesh, U, p_rgh, alpha, cfg)
+    step = interfoam.make_step(mesh, cfg)
+    diag = None
+    for _ in range(20):
+        state, diag = step(state, jnp.asarray(0.0, mesh.v.dtype))
+    a = np.asarray(state["alpha"].data)
+    u = np.asarray(state["U"].data)
+    assert np.isfinite(a).all() and np.isfinite(u).all()
+    assert a.min() > -1e-3 and a.max() < 1.0 + 1e-3
+    # stable column: stays stratified, low residual velocity
+    assert a[c[:, 1] < 0.2].min() > 0.9
+    assert a[c[:, 1] > 0.4].max() < 0.1
+    assert float(diag["lts_dt_min"]) <= float(diag["lts_dt_max"])
+    assert np.abs(u).max() < 0.5   # startup interface transient decays
