@@ -61,9 +61,38 @@ def _load_turbulence(case, nu: float):
 
 
 def _load_mrf(case):
-    """constant/MRFZones -> models/mrf.MRFZones (or None)."""
+    """constant/MRFZones -> models/mrf.MRFZones (or None). When
+    constant/SRFProperties exists (SRFSimpleFoam/SRFPimpleFoam), the
+    single rotating frame is the MRF machinery applied to the WHOLE
+    domain (reference: src/finiteVolume/cfdTools/general/SRF/ — same
+    Coriolis + frame-flux terms, selectionMode all)."""
+    import os as _os
+
+    from ..core.dictionary import FoamDict as _FD
     from ..models import mrf as mrf_mod
 
+    srf_path = _os.path.join(case.dir, "constant", "SRFProperties")
+    if _os.path.exists(srf_path):
+        srf = parse_file(srf_path)
+        coeffs = srf.get("rpmCoeffs", srf)
+        om = coeffs.get("rpm", None)
+        if om is not None:
+            omega = float(om if not isinstance(om, (list, tuple))
+                          else om[-1]) * 2.0 * np.pi / 60.0
+        else:
+            omega = _dim_scalar_of(srf, "omega", 0.0)
+        spec = _FD([("selectionMode", "all"),
+                    ("origin", tuple(np.asarray(
+                        srf.get("origin", (0.0, 0.0, 0.0)),
+                        dtype=float))),
+                    ("axis", tuple(np.asarray(
+                        srf.get("axis", (0.0, 0.0, 1.0)),
+                        dtype=float))),
+                    ("omega", omega)])
+        nrp = srf.get("nonRotatingPatches")
+        if nrp is not None:
+            spec["nonRotatingPatches"] = nrp
+        return mrf_mod.from_dict(case.mesh, _FD([("SRF", spec)]))
     return mrf_mod.from_case(case)
 
 
@@ -491,6 +520,63 @@ def laplacian_foam(case, max_steps: Optional[int] = None) -> None:
             break
     case.write_fields([T])
     case.final_state = {"T": T}
+    log.info("End\n")
+
+
+def financial_foam(case, max_steps: Optional[int] = None) -> None:
+    """financialFoam: Black-Scholes option pricing on a 1-D
+    stock-price mesh (reference: applications/solvers/financial/
+    financialFoam/ — the framework-is-a-general-PDE-toolkit solver):
+
+        ddt(V) + 0.5 sigma^2 S^2 d2V/dS2 + r S dV/dS - r V = 0
+
+    marched backwards from expiry (tau = T - t), with S = the mesh x
+    coordinate. constant/financialProperties: sigma, r (both plain or
+    dimensioned)."""
+    import jax
+
+    from ..core.dimensions import dimViscosity
+    from ..ops import fvm
+    from . import linear
+
+    mesh = case.mesh
+    fp = case.properties("financialProperties")
+    sigma = _dim_scalar_of(fp, "sigma", 0.2)
+    r = _dim_scalar_of(fp, "r", 0.05)
+    V = case.read_field("V")
+    ctl = case.solver_controls("V")
+    Sf = mesh.cf[:, 0]
+    # conservative-form rewrite: div(0.5 s^2 S^2 grad V) =
+    # 0.5 s^2 S^2 V'' + s^2 S V', so the drift/sink coefficients are
+    # shifted to keep the non-conservative Black-Scholes operator:
+    #   drift (r - s^2) S, sink (2r - s^2) V
+    gamma_f = 0.5 * sigma * sigma * Sf * Sf
+    phi = (r - sigma * sigma) * Sf * mesh.sf[:, 0] * mesh.face_active
+
+    @jax.jit
+    def step(V_field, dt):
+        rdt = 1.0 / dt
+        # in tau the equation reads dV/dtau = 0.5 s^2 S^2 V'' + rSV' - rV
+        eqn = (fvm.ddt(mesh, V_field, V_field.data, rdt)
+               - fvm.laplacian(mesh, gamma_f, V_field, corrected=False,
+                               gamma_dims=dimViscosity)
+               - fvm.div(mesh, phi, V_field)
+               + fvm.Sp(mesh, jnp.full(mesh.n_cells,
+                                       2.0 * r - sigma * sigma,
+                                       mesh.v.dtype), V_field))
+        data, perf = linear.solve(mesh, eqn, V_field.data, ctl)
+        return V_field.with_data(data), perf
+
+    for t in case.time.loop():
+        V, perf = step(V, jnp.asarray(t.current_dt, mesh.v.dtype))
+        log.info(f"Time = {t.name}")
+        log.info(log.solver_line("V", perf))
+        if t.write_time():
+            case.write_fields([V])
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.write_fields([V])
+    case.final_state = {"V": V}
     log.info("End\n")
 
 
@@ -2037,11 +2123,16 @@ case_mod.register_application("simpleFoam", simplefoam)
 # aliases (reference: applications/solvers/incompressible/MRFSimpleFoam/)
 case_mod.register_application("MRFSimpleFoam", simplefoam)
 case_mod.register_application("MRFPimpleFoam", pimplefoam)
+# single rotating frame: whole-domain MRF from constant/SRFProperties
+# (reference: incompressible/{SRFSimpleFoam,SRFPimpleFoam})
+case_mod.register_application("SRFSimpleFoam", simplefoam)
+case_mod.register_application("SRFPimpleFoam", pimplefoam)
 # porous zones are picked up from constant/porousZones by
 # _load_fvoptions (reference: applications/solvers/incompressible/
 # porousSimpleFoam/ reads porousZones into the momentum equation)
 case_mod.register_application("porousSimpleFoam", simplefoam)
 case_mod.register_application("electrostaticFoam", electrostatic_foam)
+case_mod.register_application("financialFoam", financial_foam)
 case_mod.register_application("boundaryFoam", boundary_foam)
 case_mod.register_application("shallowWaterFoam", shallow_water_foam)
 case_mod.register_application("dnsFoam", dns_foam)

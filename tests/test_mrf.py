@@ -193,3 +193,63 @@ def test_mrf_taylor_couette_equivalence():
     rotor_phi_rel = phiM[rotor.start:rotor.start + rotor.size]
     corr = zones.zones[0].face_corr[rotor.start:rotor.start + rotor.size]
     assert np.abs(rotor_phi_rel + corr).max() < 1e-3 * wall_speed * 0.01
+
+
+def test_srf_simple_foam_solid_body_rotation(tmp_path):
+    """SRFSimpleFoam (as whole-domain MRF on the absolute velocity):
+    walls rotating with the frame drive the fluid to exact solid-body
+    rotation (reference: SRFSimpleFoam + SRFProperties rpm)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(repo, "tutorials", "incompressible", "icoFoam",
+                       "cavity")
+    dst = os.path.join(tmp_path, "srf")
+    shutil.copytree(src, dst)
+    with open(os.path.join(dst, "system", "controlDict")) as f:
+        cd = f.read()
+    cd = cd.replace("application     icoFoam;",
+                    "application     SRFSimpleFoam;")
+    cd = cd.replace("endTime         0.5;", "endTime         40;")
+    cd = cd.replace("deltaT          0.005;", "deltaT          1;")
+    with open(os.path.join(dst, "system", "controlDict"), "w") as f:
+        f.write(cd)
+    with open(os.path.join(dst, "system", "fvSolution"), "a") as f:
+        f.write("""
+SIMPLE { nNonOrthogonalCorrectors 0; pRefCell 0; pRefValue 0; }
+relaxationFactors { U 0.7; p 0.3; }
+""")
+    with open(os.path.join(dst, "constant", "SRFProperties"), "w") as f:
+        f.write("""FoamFile { version 2.0; format ascii; class dictionary; object SRFProperties; }
+SRFModel        rpm;
+origin          (0.05 0.05 0);
+axis            (0 0 1);
+rpmCoeffs { rpm 60; }
+""")
+    # walls all rotate WITH the frame -> Urel = 0 is the solution; the
+    # moving lid fixedValue (1 0 0) would fight the frame, so zero it
+    upath = os.path.join(dst, "0", "U")
+    with open(upath) as f:
+        u = f.read()
+    u = u.replace("uniform (1 0 0)", "uniform (0 0 0)")
+    with open(upath, "w") as f:
+        f.write(u)
+    from foamtpu.apps.cli import main
+    from foamtpu.core.case import run_case
+
+    assert main(["blockMesh", "-case", dst]) == 0
+    case = run_case(dst, max_steps=40)
+    U = np.asarray(case.final_state["U"].data)
+    assert np.isfinite(U).all()
+    # our SRF = whole-domain MRF solves the ABSOLUTE velocity
+    # (documented deviation: the reference stores Urel): the converged
+    # flow is exact solid-body rotation U = omega x (x - origin)
+    c = np.asarray(case.mesh.c)
+    omega = 2.0 * np.pi  # 60 rpm
+    ue = np.stack([-omega * (c[:, 1] - 0.05),
+                   omega * (c[:, 0] - 0.05),
+                   np.zeros(c.shape[0])], axis=1)
+    assert np.abs(U - ue).max() < 0.03
