@@ -523,6 +523,61 @@ def laplacian_foam(case, max_steps: Optional[int] = None) -> None:
     log.info("End\n")
 
 
+def mhd_foam(case, max_steps: Optional[int] = None) -> None:
+    """mhdFoam: incompressible MHD (reference: applications/solvers/
+    electromagnetics/mhdFoam/). Properties from
+    constant/transportProperties: nu, rho, mu (magnetic permeability),
+    sigma (conductivity); fields U, p, B (Alfven-velocity units), pB."""
+    from . import mhd as mhd_mod
+
+    mesh = case.mesh
+    tp = case.transport_properties()
+    cdict = case.pimple_controls("PISO")
+    cfg = mhd_mod.MhdConfig(
+        nu=_dim_scalar_of(tp, "nu", 1e-6),
+        rho=_dim_scalar_of(tp, "rho", 1.0),
+        mu_mag=_dim_scalar_of(tp, "mu", 1.0),
+        sigma_c=_dim_scalar_of(tp, "sigma", 1.0),
+        n_correctors=int(cdict.get("nCorrectors", 2)),
+        n_non_orth=int(cdict.get("nNonOrthogonalCorrectors", 0)),
+        corrected=case.laplacian_corrected(),
+        p_controls=case.solver_controls("p"),
+        u_controls=case.solver_controls("U"),
+        pb_controls=case.solver_controls("pB")
+        if _has_solver(case, "pB") else None)
+    U = case.read_field("U")
+    p = case.read_field("p")
+    B = case.read_field("B")
+    pB = case.read_field("pB")
+    state = mhd_mod.initial_state(mesh, U, p, B, pB)
+    step = mhd_mod.make_step(mesh, cfg)
+    log.info(f"Starting loop: mhdFoam, {mesh.n_cells} cells\n")
+    cumulative = 0.0
+    t = case.time
+    max_iter = max(int(round((t.end_time - t.start_time) / t.delta_t)), 1)
+    if max_steps is not None:
+        max_iter = min(max_iter, max_steps)
+    dt = jnp.asarray(t.delta_t, mesh.v.dtype)
+
+    def write(state):
+        case.write_fields([state["U"], state["p"], state["B"],
+                           state["pB"]])
+
+    while (t.index < max_iter and not t.stop_now
+           and t.value < t.end_time - 1e-12):
+        state, diag = step(state, dt)
+        t.index += 1
+        t.value = t.start_time + t.index * t.delta_t
+        t.current_dt = float(dt)
+        cumulative = _log_step(case, t, diag, cumulative)
+        log.info(log.solver_line("Bx", diag["Bx"]))
+        if t.write_time():
+            write(state)
+    write(state)
+    log.info("End\n")
+    case.final_state = state
+
+
 def financial_foam(case, max_steps: Optional[int] = None) -> None:
     """financialFoam: Black-Scholes option pricing on a 1-D
     stock-price mesh (reference: applications/solvers/financial/
@@ -2133,6 +2188,7 @@ case_mod.register_application("SRFPimpleFoam", pimplefoam)
 case_mod.register_application("porousSimpleFoam", simplefoam)
 case_mod.register_application("electrostaticFoam", electrostatic_foam)
 case_mod.register_application("financialFoam", financial_foam)
+case_mod.register_application("mhdFoam", mhd_foam)
 case_mod.register_application("boundaryFoam", boundary_foam)
 case_mod.register_application("shallowWaterFoam", shallow_water_foam)
 case_mod.register_application("dnsFoam", dns_foam)
