@@ -523,6 +523,62 @@ def laplacian_foam(case, max_steps: Optional[int] = None) -> None:
     log.info("End\n")
 
 
+def cavitating_foam(case, max_steps: Optional[int] = None) -> None:
+    """cavitatingFoam: barotropic homogeneous-equilibrium cavitation
+    (reference: applications/solvers/multiphase/cavitatingFoam/).
+    constant/thermodynamicProperties: psil/psiv/rhol0/pSat;
+    constant/transportProperties: nul (phase viscosities optional)."""
+    from . import cavitating as cav_mod
+
+    mesh = case.mesh
+    th = case.properties("thermodynamicProperties")
+    tp = case.transport_properties()
+    cdict = case.pimple_controls("PIMPLE")
+    cfg = cav_mod.CavitatingConfig(
+        rhol0=_dim_scalar_of(th, "rhol0", 1000.0),
+        psil=_dim_scalar_of(th, "psil", 4.54e-7),
+        psiv=_dim_scalar_of(th, "psiv", 2.5e-6),
+        p_sat=_dim_scalar_of(th, "pSat", 2300.0),
+        rho_min=_dim_scalar_of(th, "rhoMin", 0.001),
+        nul=_dim_scalar_of(tp, "nul", _dim_scalar_of(tp, "nu", 1e-6)),
+        nuv=_dim_scalar_of(tp, "nuv", 4.273e-7),
+        n_outer=int(cdict.get("nOuterCorrectors", 2)),
+        n_correctors=int(cdict.get("nCorrectors", 2)),
+        n_non_orth=int(cdict.get("nNonOrthogonalCorrectors", 0)),
+        corrected=case.laplacian_corrected(),
+        p_controls=case.solver_controls("p"),
+        u_controls=case.solver_controls("U"))
+    U = case.read_field("U")
+    p = case.read_field("p")
+    state = cav_mod.initial_state(mesh, U, p, cfg)
+    step = cav_mod.make_step(mesh, cfg)
+    log.info(f"Starting loop: cavitatingFoam, {mesh.n_cells} cells\n")
+    cumulative = 0.0
+    t = case.time
+    max_iter = max(int(round((t.end_time - t.start_time) / t.delta_t)), 1)
+    if max_steps is not None:
+        max_iter = min(max_iter, max_steps)
+    dt = jnp.asarray(t.delta_t, mesh.v.dtype)
+
+    def write(state):
+        case.write_fields([state["U"], state["p"]])
+
+    while (t.index < max_iter and not t.stop_now
+           and t.value < t.end_time - 1e-12):
+        state, diag = step(state, dt)
+        t.index += 1
+        t.value = t.start_time + t.index * t.delta_t
+        t.current_dt = float(dt)
+        log.info(f"Time = {t.name}\n")
+        log.info(f"max(gamma) = {float(diag['gamma_max']):.6g}\n")
+        cumulative = _log_step(case, t, diag, cumulative)
+        if t.write_time():
+            write(state)
+    write(state)
+    log.info("End\n")
+    case.final_state = state
+
+
 def mhd_foam(case, max_steps: Optional[int] = None) -> None:
     """mhdFoam: incompressible MHD (reference: applications/solvers/
     electromagnetics/mhdFoam/). Properties from
@@ -2189,6 +2245,7 @@ case_mod.register_application("porousSimpleFoam", simplefoam)
 case_mod.register_application("electrostaticFoam", electrostatic_foam)
 case_mod.register_application("financialFoam", financial_foam)
 case_mod.register_application("mhdFoam", mhd_foam)
+case_mod.register_application("cavitatingFoam", cavitating_foam)
 case_mod.register_application("boundaryFoam", boundary_foam)
 case_mod.register_application("shallowWaterFoam", shallow_water_foam)
 case_mod.register_application("dnsFoam", dns_foam)
