@@ -898,8 +898,39 @@ def potential_foam(case, max_steps: Optional[int] = None) -> None:
     log.info("End\n")
 
 
+def _dym_motion(case):
+    """(pts_fn, umesh_fn) from constant/dynamicMeshDict solid-body
+    motion coefficients (shared by pimpleDyMFoam / interDyMFoam)."""
+    from ..mesh import moving
+
+    dmd = case.properties("dynamicMeshDict")
+    coeffs = dmd.get("solidBodyMotionFvMeshCoeffs", dmd)
+    fn = str(coeffs.get("solidBodyMotionFunction", "linearMotion"))
+    c = coeffs.get(fn + "Coeffs", FoamDict())
+
+    def vec(key, default=(0.0, 0.0, 0.0)):
+        return tuple(float(q) for q in c.get(key, default))
+
+    def scal(key, default=1.0):
+        v = c.get(key, default)
+        if isinstance(v, (list, tuple)):
+            v = v[-1]
+        return float(v)
+
+    if fn == "oscillatingLinearMotion":
+        return moving.oscillating_linear_motion(vec("amplitude"),
+                                                scal("omega"))
+    if fn == "rotatingMotion":
+        return moving.rotating_motion(vec("origin"),
+                                      vec("axis", (0.0, 0.0, 1.0)),
+                                      scal("omega"))
+    if fn == "linearMotion":
+        return moving.linear_motion(vec("velocity"))
+    raise ValueError(f"unsupported solidBodyMotionFunction {fn!r}")
+
+
 def interfoam_app(case, max_steps: Optional[int] = None,
-                  lts: bool = False) -> None:
+                  lts: bool = False, dym: bool = False) -> None:
     """interFoam from case files (reference:
     applications/solvers/multiphase/interFoam/)."""
     import jax.numpy as jnp
@@ -950,8 +981,16 @@ def interfoam_app(case, max_steps: Optional[int] = None,
         u_controls=case.solver_controls("U") if "U" in str(
             case.fv_solution.get("solvers", {})) else None,
     )
-    step = inter_mod.make_step(mesh, cfg)
-    state = inter_mod.initial_state(mesh, U, p_rgh, alpha, cfg)
+    if dym:
+        # interDyMFoam (reference: interFoam/interDyMFoam): solid-body
+        # mesh motion + relative-flux formulation
+        pts_fn, umesh_fn = _dym_motion(case)
+        step = inter_mod.make_dym_step(mesh, cfg, pts_fn, umesh_fn)
+        state = inter_mod.interdym_initial_state(
+            case.poly_mesh, mesh, U, p_rgh, alpha, cfg, umesh_fn)
+    else:
+        step = inter_mod.make_step(mesh, cfg)
+        state = inter_mod.initial_state(mesh, U, p_rgh, alpha, cfg)
 
     from ..functionobjects import make_function_objects
 
@@ -2225,6 +2264,10 @@ case_mod.register_application(
     "LTSInterFoam",
     lambda case, max_steps=None: interfoam_app(case, max_steps,
                                                lts=True))
+case_mod.register_application(
+    "interDyMFoam",
+    lambda case, max_steps=None: interfoam_app(case, max_steps,
+                                               dym=True))
 case_mod.register_application("rhoCentralFoam", rhocentralfoam_app)
 case_mod.register_application("pisoFoam", pisofoam)
 case_mod.register_application("pimpleFoam", pimplefoam)

@@ -171,6 +171,10 @@ def interfoam_step(mesh, state: Dict, dt: Any, cfg: InterConfig
         phiHbyA_i = jnp.sum(mesh.sf[:nif] * hf, axis=1) * mesh.face_active[:nif]
         phiHbyA_b = boundary_flux(mesh, U)
         phiHbyA = jnp.concatenate([phiHbyA_i, phiHbyA_b], axis=0)
+        if "mesh_phi" in state:
+            # moving mesh (interDyMFoam): continuity and advection run
+            # on the RELATIVE flux (reference: fvc::makeRelative)
+            phiHbyA = phiHbyA - state["mesh_phi"]
         phig = rAf * (st_flux + buoy_flux)
         phiHbyA = phiHbyA + phig
 
@@ -278,3 +282,54 @@ def lts_interfoam_step(mesh, state, dt_unused, cfg: InterConfig):
     diag["lts_dt_min"] = jnp.min(dt_cell)
     diag["lts_dt_max"] = jnp.max(dt_cell)
     return new_state, diag
+
+
+# ---------------------------------------------------------------------------
+# interDyMFoam: interFoam on a (solid-body) moving mesh
+# (reference: applications/solvers/multiphase/interFoam/interDyMFoam/ —
+#  mesh.update(); fvc::makeRelative(phi, U); the TPU design recomputes
+#  the geometry on device each step, mesh/moving.py, and carries the
+#  RELATIVE flux so makeRelative/makeAbsolute collapse to one
+#  subtraction. Rigid motions keep cell volumes exact, so the space
+#  conservation law is satisfied identically.)
+# ---------------------------------------------------------------------------
+
+
+def interdym_step(mesh, state, dt, cfg: InterConfig, pts_fn, umesh_fn):
+    from ..mesh import moving
+
+    t = state["t"] + dt
+    mesh_t = moving.update_geometry(mesh, pts_fn(state["points0"], t),
+                                    state["topo"])
+    mesh_phi = moving.mesh_flux(mesh_t, umesh_fn, t) * mesh_t.face_active
+    st = dict(state)
+    st["mesh_phi"] = mesh_phi
+    new_state, diag = interfoam_step(mesh_t, st, dt, cfg)
+    new_state["t"] = t
+    new_state["mesh_phi"] = mesh_phi
+    return new_state, diag
+
+
+def interdym_initial_state(pm, mesh, U, p_rgh, alpha, cfg: InterConfig,
+                           umesh_fn=None):
+    from ..mesh import moving
+
+    st = initial_state(mesh, U, p_rgh, alpha, cfg)
+    st["topo"] = moving.topo_from_poly(pm, mesh.v.dtype)
+    st["points0"] = jnp.asarray(pm.points, mesh.v.dtype)
+    st["t"] = jnp.zeros((), mesh.v.dtype)
+    mp = (moving.mesh_flux(mesh, umesh_fn, 0.0) * mesh.face_active
+          if umesh_fn is not None
+          else jnp.zeros(mesh.n_faces, mesh.v.dtype))
+    st["mesh_phi"] = mp
+    st["phi"] = st["phi"] - mp     # carry the relative flux
+    return st
+
+
+def make_dym_step(mesh, cfg: InterConfig, pts_fn, umesh_fn):
+    from .jitstep import jit_with_mesh
+
+    return jit_with_mesh(
+        lambda m, state, dt: interdym_step(m, state, dt, cfg, pts_fn,
+                                           umesh_fn), mesh,
+        (cfg.p_controls, cfg.u_controls))

@@ -162,3 +162,71 @@ def test_lts_interfoam_reaches_hydrostatic_rest():
     assert a[c[:, 1] > 0.4].max() < 0.1
     assert float(diag["lts_dt_min"]) <= float(diag["lts_dt_max"])
     assert np.abs(u).max() < 0.5   # startup interface transient decays
+
+
+def test_interdym_translating_tank_keeps_hydrostatic():
+    """interDyMFoam Galilean check: a water column in a tank moving at
+    CONSTANT velocity must behave exactly like the static tank — the
+    relative-flux formulation keeps the free surface flat, alpha
+    bounded, and mass conserved (reference: interDyMFoam +
+    solidBodyMotion)."""
+    from foamtpu.io import polymesh as pm_io
+    from foamtpu.mesh import blockmesh as bm, moving
+
+    d = parse_string("""
+convertToMeters 0.584;
+vertices (
+    (0 0 0) (1 0 0) (1 1 0) (0 1 0)
+    (0 0 0.03) (1 0 0.03) (1 1 0.03) (0 1 0.03)
+);
+blocks ( hex (0 1 2 3 4 5 6 7) (16 16 1) simpleGrading (1 1 1) );
+boundary (
+    walls { type wall; faces ((0 4 7 3) (2 6 5 1) (1 5 4 0) (3 7 6 2)); }
+    frontAndBack { type empty; faces ((0 3 2 1) (4 5 6 7)); }
+);
+""")
+    pm = bm.generate(d)
+    mesh = to_device(pm)
+    ubcs, pbcs, abcs = [], [], []
+    vel = jnp.asarray([0.3, 0.0, 0.0])
+    for patch in mesh.patches:
+        if patch.type == "empty":
+            for lst in (ubcs, pbcs, abcs):
+                lst.append(pf.PatchField(kind="empty", vfrac=0.0))
+        else:
+            ubcs.append(pf.fixed_value(vel))   # walls move with tank
+            pbcs.append(pf.zero_gradient())
+            abcs.append(pf.zero_gradient())
+    U = vol_vector(mesh, vel, name="U", dims=dimVelocity,
+                   bcs=tuple(ubcs))
+    p_rgh = vol_scalar(mesh, 0.0, name="p_rgh",
+                       dims=DimensionSet.of(0, 2, -2), bcs=tuple(pbcs))
+    c = np.asarray(mesh.c)
+    a0 = jnp.asarray((c[:, 1] < 0.3).astype(np.float32))
+    alpha = vol_scalar(mesh, 0.0, name="alpha",
+                       bcs=tuple(abcs)).with_data(a0)
+    cfg = interfoam.InterConfig(
+        rho1=1000.0, rho2=1.0, nu1=1e-6, nu2=1.5e-5, sigma=0.0,
+        n_correctors=3)
+    pts_fn, umesh_fn = moving.linear_motion((0.3, 0.0, 0.0))
+    state = interfoam.interdym_initial_state(pm, mesh, U, p_rgh, alpha,
+                                             cfg, umesh_fn)
+    step = interfoam.make_dym_step(mesh, cfg, pts_fn, umesh_fn)
+    v = np.asarray(mesh.v)
+    m0 = float((np.asarray(a0) * v).sum())
+    dt = jnp.asarray(2e-3, mesh.v.dtype)
+    for _ in range(25):
+        state, diag = step(state, dt)
+    a = np.asarray(state["alpha"].data)
+    assert np.isfinite(a).all()
+    assert a.min() > -1e-3 and a.max() < 1.0 + 1e-3
+    assert abs(float((a * v).sum()) - m0) / m0 < 1e-2
+    # surface stays flat: column fully stratified
+    assert a[c[:, 1] < 0.2].min() > 0.95
+    assert a[c[:, 1] > 0.4].max() < 0.05
+    # fluid moves WITH the tank (absolute velocity ~ tank velocity in
+    # the liquid)
+    u = np.asarray(state["U"].data)
+    liq = a > 0.9
+    assert np.abs(u[liq, 0] - 0.3).max() < 0.05
+    assert np.abs(u[liq, 1]).max() < 0.05
