@@ -508,6 +508,18 @@ def gmsh_to_foam_cmd(argv) -> int:
     return 0
 
 
+def split_mesh_regions_cmd(argv) -> int:
+    """splitMeshRegions: label disconnected mesh regions, write one
+    cellSet per region (reference: .../splitMeshRegions/ +
+    meshTools/regionSplit)."""
+    args = _case_arg(argv)
+    from . import meshutils
+
+    n = meshutils.split_mesh_regions(args.case)
+    print(f"splitMeshRegions: {n} region(s)")
+    return 0
+
+
 def snappy_hex_mesh(argv) -> int:
     """snappyHexMesh (castellated stage only — see mesh/snappy.py):
     carve the existing constant/polyMesh against the STL geometry in
@@ -581,6 +593,7 @@ COMMANDS = {
     "refineMesh": refine_mesh_cmd,
     "changeDictionary": change_dictionary_cmd,
     "gmshToFoam": gmsh_to_foam_cmd,
+    "splitMeshRegions": split_mesh_regions_cmd,
     "postProcess": post_process,
     "renumberMesh": renumber_mesh,
     "checkMesh": check_mesh,

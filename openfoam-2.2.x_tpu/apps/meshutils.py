@@ -421,3 +421,46 @@ def change_dictionary(case: str, time: str = "0") -> List[str]:
                 changed.append(cand)
                 break
     return changed
+
+
+# ---------------------------------------------------------------------------
+# regionSplit / splitMeshRegions (reference: src/meshTools/regionSplit/
+# — the FaceCellWave family's flood fill — and applications/utilities/
+# mesh/manipulation/splitMeshRegions/)
+# ---------------------------------------------------------------------------
+
+
+def region_split(pm: PolyMesh) -> np.ndarray:
+    """Connected-component label per cell across internal faces
+    (union-find; the reference walks a FaceCellWave)."""
+    parent = np.arange(pm.n_cells, dtype=np.int64)
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    nif = pm.n_internal_faces
+    for o, n in zip(pm.owner[:nif], pm.neighbour):
+        ro, rn = find(o), find(n)
+        if ro != rn:
+            parent[max(ro, rn)] = min(ro, rn)
+    labels = np.array([find(i) for i in range(pm.n_cells)])
+    _, out = np.unique(labels, return_inverse=True)
+    return out
+
+
+def split_mesh_regions(case: str, write_sets: bool = True) -> int:
+    """Label the disconnected mesh regions; write one cellSet per
+    region (region0, region1, ...). Returns the region count."""
+    pm = mesh_io.read(os.path.join(case, "constant", "polyMesh"))
+    labels = region_split(pm)
+    n = int(labels.max()) + 1
+    if write_sets and n > 1:
+        for r in range(n):
+            write_set(case, f"region{r}", "cellSet",
+                      np.nonzero(labels == r)[0])
+    return n

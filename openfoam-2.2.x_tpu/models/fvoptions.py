@@ -97,6 +97,11 @@ class Option:
                 eqn = eqn.replace_fields(
                     diag=eqn.diag - mesh.v * m * float(sp))
             return eqn
+        if k == "codedSource":
+            src = jnp.asarray(d["source"], mesh.v.dtype)
+            v = mesh.v * m
+            add = v[:, None] * src if src.ndim == 2 else v * src
+            return eqn.replace_fields(source=eqn.source + add)
         if k == "meanVelocityForce":
             gradp = (fvopt_state or {}).get(f"gradP_{self.name}",
                                             jnp.zeros((), mesh.v.dtype))
@@ -226,6 +231,29 @@ def _parse_option(mesh, name: str, spec: FoamDict, nu: float) -> Option:
             "diskDir": _vec(sub.get("diskDir", (1.0, 0.0, 0.0))),
             "upstreamU": float(sub.get("upstreamU", 1.0)),
         })
+    if kind in ("codedSource", "scalarCodedSource",
+                "vectorCodedSource"):
+        # dynamicCode analogue (reference: fvOptions codedSource +
+        # #codeStream): the `codeAddSup` PYTHON snippet runs ONCE at
+        # parse with {np, jnp, C [nC,3] cell centres, V [nC]} in scope
+        # and assigns `source` ([nC] or [nC,3], per-volume rate); the
+        # result is added explicitly to the named fields' equations.
+        code = sub.get("codeAddSup", sub.get("code"))
+        fields = tuple(str(f) for f in sub.get("fields",
+                                               sub.get("fieldNames",
+                                                       ["U"])))
+        ns = {"np": np, "jnp": None, "C": np.asarray(mesh.c),
+              "V": np.asarray(mesh.v), "source": None}
+        import jax.numpy as _jnp
+
+        ns["jnp"] = _jnp
+        exec(compile(str(code), f"<codedSource:{name}>", "exec"), ns)  # noqa: S102
+        src = ns.get("source")
+        if src is None:
+            raise ValueError(f"codedSource {name!r}: the snippet must "
+                             "assign `source`")
+        return Option(name, "codedSource", mask, fields,
+                      {"source": np.asarray(src, dtype=float)})
     if kind in ("MRFSource", "MRF"):
         axis = _vec(sub.get("axis", (0.0, 0.0, 1.0)))
         axis = axis / max(np.linalg.norm(axis), 1e-30)

@@ -171,3 +171,41 @@ heatSource
     eqn3 = fvopt.add_to(mesh, eqn, "k", T, U=U)
     np.testing.assert_array_equal(np.asarray(eqn3.source),
                                   np.asarray(eqn.source))
+
+
+def test_coded_source_python_snippet():
+    """codedSource: a Python codeAddSup snippet provides a spatially
+    varying volumetric source (the dynamicCode/#codeStream analogue for
+    equation sources — reference: fvOptions codedSource)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from foamtpu.core.dictionary import parse_string
+    from foamtpu.models import fvoptions
+
+    mesh, _, _ = _channel()
+    c0 = float(np.asarray(mesh.c)[:, 0].mean())
+    d = parse_string('''
+heater
+{
+    type            scalarCodedSource;
+    selectionMode   all;
+    fields          (T);
+    codeAddSup      #{
+source = np.where(C[:, 0] > %g, 5.0, 0.0)
+    #};
+}
+''' % c0)
+    opts = fvoptions.from_dict(mesh, d, nu=1e-5)
+    assert bool(opts)
+    from foamtpu.core.fields import vol_scalar
+    from foamtpu.ops import fvm
+
+    T = vol_scalar(mesh, 0.0, name="T")
+    eqn = fvm.ddt(mesh, T, T.data, 1.0 / 0.1)
+    eqn2 = opts.add_to(mesh, eqn, "T", T)
+    ds = np.asarray(eqn2.source - eqn.source)
+    c = np.asarray(mesh.c)
+    v = np.asarray(mesh.v)
+    assert np.allclose(ds[c[:, 0] > c0], 5.0 * v[c[:, 0] > c0])
+    assert np.allclose(ds[c[:, 0] <= c0], 0.0)

@@ -273,3 +273,33 @@ boundaryField { walls { type zeroGradient; } }
     c = run_case(case, max_steps=3)
     U = np.asarray(c.final_state["U"].data)
     assert np.isfinite(U).all()
+
+
+def test_region_split_two_blocks(tmp_path):
+    """Two disconnected blocks -> 2 regions with cellSets written
+    (reference: meshTools/regionSplit + splitMeshRegions)."""
+    case = str(tmp_path / "r")
+    os.makedirs(case + "/system", exist_ok=True)
+    pm = blockmesh.generate(parse_string("""
+convertToMeters 1;
+vertices ( (0 0 0) (1 0 0) (1 1 0) (0 1 0)
+           (0 0 1) (1 0 1) (1 1 1) (0 1 1)
+           (2 0 0) (3 0 0) (3 1 0) (2 1 0)
+           (2 0 1) (3 0 1) (3 1 1) (2 1 1) );
+blocks ( hex (0 1 2 3 4 5 6 7) (4 4 4) simpleGrading (1 1 1)
+         hex (8 9 10 11 12 13 14 15) (3 3 3) simpleGrading (1 1 1) );
+boundary ( walls { type wall; faces (
+  (0 4 7 3) (2 6 5 1) (1 5 4 0) (3 7 6 2) (0 3 2 1) (4 5 6 7)
+  (8 12 15 11) (10 14 13 9) (9 13 12 8) (11 15 14 10) (8 11 10 9)
+  (12 13 14 15) ); } );
+"""))
+    mesh_io.write(pm, os.path.join(case, "constant", "polyMesh"))
+    from foamtpu.apps import meshutils as mu
+
+    labels = mu.region_split(pm)
+    assert labels.max() == 1
+    assert (labels == 0).sum() == 64 and (labels == 1).sum() == 27
+    assert main(["splitMeshRegions", "-case", case]) == 0
+    r0 = mu.read_set(case, "region0")
+    r1 = mu.read_set(case, "region1")
+    assert len(r0) == 64 and len(r1) == 27
