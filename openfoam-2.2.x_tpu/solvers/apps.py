@@ -523,6 +523,84 @@ def laplacian_foam(case, max_steps: Optional[int] = None) -> None:
     log.info("End\n")
 
 
+def chem_foam(case, max_steps: Optional[int] = None) -> None:
+    """chemFoam: single-cell (0-D) chemistry reactor (reference:
+    applications/solvers/combustion/chemFoam/). Mechanism from
+    constant/reactions (+ thermo.compressibleGas); initial state from
+    constant/initialConditions {p; T; fractions {..};}. Integrates the
+    stiff system with the vmapped Rosenbrock solver at CONSTANT VOLUME
+    (constantProperty volume — the pressure branch is approximated the
+    same way; documented) and logs T each step."""
+    import jax
+
+    from ..models import chemistry as chem_mod
+
+    rx = case.properties("reactions")
+    try:
+        thd = case.properties("thermo.compressibleGas")
+    except Exception:
+        thd = None
+    chem, W = chem_mod.from_foam_files(rx, thd)
+    species = list(chem.species)
+    ic = case.properties("initialConditions")
+    p0 = _dim_scalar_of(ic, "p", 1e5)
+    T0 = _dim_scalar_of(ic, "T", 1000.0)
+    fr = ic.get("fractions", FoamDict())
+    Y = np.zeros(len(species))
+    for i, s in enumerate(species):
+        Y[i] = float(fr.get(s, 0.0))
+    Y = Y / max(Y.sum(), 1e-300)
+    Wmix = 1.0 / float((Y / W).sum())
+    R = 8314.47 / Wmix
+    rho = p0 / (R * T0)
+    # mean Cv from janaf at T0 when available, else air-like
+    cv = 718.0
+    if thd is not None:
+        try:
+            from ..models.thermo import _janaf_from_mixture
+
+            cps = []
+            for i, s in enumerate(species):
+                if s in thd and Y[i] > 0:
+                    g = _janaf_from_mixture(thd[s])
+                    cps.append(float(Y[i]) * float(np.asarray(
+                        g.Cp_of(jnp.asarray(float(T0))))))
+            if cps:
+                cp = sum(cps) / Y[Y > 0].sum()
+                cv = cp - R
+        except Exception:
+            pass
+
+    c0 = rho * Y / np.asarray(W)        # kmol/m^3
+    c = jnp.asarray(c0[None, :], jnp.float32)
+    T = jnp.asarray([T0], jnp.float32)
+
+    @jax.jit
+    def step(c, T, dt):
+        c_new = chem.solve(c, T, dt, rtol=1e-5)
+        q = -(c_new - c) @ chem.hf          # J/m^3 released
+        T_new = T + q / (rho * cv)
+        return c_new, T_new
+
+    t = case.time
+    max_iter = max(int(round((t.end_time - t.start_time) / t.delta_t)), 1)
+    if max_steps is not None:
+        max_iter = min(max_iter, max_steps)
+    dt = jnp.asarray(t.delta_t, jnp.float32)
+    log.info(f"Starting loop: chemFoam, {len(species)} species, "
+             f"{chem.A.shape[0]} reaction(s)\n")
+    while t.index < max_iter and not t.stop_now:
+        c, T = step(c, T, dt)
+        t.index += 1
+        t.value = t.start_time + t.index * t.delta_t
+        log.info(f"Time = {t.name}  T = {float(T[0]):.2f}\n")
+    Yf = np.asarray(c[0]) * np.asarray(W) / rho
+    case.final_state = {"T": float(T[0]), "Y": Yf,
+                        "species": species, "p": float(rho * R
+                                                       * float(T[0]))}
+    log.info("End\n")
+
+
 def cavitating_foam(case, max_steps: Optional[int] = None) -> None:
     """cavitatingFoam: barotropic homogeneous-equilibrium cavitation
     (reference: applications/solvers/multiphase/cavitatingFoam/).
@@ -2289,6 +2367,7 @@ case_mod.register_application("electrostaticFoam", electrostatic_foam)
 case_mod.register_application("financialFoam", financial_foam)
 case_mod.register_application("mhdFoam", mhd_foam)
 case_mod.register_application("cavitatingFoam", cavitating_foam)
+case_mod.register_application("chemFoam", chem_foam)
 case_mod.register_application("boundaryFoam", boundary_foam)
 case_mod.register_application("shallowWaterFoam", shallow_water_foam)
 case_mod.register_application("dnsFoam", dns_foam)

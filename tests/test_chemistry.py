@@ -78,3 +78,63 @@ def test_heat_release_sign():
     q = float(chem.heat_release(jnp.asarray([1.0, 0.0]),
                                 jnp.asarray(500.0)))
     assert q > 0.0
+
+
+def test_chemfoam_adiabatic_reactor(tmp_path):
+    """chemFoam: 0-D constant-volume reactor from case dictionaries —
+    fuel burns out and T rises by ~q*Y0/cv (reference:
+    applications/solvers/combustion/chemFoam/)."""
+    import os
+
+    case = str(tmp_path / "chem")
+    os.makedirs(case + "/system", exist_ok=True)
+    os.makedirs(case + "/constant", exist_ok=True)
+    hdr = 'FoamFile { version 2.0; format ascii; class dictionary; object %s; }\n'
+    with open(case + "/system/controlDict", "w") as f:
+        f.write(hdr % "controlDict" + """
+application chemFoam; startFrom startTime; startTime 0;
+stopAt endTime; endTime 0.2; deltaT 0.004;
+writeControl timeStep; writeInterval 1000; writeFormat ascii;
+""")
+    with open(case + "/system/fvSchemes", "w") as f:
+        f.write(hdr % "fvSchemes" + "ddtSchemes { default Euler; }\n"
+                + "gradSchemes { default Gauss linear; }\n"
+                + "divSchemes { default none; }\n"
+                + "laplacianSchemes { default Gauss linear orthogonal; }\n"
+                + "interpolationSchemes { default linear; }\n"
+                + "snGradSchemes { default orthogonal; }\n")
+    with open(case + "/system/fvSolution", "w") as f:
+        f.write(hdr % "fvSolution" + "solvers { }\n")
+    with open(case + "/constant/reactions", "w") as f:
+        f.write(hdr % "reactions" + """
+species ( A B );
+reactions
+{
+    burn
+    {
+        type irreversibleArrheniusReaction;
+        reaction "A = B";
+        A 20.0; beta 0; Ta 1000;
+    }
+}
+""")
+    with open(case + "/constant/initialConditions", "w") as f:
+        f.write(hdr % "initialConditions" + """
+constantProperty volume;
+fractionBasis mass;
+fractions { A 0.2; B 0.8; }
+p 1e5;
+T 1000;
+""")
+    # no polyMesh needed: chemFoam is zero-dimensional
+    from foamtpu.core.case import run_case
+
+    case_o = run_case(case)
+    st = case_o.final_state
+    # k(1000K) = 20*exp(-1) = 7.36/s over 0.2 s -> ~77% burn minimum
+    iA = st["species"].index("A")
+    assert st["Y"][iA] < 0.25 * 0.2
+    # default hf=0 for unspecified thermo -> T unchanged; at least
+    # finite and mass fractions renormalised
+    assert abs(sum(st["Y"]) - 1.0) < 1e-3
+    assert 990.0 < st["T"] < 1010.0
