@@ -513,14 +513,16 @@ def shift_value_bcs(bcs, delta) -> Tuple[PatchField, ...]:
     return tuple(out)
 
 
-def normalize_bcs(mesh, bcs, rank: int) -> Tuple[PatchField, ...]:
+def normalize_bcs(mesh, bcs, rank: int,
+                  ncomp: int = 3) -> Tuple[PatchField, ...]:
     """Broadcast all BC data to per-face shapes so state pytrees keep
     invariant shapes under scan/while carries (derived BC updates
-    rewrite ref_value/vfrac per face)."""
+    rewrite ref_value/vfrac per face). ncomp: component count for
+    rank-1 fields (3 for vectors, 6 for symmTensors, 9 for tensors)."""
     dt = mesh.v.dtype
     out = []
     for p, bc in zip(mesh.patches, bcs):
-        vshape = (p.size,) if rank == 0 else (p.size, 3)
+        vshape = (p.size,) if rank == 0 else (p.size, ncomp)
         rv = jnp.broadcast_to(jnp.asarray(bc.ref_value, dt), vshape)
         rg = jnp.broadcast_to(jnp.asarray(bc.ref_grad, dt), vshape)
         vf = jnp.asarray(bc.vfrac, dt)

@@ -115,7 +115,7 @@ def vol_vector(mesh, value, name="field", dims=dimless, bcs=None) -> VolField:
     bcs = bcs if bcs is not None else default_bcs(mesh, rank=1)
     return VolField(
         data=data,
-        bcs=normalize_bcs(mesh, bcs, rank=1),
+        bcs=normalize_bcs(mesh, bcs, rank=1, ncomp=data.shape[1]),
         name=name,
         dims=dims,
     )

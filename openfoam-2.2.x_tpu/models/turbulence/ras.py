@@ -188,10 +188,14 @@ class KEpsilon(TurbulenceModel):
         return self.Cmu * k * k / jnp.maximum(eps, EPS_MIN)
 
     def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
-                controls=None, c1_field=None, phi_slot=None):
+                controls=None, c1_field=None, phi_slot=None,
+                c2_field=None, fmu_field=None, extra_eps_src=None):
         """c1_field: optional per-cell override of C1 (used by RNG's
         strain-dependent C1eff) — passed explicitly instead of mutating
-        self, which is static jit config shared across traces."""
+        self, which is static jit config shared across traces.
+        c2_field / fmu_field: per-cell overrides of C2 and of the nut
+        damping multiplier (low-Re variants: LamBremhorst, qZeta).
+        extra_eps_src: additional explicit epsilon source [nC]."""
         k_f: VolField = tstate["k"]
         eps_f: VolField = tstate["epsilon"]
         nut_f: VolField = tstate["nut"]
@@ -228,11 +232,14 @@ class KEpsilon(TurbulenceModel):
             + _transport_ops(mesh, phi, phi_sl, eps_f, self.div_scheme,
                              eps_flat, eps_slot, self.corrected,
                              self.corr_limit)
-            + fvm.Sp(mesh, self.C2 * eps / jnp.maximum(k, K_MIN), eps_f)
+            + fvm.Sp(mesh, (self.C2 if c2_field is None else c2_field)
+                     * eps / jnp.maximum(k, K_MIN), eps_f)
         )
         c1 = self.C1 if c1_field is None else c1_field
         eps_eqn = eps_eqn.add_source(
             c1 * G * eps / jnp.maximum(k, K_MIN), mesh)
+        if extra_eps_src is not None:
+            eps_eqn = eps_eqn.add_source(extra_eps_src, mesh)
         if steady and relax < 1.0:
             eps_eqn = eps_eqn.relax(mesh, relax, eps)
         if wall_fn:
@@ -261,6 +268,8 @@ class KEpsilon(TurbulenceModel):
         diag["k"] = perf_k
 
         nut_new = self._nut_from(k_new, eps_new)
+        if fmu_field is not None:
+            nut_new = fmu_field * nut_new
         new_nut_f = nut_f.with_data(nut_new).correct_boundary_conditions(
             mesh, k=k_new, nu=self.nu, U=U.data)
         new = dict(tstate)
@@ -447,7 +456,7 @@ class KOmegaSST(TurbulenceModel):
         return F1, F2, cd
 
     def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
-                controls=None, phi_slot=None):
+                controls=None, phi_slot=None, extra_omega_src=None):
         k_f, w_f, nut_f = tstate["k"], tstate["omega"], tstate["nut"]
         k, omega, nut = k_f.data, w_f.data, nut_f.data
         rdt = 1.0 / dt
@@ -493,6 +502,8 @@ class KOmegaSST(TurbulenceModel):
             + fvm.Sp(mesh, beta * omega, w_f)
         )
         src_w = gamma * S2 + (1.0 - F1) * cd
+        if extra_omega_src is not None:
+            src_w = src_w + extra_omega_src
         w_eqn = w_eqn.add_source(src_w, mesh)
         if steady and relax < 1.0:
             w_eqn = w_eqn.relax(mesh, relax, omega)
