@@ -2266,8 +2266,16 @@ def reacting_foam(case, max_steps: Optional[int] = None) -> None:
         turb_relax=relax.get("k", 0.7),
     )
     y_ctl = case.solver_controls("Yi") if _has_solver(case, "Yi") else None
+    # combustion closure from constant/combustionProperties (reference:
+    # combustionModel::New; absent -> laminar direct integration)
+    from ..models import combustion as comb_mod
+    try:
+        comb = comb_mod.from_dict(case.properties("combustionProperties"),
+                                  chem)
+    except Exception:
+        comb = None
     cfg = reacting_mod.ReactingConfig(flow=flow, chem=chem, W=W,
-                                      y_controls=y_ctl)
+                                      y_controls=y_ctl, combustion=comb)
     U = case.read_field("U")
     p = case.read_field("p")
     T = case.read_field("T")
@@ -2310,6 +2318,96 @@ def reacting_foam(case, max_steps: Optional[int] = None) -> None:
     case.final_state = state
 
 
+def xi_foam(case, max_steps: Optional[int] = None) -> None:
+    """XiFoam: premixed combustion with the Weller b-Xi flame-wrinkling
+    model on the compressible PIMPLE step (reference:
+    applications/solvers/combustion/XiFoam/). b (regress variable) from
+    0/b — ignition by an initial burnt kernel (setFields); Su/XiCoef
+    from constant/combustionProperties. engineFoam runs the same
+    physics on the crank-angle engineTime (reference:
+    applications/solvers/combustion/engineFoam/)."""
+    from ..models import thermo as thermo_mod
+    from . import rhopimple as rp_mod, xifoam as xi_mod
+
+    mesh = case.mesh
+    th = thermo_mod.from_dict(case.properties("thermophysicalProperties"))
+    model, tstate = _load_turbulence(case, max(th.mu, 1e-12))
+    cdict = case.pimple_controls("PIMPLE")
+    try:
+        pf_ctl = case.solver_controls("pFinal")
+    except KeyError:
+        pf_ctl = None
+    flow = rp_mod.RhoPimpleConfig(
+        thermo=th,
+        n_outer=int(cdict.get("nOuterCorrectors", 1)),
+        n_correctors=int(cdict.get("nCorrectors", 2)),
+        n_non_orth=int(cdict.get("nNonOrthogonalCorrectors", 0)),
+        corrected=case.laplacian_corrected(),
+        div_scheme=case.div_scheme("div(phi,U)"),
+        div_scheme_e=case.div_scheme("div(phi,e)"),
+        grad_scheme=case.grad_scheme("grad(p)"),
+        p_ref_value=float(cdict.get("pRefValue", 1e5)),
+        p_controls=case.solver_controls("p"),
+        p_controls_final=pf_ctl,
+        u_controls=case.solver_controls("U"),
+        e_controls=case.solver_controls("T") if _has_solver(case, "T")
+        else None,
+        turb=model,
+        turb_relax=_relaxation(case).get("k", 0.7),
+    )
+    comb = case.properties("combustionProperties")
+    su_e = comb.get("Su", 0.4)
+    su = float(su_e[-1] if isinstance(su_e, (list, tuple)) else su_e)
+    T = case.read_field("T")
+    cfg = xi_mod.XiFoamConfig(
+        flow=flow, Su0=su,
+        SuMin=float(comb.get("SuMin", 0.01)),
+        XiEqCoef=float(comb.get("XiEqCoef", comb.get("XiCoef", 0.62))),
+        XiShapeCoef=float(comb.get("XiShapeCoef", 1.0)),
+        q_comb=float(comb.get("qComb", 2.0e6)),
+        Tu=float(comb.get("Tu", float(jnp.min(T.data)))),
+        b_controls=case.solver_controls("b") if _has_solver(case, "b")
+        else None)
+    U = case.read_field("U")
+    p = case.read_field("p")
+    b = case.read_field("b")
+    state = xi_mod.initial_state(mesh, U, p, T, b, th, turb_state=tstate)
+    step = xi_mod.make_step(mesh, cfg)
+    log.info(f"Starting loop: XiFoam, {mesh.n_cells} cells, "
+             f"Su={su} m/s\n")
+    cumulative = 0.0
+    t = case.time
+    max_iter = max(int(round((t.end_time - t.start_time) / t.delta_t)), 1)
+    if max_steps is not None:
+        max_iter = min(max_iter, max_steps)
+    dt = jnp.asarray(t.delta_t, mesh.v.dtype)
+    from ..functionobjects import make_function_objects
+
+    fol = make_function_objects(case)
+
+    def write(state):
+        fields = [state["U"], state["p"], state["T"], state["b"],
+                  state["b"].replace(data=state["Xi"], name="Xi")]
+        if "turb" in state and state["turb"]:
+            fields += list(state["turb"].values())
+        case.write_fields(fields)
+
+    while (t.index < max_iter and not t.stop_now
+           and t.value < t.end_time - 1e-12):
+        state, diag = step(state, dt)
+        t.index += 1
+        t.value = t.start_time + t.index * t.delta_t
+        t.current_dt = float(dt)
+        cumulative = _log_step(case, t, diag, cumulative)
+        log.info(log.solver_line("b", diag["b"]))
+        fol.execute(t.name, state)
+        if t.write_time():
+            write(state)
+    write(state)
+    log.info("End\n")
+    case.final_state = state
+
+
 def rho_simplefoam(case, max_steps: Optional[int] = None):
     _rho_pimple_run(case, steady=True, transonic=False, max_steps=max_steps)
 
@@ -2322,6 +2420,7 @@ def sonicfoam(case, max_steps: Optional[int] = None):
     _rho_pimple_run(case, steady=False, transonic=True, max_steps=max_steps)
 
 
+case_mod.register_application("XiFoam", xi_foam)
 case_mod.register_application("rhoSimpleFoam", rho_simplefoam)
 case_mod.register_application("rhoPimpleFoam", rho_pimplefoam)
 case_mod.register_application("sonicFoam", sonicfoam)

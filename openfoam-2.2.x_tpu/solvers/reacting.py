@@ -41,6 +41,8 @@ class ReactingConfig(NamedTuple):
     Sc: float = 0.7              # Schmidt number for species diffusion
     chem_rtol: float = 1e-4
     y_controls: Dict = None
+    combustion: Any = None       # models/combustion.Combustion closure
+                                 # (None -> laminar direct integration)
 
 
 def reacting_step(mesh, state: Dict, dt: Any, cfg: ReactingConfig
@@ -85,7 +87,20 @@ def reacting_step(mesh, state: Dict, dt: Any, cfg: ReactingConfig
     # -- 3. chemistry (operator split) ---------------------------------------
     Wv = jnp.asarray(cfg.W, mesh.v.dtype)
     c = rho[:, None] * Ydata / Wv[None, :]          # [kmol/m^3]
-    c_new = cfg.chem.solve(c, T.data, dt, rtol=cfg.chem_rtol)
+    if cfg.combustion is not None:
+        # closure-scaled rates (PaSR / infinitelyFastChemistry /
+        # laminar — models/combustion.py)
+        from ..models import combustion as comb_mod
+
+        eps_t = comb_mod.epsilon_of(state.get("turb"))
+        nut = (cfg.flow.turb.nut(mesh, state["turb"])
+               if cfg.flow.turb is not None and "turb" in state
+               else jnp.zeros_like(rho))
+        nu_eff = mu / jnp.maximum(rho, cfg.flow.rho_min) + nut
+        c_new = cfg.combustion.advance(c, T.data, dt, rtol=cfg.chem_rtol,
+                                       epsilon=eps_t, nu_eff=nu_eff)
+    else:
+        c_new = cfg.chem.solve(c, T.data, dt, rtol=cfg.chem_rtol)
     # heat release -> temperature (explicit): dT = -sum hf dc / (rho cp)
     dc = c_new - c
     q = -(dc @ cfg.chem.hf) * rdt                   # J/m^3/s
