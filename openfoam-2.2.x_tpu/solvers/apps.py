@@ -2408,6 +2408,193 @@ def xi_foam(case, max_steps: Optional[int] = None) -> None:
     case.final_state = state
 
 
+def fire_foam(case, max_steps: Optional[int] = None) -> None:
+    """fireFoam: buoyant diffusion-flame fire with
+    infinitelyFastChemistry, optional P1 radiation, and optional
+    pyrolysis / surface-film regions (reference:
+    applications/solvers/combustion/fireFoam/). Species + mechanism
+    from constant/reactions as reactingFoam; region models from
+    constant/{pyrolysisProperties,surfaceFilmProperties} naming the
+    coupled patches."""
+    import dataclasses as _dc
+
+    from ..bc import patchfields as pfm
+    from ..core.fields import VolField
+    from ..models import chemistry as chem_mod, combustion as comb_mod, \
+        thermo as thermo_mod
+    from . import buoyantrho as br_mod, firefoam as ff_mod
+
+    mesh = case.mesh
+    rx = case.properties("reactions")
+    try:
+        thd = case.properties("thermo.compressibleGas")
+    except Exception:
+        thd = None
+    chem, W = chem_mod.from_foam_files(rx, thd)
+    species = list(chem.species)
+    flds = []
+    for s in species:
+        try:
+            flds.append(case.read_field(s))
+        except Exception:
+            flds.append(case.read_field("Ydefault"))
+    Ydata = jnp.stack([f.data for f in flds], axis=1)
+    bcs = []
+    for ip, p in enumerate(mesh.patches):
+        pbcs = [f.bcs[ip] for f in flds]
+        if pbcs[0].kind == "empty":
+            bcs.append(pfm.PatchField(kind="empty", vfrac=0.0))
+            continue
+        kinds = [b.kind for b in pbcs]
+        kind = kinds[0] if len(set(kinds)) == 1 else "mixed"
+
+        def col(vals):
+            return jnp.stack(
+                [jnp.broadcast_to(jnp.asarray(v, mesh.v.dtype),
+                                  (p.size,)) for v in vals], axis=1)
+
+        bcs.append(pfm.PatchField(
+            kind=kind,
+            ref_value=col([b.ref_value for b in pbcs]),
+            ref_grad=col([b.ref_grad for b in pbcs]),
+            vfrac=jnp.broadcast_to(
+                jnp.asarray(pbcs[0].vfrac, mesh.v.dtype), (p.size,)),
+            opts=pbcs[0].opts))
+    Y = VolField(data=Ydata, bcs=tuple(bcs), name="Y")
+
+    th = thermo_mod.from_dict(case.properties("thermophysicalProperties"))
+    model, tstate = _load_turbulence(case, max(th.mu, 1e-12))
+    relax = _relaxation(case)
+    cdict = case.pimple_controls("PIMPLE")
+    try:
+        pf_ctl = case.solver_controls("p_rghFinal")
+    except KeyError:
+        pf_ctl = None
+    flow = br_mod.BuoyantRhoConfig(
+        thermo=th, g=_read_gravity(case),
+        n_outer=int(cdict.get("nOuterCorrectors", 1)),
+        n_correctors=int(cdict.get("nCorrectors", 2)),
+        n_non_orth=int(cdict.get("nNonOrthogonalCorrectors", 0)),
+        corrected=case.laplacian_corrected(),
+        div_scheme=case.div_scheme("div(phi,U)"),
+        div_scheme_e=case.div_scheme("div(phi,e)"),
+        grad_scheme=case.grad_scheme("grad(p_rgh)"),
+        p_ref_value=float(cdict.get("pRefValue", 1e5)),
+        p_controls=case.solver_controls("p_rgh"),
+        p_controls_final=pf_ctl,
+        u_controls=case.solver_controls("U"),
+        e_controls=case.solver_controls("T") if _has_solver(case, "T")
+        else None,
+        turb=model, turb_relax=relax.get("k", 0.7))
+    rad_path = case.const_path("radiationProperties")
+    if os.path.exists(rad_path):
+        rd = parse_file(rad_path)
+        if (str(rd.get("radiation", "on")) in ("on", "yes", "true")
+                and str(rd.get("radiationModel", "none")) == "P1"):
+            from ..models import radiation as rad_mod
+
+            cc = rd.get("constantAbsorptionEmissionCoeffs", FoamDict())
+            flow = flow._replace(radiation=rad_mod.P1Config(
+                a=_dim_scalar_of(cc, "absorptivity", 0.5),
+                e=_dim_scalar_of(cc, "emissivity", 0.5),
+                s=_dim_scalar_of(cc, "scatter", 0.0),
+                emissivity=1.0))
+    try:
+        comb = comb_mod.from_dict(case.properties("combustionProperties"),
+                                  chem)
+    except Exception:
+        comb = comb_mod.Combustion(chem=chem,
+                                   model="infinitelyFastChemistry")
+    # optional regions
+    pyro_mesh = pyro_cfg = film_mesh = film_cfg = None
+    h_conv, T_ref_wall = 20.0, 300.0
+    ppath = case.const_path("pyrolysisProperties")
+    if os.path.exists(ppath):
+        from ..regionmodels import PyrolysisConfig, build_film_mesh
+
+        pd = parse_file(ppath)
+        patches = [str(s) for s in pd.get("patches", [])]
+        if patches:
+            pyro_mesh = build_film_mesh(case.poly_mesh, patches)
+            cc = pd.get("reactingOneDimCoeffs", FoamDict())
+            h_conv = float(cc.get("h", h_conv))
+            T_ref_wall = float(cc.get("T0", T_ref_wall))
+            pyro_cfg = PyrolysisConfig(
+                n_layers=int(cc.get("nLayers", 8)),
+                thickness=float(cc.get("thickness", 0.01)),
+                k_s=float(cc.get("k", 0.2)),
+                rho_s0=float(cc.get("rho", 700.0)),
+                rho_char=float(cc.get("rhoChar", 100.0)),
+                cp_s=float(cc.get("Cp", 1500.0)),
+                A=float(cc.get("A", 1e8)),
+                Ta=float(cc.get("Ta", 15000.0)))
+    fpath = case.const_path("surfaceFilmProperties")
+    if os.path.exists(fpath):
+        from ..regionmodels import FilmConfig, build_film_mesh
+
+        fd = parse_file(fpath)
+        patches = [str(s) for s in fd.get("patches", [])]
+        if patches:
+            film_mesh = build_film_mesh(case.poly_mesh, patches)
+            cc = fd.get("thermoSingleLayerCoeffs", FoamDict())
+            film_cfg = FilmConfig(
+                thermo=True, g=_read_gravity(case),
+                nu=float(cc.get("nu", 1e-6)),
+                rho=float(cc.get("rho", 1000.0)),
+                T_sat=float(cc.get("Tsat", 373.15)),
+                evap_coeff=float(cc.get("evapCoeff", 1e-3)))
+    fuel = str(rx.get("fuel", species[0]))
+    cfg = ff_mod.FireConfig(
+        flow=flow, chem=chem, W=W, combustion=comb,
+        y_controls=case.solver_controls("Yi")
+        if _has_solver(case, "Yi") else None,
+        fuel_index=species.index(fuel) if fuel in species else 0,
+        pyro_mesh=pyro_mesh, pyro_cfg=pyro_cfg,
+        film_mesh=film_mesh, film_cfg=film_cfg,
+        h_conv=h_conv, T_ref_wall=T_ref_wall)
+    U = case.read_field("U")
+    p_rgh = case.read_field("p_rgh")
+    T = case.read_field("T")
+    state = ff_mod.initial_state(mesh, U, p_rgh, T, Y, th, g=flow.g,
+                                 turb_state=tstate, cfg=cfg)
+    if flow.radiation is not None:
+        from ..models import radiation as rad_mod
+
+        state["G"] = rad_mod.make_G(mesh, flow.radiation, T.bcs)
+    step = ff_mod.make_step(mesh, cfg)
+    log.info(f"Starting loop: fireFoam, {mesh.n_cells} cells, "
+             f"{len(species)} species\n")
+    cumulative = 0.0
+    from ..functionobjects import make_function_objects
+
+    fol = make_function_objects(case)
+
+    def write(state):
+        fields = [state["U"], state["p_rgh"], state["T"]]
+        Yf = state["Y"]
+        for i, s in enumerate(species):
+            fields.append(_dc.replace(flds[i], data=Yf.data[:, i],
+                                      name=s))
+        if "turb" in state and state["turb"]:
+            fields += list(state["turb"].values())
+        case.write_fields(fields)
+
+    for t in case.time.loop():
+        dt = jnp.asarray(t.current_dt, mesh.v.dtype)
+        state, diag = step(state, dt)
+        cumulative = _log_step(case, t, diag, cumulative)
+        log.info(log.solver_line("T", diag["T"]))
+        fol.execute(t.name, state)
+        t.adjust_delta_t(float(diag["courant_max"]))
+        if t.write_time():
+            write(state)
+        if max_steps is not None and t.index >= max_steps:
+            break
+    write(state)
+    log.info("End\n")
+    case.final_state = state
+
+
 def rho_simplefoam(case, max_steps: Optional[int] = None):
     _rho_pimple_run(case, steady=True, transonic=False, max_steps=max_steps)
 
@@ -2421,6 +2608,7 @@ def sonicfoam(case, max_steps: Optional[int] = None):
 
 
 case_mod.register_application("XiFoam", xi_foam)
+case_mod.register_application("fireFoam", fire_foam)
 case_mod.register_application("rhoSimpleFoam", rho_simplefoam)
 case_mod.register_application("rhoPimpleFoam", rho_pimplefoam)
 case_mod.register_application("sonicFoam", sonicfoam)
