@@ -109,6 +109,20 @@ def topo_set(case: str) -> List[str]:
         info = it.get("sourceInfo", it)
         if isinstance(info, FoamDict):
             info["_case"] = case
+        if kind == "cellZoneSet":
+            # reference: topoSetSource setToCellZone — promote a cell
+            # set (by name, or any cell source inline) to a cellZone
+            if source == "setToCellZone":
+                set_name = str(info.get("set", name))
+                ids = current.get(set_name)
+                if ids is None:
+                    ids = read_set(case, set_name)
+            else:
+                ids = _source_cells(pm, source, info)
+            pm.cell_zones[name] = np.asarray(ids, dtype=np.int64)
+            mesh_io.write(pm, os.path.join(case, "constant", "polyMesh"))
+            done.append(name)
+            continue
         ids = (_source_cells(pm, source, info) if kind == "cellSet"
                else _source_faces(pm, source, info))
         prev = current.get(name, np.zeros(0, dtype=np.int64))

@@ -131,6 +131,11 @@ def read(mesh_dir: str) -> PolyMesh:
             i += 2
         else:
             i += 1
+    cell_zones = {}
+    cz_path = os.path.join(mesh_dir, "cellZones")
+    if os.path.exists(cz_path) or os.path.exists(cz_path + ".gz"):
+        cell_zones = _read_cell_zones(_strip_header(_read_text(cz_path)))
+
     return PolyMesh(
         points=points,
         face_pts=face_pts,
@@ -138,7 +143,21 @@ def read(mesh_dir: str) -> PolyMesh:
         owner=owner,
         neighbour=neighbour,
         patches=patches,
+        cell_zones=cell_zones,
     )
+
+
+def _read_cell_zones(text: str) -> dict:
+    """Parse a polyMesh/cellZones file: `N ( name { type cellZone;
+    cellLabels List<label> M ( ... ); } ... )` (reference:
+    src/OpenFOAM/meshes/polyMesh/zones/cellZone/)."""
+    zones = {}
+    for m in re.finditer(
+            r"(\w+)\s*\{[^{}]*?cellLabels[^(]*\(([-\d\s]*)\)\s*;",
+            text, flags=re.S):
+        ids = np.fromstring(m.group(2), sep=" ").astype(np.int64)
+        zones[m.group(1)] = ids
+    return zones
 
 
 def _fmt_big_scalar_list(a: np.ndarray, as_int=False) -> str:
@@ -197,3 +216,18 @@ def write(mesh: PolyMesh, mesh_dir: str) -> None:
         plines.append("    }")
     plines += [")"]
     emit("boundary", "polyBoundaryMesh", "\n".join(plines) + "\n")
+
+    if mesh.cell_zones:
+        zlines = [f"{len(mesh.cell_zones)}", "("]
+        for name, ids in mesh.cell_zones.items():
+            ids = np.asarray(ids, dtype=np.int64)
+            body = " ".join(str(int(x)) for x in ids)
+            zlines += [
+                f"{name}",
+                "{",
+                "    type cellZone;",
+                f"    cellLabels      List<label> {ids.shape[0]} ( {body} );",
+                "}",
+            ]
+        zlines += [")"]
+        emit("cellZones", "regIOobject", "\n".join(zlines) + "\n")

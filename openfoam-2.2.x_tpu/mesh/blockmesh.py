@@ -52,7 +52,9 @@ def _grading_positions(n: int, ratio: float) -> np.ndarray:
 class _Block:
     def __init__(self, verts: np.ndarray, corner_ids: Sequence[int],
                  n: Sequence[int], grading: Sequence[float],
-                 edge_points: Dict[Tuple[int, int], np.ndarray] = None):
+                 edge_points: Dict[Tuple[int, int], np.ndarray] = None,
+                 zone: str = None):
+        self.zone = zone
         self.corner_ids = list(corner_ids)
         self.corners = verts[self.corner_ids]  # [8,3]
         self.n = tuple(int(x) for x in n)
@@ -174,8 +176,11 @@ def _parse_blocks_entry(tokens: List, verts: np.ndarray, edge_interps) -> List[_
         if isinstance(t, Word) and t == "hex":
             corner_ids = np.asarray(tokens[i + 1], dtype=int)
             i += 2
-            # optional cellZone name
+            # optional cellZone name (reference: blockMesh `hex (...)
+            # zoneName (nx ny nz) ...` tags the block's cells)
+            zone = None
             if isinstance(tokens[i], (Word, str)) and not isinstance(tokens[i], np.ndarray):
+                zone = str(tokens[i])
                 i += 1
             n = np.asarray(tokens[i], dtype=int)
             i += 1
@@ -196,7 +201,8 @@ def _parse_blocks_entry(tokens: List, verts: np.ndarray, edge_interps) -> List[_
                 k: v for k, v in edge_interps.items()
                 if k[0] in corner_ids and k[1] in corner_ids
             }
-            blocks.append(_Block(verts, corner_ids, n, grading, eps))
+            blocks.append(_Block(verts, corner_ids, n, grading, eps,
+                                 zone=zone))
         else:
             i += 1
     return blocks
@@ -321,6 +327,17 @@ def generate(dict_or_path) -> PolyMesh:
     cell_pts_arr = np.concatenate(cell_pts, axis=0)
     n_cells = cell_pts_arr.shape[0]
 
+    # named cellZones from tagged blocks (cells are numbered block by
+    # block, so each block contributes a contiguous id range)
+    cell_zones: Dict[str, List[np.ndarray]] = {}
+    coff = 0
+    for blk in blocks:
+        bn = blk.n[0] * blk.n[1] * blk.n[2]
+        if blk.zone:
+            cell_zones.setdefault(blk.zone, []).append(
+                np.arange(coff, coff + bn, dtype=np.int64))
+        coff += bn
+
     # all candidate faces: [nCells*6, 4]
     hf = np.asarray(_HEX_FACES)
     faces_all = cell_pts_arr[:, hf]  # [nC, 6, 4]
@@ -427,4 +444,5 @@ def generate(dict_or_path) -> PolyMesh:
         owner=owner,
         neighbour=internal_neigh,
         patches=patches,
+        cell_zones={k: np.concatenate(v) for k, v in cell_zones.items()},
     )

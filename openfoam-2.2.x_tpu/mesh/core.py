@@ -174,6 +174,9 @@ class PolyMesh:
     # translation of internalised cyclic faces [nIf,3] (None = all zero):
     # the neighbour cell's copy of the face sits at cf + face_shift
     face_shift: np.ndarray = None
+    # named cell zones: {name: [nZoneCells] int cell ids} (reference:
+    # polyMesh/zones/cellZone — used by MRF/porous/fvOptions selection)
+    cell_zones: Dict[str, np.ndarray] = None
 
     # derived (filled by update_geometry)
     cf: np.ndarray = None       # face centres [nF,3]
@@ -189,6 +192,8 @@ class PolyMesh:
     def __post_init__(self):
         self.owner = np.asarray(self.owner, dtype=np.int64)
         self.neighbour = np.asarray(self.neighbour, dtype=np.int64)
+        if self.cell_zones is None:
+            self.cell_zones = {}
         if self.cf is None:
             self.update_geometry()
 
@@ -430,7 +435,8 @@ def internalize_cyclics(pm: PolyMesh) -> PolyMesh:
 
     return PolyMesh(points=pm.points, face_pts=face_pts,
                     face_npts=face_npts, owner=owner, neighbour=neighbour,
-                    patches=patches, face_shift=shift)
+                    patches=patches, face_shift=shift,
+                    cell_zones=dict(pm.cell_zones or {}))
 
 
 def offset_stencil(cface_i, csign, cnbr, valid, n_cells, max_offsets=8):
@@ -593,6 +599,9 @@ class FvMesh:
     ami_entry_w: Any      # [nE]
     ami_mask: Any         # [nBf] 1.0 on cyclicAMI faces
     ami_wown: Any         # [nBf] own-side blend weight (1 off AMI)
+    # {zone name: [nC] 1/0 float mask} (reference: polyMesh cellZones);
+    # a dict pytree node so masks ride to the device with the mesh
+    cell_zone_masks: Any
 
     # static metadata
     st_deltas: Tuple[int, ...] = _static()
@@ -804,5 +813,10 @@ def to_device(mesh: PolyMesh) -> FvMesh:
         patches=tuple(mesh.patches),
         orthogonal=orthogonal,
         has_ami=ami is not None,
+        cell_zone_masks={
+            name: farr(np.bincount(
+                np.asarray(ids, dtype=np.int64),
+                minlength=mesh.n_cells).astype(float).clip(0, 1))
+            for name, ids in (mesh.cell_zones or {}).items()},
     )
     return jax.device_put(fv)

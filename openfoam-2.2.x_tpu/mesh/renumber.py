@@ -91,6 +91,8 @@ def apply_ordering(poly, order: np.ndarray):
         owner=np.concatenate([own2[fsort], b_owner]),
         neighbour=nei2[fsort],
         patches=list(poly.patches),
+        cell_zones={k: np.sort(new_of_old[np.asarray(v, dtype=np.int64)])
+                    for k, v in (poly.cell_zones or {}).items()},
     )
 
 

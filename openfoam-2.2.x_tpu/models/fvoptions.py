@@ -56,9 +56,13 @@ def _zone_mask(mesh, spec: FoamDict) -> Any:
         box = np.asarray(spec.get("box")).reshape(2, 3)
         m = np.all((c >= box[0]) & (c <= box[1]), axis=1).astype(float)
     elif mode == "cellZone":
-        raise NotImplementedError(
-            "fvOptions selectionMode cellZone needs mesh cellZones; use "
-            "selectionMode box ((xmin ymin zmin) (xmax ymax zmax))")
+        name = str(spec.get("cellZone", spec.get("zoneName", "")))
+        masks = getattr(mesh, "cell_zone_masks", None) or {}
+        if name not in masks:
+            raise KeyError(
+                f"cellZone {name!r} not found in mesh cellZones "
+                f"(have: {sorted(masks)})")
+        return jnp.asarray(masks[name], np.asarray(mesh.v).dtype)
     else:
         raise ValueError(f"unknown selectionMode {mode!r}")
     return jnp.asarray(m, np.asarray(mesh.v).dtype)
@@ -78,7 +82,10 @@ class Option:
 
     # ---- equation hooks -----------------------------------------------------
     def add_to(self, mesh, eqn: FvMatrix, field_name: str, field,
-               U=None, fvopt_state=None) -> FvMatrix:
+               U=None, fvopt_state=None, rho=None, mu=None) -> FvMatrix:
+        """rho/mu: present for mass-weighted (compressible) equations —
+        porosity drag becomes mu*d + 0.5*rho*f*|U| (reference:
+        porosityModel applied to fvm::ddt(rho,U) rows)."""
         if field_name not in self.fields:
             return eqn
         k = self.kind
@@ -115,8 +122,13 @@ class Option:
             magU = jnp.linalg.norm(U.data, axis=1)
             # isotropic Darcy-Forchheimer: Sp = (nu*d + 0.5*f*|U|) per
             # component (diagonal tensor assumed; reference supports
-            # full tensors via coordinateSystem — diagonal average here)
-            dcoef = jnp.mean(dd) * nu + 0.5 * jnp.mean(ff) * magU
+            # full tensors via coordinateSystem — diagonal average here);
+            # mass-weighted rows (compressible) get mu*d + 0.5*rho*f*|U|
+            if rho is not None:
+                visc = mu if mu is not None else nu * rho
+                dcoef = jnp.mean(dd) * visc + 0.5 * jnp.mean(ff) * magU * rho
+            else:
+                dcoef = jnp.mean(dd) * nu + 0.5 * jnp.mean(ff) * magU
             return eqn.replace_fields(diag=eqn.diag + mesh.v * m * dcoef)
         if k == "actuationDiskSource":
             Cp, Ct = float(d["Cp"]), float(d["Ct"])
@@ -169,10 +181,10 @@ class OptionList:
         return bool(self.options)
 
     def add_to(self, mesh, eqn, field_name, field, U=None,
-               fvopt_state=None):
+               fvopt_state=None, rho=None, mu=None):
         for o in self.options:
             eqn = o.add_to(mesh, eqn, field_name, field, U=U,
-                           fvopt_state=fvopt_state)
+                           fvopt_state=fvopt_state, rho=rho, mu=mu)
         return eqn
 
     def correct_U(self, mesh, U, rAU, fvopt_state: Optional[Dict]):

@@ -38,10 +38,17 @@ def _vec(v) -> np.ndarray:
     return np.asarray(v, dtype=float).reshape(3)
 
 
-def _cell_mask(mesh, spec: FoamDict) -> np.ndarray:
+def _cell_mask(mesh, spec: FoamDict, name: str = "") -> np.ndarray:
     mode = str(spec.get("selectionMode", "all"))
     c = np.asarray(mesh.c)
     if mode == "all":
+        # 2.2.x MRFZones name their entries after a mesh cellZone:
+        # `rotor { origin ...; omega ...; }` — honour that when the
+        # zone exists and no explicit selection was given
+        masks = getattr(mesh, "cell_zone_masks", None) or {}
+        zname = str(spec.get("cellZone", name))
+        if "selectionMode" not in spec and zname in masks:
+            return np.asarray(masks[zname]) > 0.5
         return np.ones(c.shape[0], dtype=bool)
     if mode in ("box", "boxToCell"):
         box = np.asarray(spec.get("box"), dtype=float).reshape(2, 3)
@@ -60,9 +67,13 @@ def _cell_mask(mesh, spec: FoamDict) -> np.ndarray:
             m &= (axial <= float(spec.get("zMax", 1e30)))
         return m
     if mode == "cellZone":
-        raise NotImplementedError(
-            "MRFZones cellZone selection needs mesh cellZones; use "
-            "selectionMode cylinder/box/all")
+        name = str(spec.get("cellZone", spec.get("zoneName", "")))
+        masks = getattr(mesh, "cell_zone_masks", None) or {}
+        if name not in masks:
+            raise KeyError(
+                f"MRF cellZone {name!r} not found in mesh cellZones "
+                f"(have: {sorted(masks)})")
+        return np.asarray(masks[name]) > 0.5
     raise ValueError(f"unknown MRF selectionMode {mode!r}")
 
 
@@ -173,7 +184,7 @@ def _build_zone(mesh, name: str, spec: FoamDict) -> MRFZone:
     if isinstance(om, (list, tuple)):        # dimensionedScalar form
         om = om[-1]
     omega_vec = float(om) * axis
-    cmask = _cell_mask(mesh, spec)
+    cmask = _cell_mask(mesh, spec, name=name)
     non_rot = {str(s) for s in (spec.get("nonRotatingPatches") or [])}
 
     owner = np.asarray(mesh.owner)

@@ -46,10 +46,17 @@ class P1Config(NamedTuple):
         return 1.0 / (3.0 * (self.a + self.s) + 1e-30)
 
 
-def make_G(mesh, cfg: P1Config, T_wall_bcs) -> VolField:
+def make_G(mesh, cfg, T_wall_bcs) -> VolField:
     """Initial G field with Marshak mixed BCs on wall patches (other
     patches zero-gradient). T_wall_bcs: the T field's BCs, used to read
-    wall temperatures."""
+    wall temperatures. For fvDOM G is a derived quantity: plain
+    zero-gradient BCs."""
+    if isinstance(cfg, FvDOMConfig):
+        bcs = [pf.PatchField(kind="empty", vfrac=0.0)
+               if p.type == "empty" else pf.zero_gradient()
+               for p in mesh.patches]
+        return vol_scalar(mesh, 0.0, name="G",
+                          dims=DimensionSet.of(1, 0, -3), bcs=tuple(bcs))
     bcs = []
     eps = cfg.emissivity
     marshak_f0 = eps / (2.0 * (2.0 - eps))
@@ -70,9 +77,12 @@ def make_G(mesh, cfg: P1Config, T_wall_bcs) -> VolField:
     return G
 
 
-def solve_G(mesh, G: VolField, T: Any, cfg: P1Config
+def solve_G(mesh, G: VolField, T: Any, cfg, T_bcs=None
             ) -> Tuple[VolField, Any]:
-    """One implicit P1 solve (reference: P1::calculate)."""
+    """One implicit P1 solve (reference: P1::calculate) — or, when cfg
+    is an FvDOMConfig, the full discrete-ordinates sweep."""
+    if isinstance(cfg, FvDOMConfig):
+        return solve_fvdom(mesh, G, T, cfg, T_bcs=T_bcs)
     ctl = cfg.g_controls or {"solver": "PCG",
                              "preconditioner": "polynomial",
                              "tolerance": 1e-8, "relTol": 0.01,
@@ -90,7 +100,122 @@ def solve_G(mesh, G: VolField, T: Any, cfg: P1Config
     return G.with_data(jnp.maximum(data, 0.0)), perf
 
 
-def Sh(mesh, G: VolField, T: Any, cfg: P1Config) -> Any:
+def Sh(mesh, G: VolField, T: Any, cfg) -> Any:
     """Radiative source for the energy equation [W/m^3]
     (reference: radiationModel::Sh = a*G - 4*e*sigma*T^4)."""
     return cfg.a * G.data - 4.0 * cfg.e * SIGMA * jnp.asarray(T) ** 4
+
+
+# ---------------------------------------------------------------------------
+# fvDOM — discrete ordinates
+# ---------------------------------------------------------------------------
+
+
+class FvDOMConfig(NamedTuple):
+    """fvDOM discrete-ordinates model (reference: radiationModels/fvDOM/
+    fvDOM.C + radiativeIntensityRay.C). The RTE is discretised into
+    nTheta * 4*nPhi solid-angle rays, each an upwind advection solve
+
+        div(I_i d_i . Sf) + a V I_i = a V sigma T^4 / pi
+
+    with the greyDiffusiveRadiation wall closure: incoming rays see the
+    wall emission eps*sigma*Tw^4/pi (mixed BC, per-face switched on the
+    ray-normal sign); outgoing rays leave freely. TPU design: the ray
+    loop unrolls inside one jitted step (each ray is a multi-diagonal
+    upwind matrix solved by PBiCGStab); in-scatter is omitted (s only
+    attenuates — documented deviation, reference default sigma_s = 0)."""
+
+    a: float = 0.5
+    s: float = 0.0
+    e: float = 0.5
+    emissivity: float = 1.0
+    n_theta: int = 2           # polar divisions (0..pi)
+    n_phi: int = 2             # azimuthal divisions PER OCTANT (x4 total)
+    g_controls: Dict = None
+
+
+def fvdom_directions(cfg: FvDOMConfig):
+    """Ray mid-point directions [nRay,3] and solid-angle weights [nRay]
+    (sum = 4 pi). Reference: fvDOM constructor's theta/phi loops."""
+    import numpy as np
+
+    nT, nP = cfg.n_theta, 4 * cfg.n_phi
+    dth = np.pi / nT
+    dph = 2.0 * np.pi / nP
+    dirs, wts = [], []
+    for i in range(nT):
+        th = (i + 0.5) * dth
+        for j in range(nP):
+            ph = (j + 0.5) * dph
+            dirs.append((np.sin(th) * np.cos(ph),
+                         np.sin(th) * np.sin(ph),
+                         np.cos(th)))
+            # exact integral of sin(theta) over the control angle
+            wts.append((np.cos(i * dth) - np.cos((i + 1) * dth)) * dph)
+    return np.asarray(dirs), np.asarray(wts)
+
+
+def _ray_field(mesh, d, T_bcs, cfg: FvDOMConfig):
+    """Intensity VolField template for ray direction d: mixed wall BC
+    (vfrac 1 on incoming faces, 0 on outgoing), zero-gradient elsewhere
+    (reference: greyDiffusiveRadiationMixedFvPatchScalarField)."""
+    bcs = []
+    eps = cfg.emissivity
+    for patch, tb in zip(mesh.patches, T_bcs):
+        if patch.type == "empty":
+            bcs.append(pf.PatchField(kind="empty", vfrac=0.0))
+            continue
+        sl = patch.slice
+        sf = mesh.sf[sl]
+        dn = sf @ jnp.asarray(d, mesh.v.dtype)
+        incoming = (dn < 0.0).astype(mesh.v.dtype)
+        if pf.is_value_bc(tb):
+            tw = jnp.broadcast_to(jnp.asarray(tb.ref_value),
+                                  (patch.size,))
+            iw = eps * SIGMA * tw ** 4 / jnp.pi
+            bcs.append(pf.mixed(iw, 0.0, incoming))
+        else:
+            bcs.append(pf.zero_gradient())
+    return vol_scalar(mesh, 0.0, name="I",
+                      dims=DimensionSet.of(1, 0, -3), bcs=tuple(bcs))
+
+
+def solve_fvdom(mesh, G: VolField, T: Any, cfg: FvDOMConfig, T_bcs=None
+                ) -> Tuple[VolField, Any]:
+    """Solve all rays, return G = sum_i w_i I_i (reference:
+    fvDOM::calculate). T_bcs supplies the wall temperatures for the
+    greyDiffusive closure (the caller's T-field BCs)."""
+    if T_bcs is None:
+        raise ValueError("solve_fvdom needs the T field's BCs (T_bcs)")
+    from ..ops import slot as slot_mod
+    from ..ops import schemes as schemes_mod
+
+    ctl = cfg.g_controls or {"solver": "PBiCGStab",
+                             "tolerance": 1e-6, "relTol": 1e-3,
+                             "maxIter": 200}
+    import numpy as np
+
+    dirs, wts = fvdom_directions(cfg)
+    T4 = jnp.asarray(T) ** 4
+    emission = cfg.a * SIGMA * T4 / jnp.pi          # [nC] W/m^3/sr
+    Gnew = jnp.zeros_like(G.data)
+    I0 = jnp.maximum(G.data, 0.0) / (4.0 * jnp.pi)
+    perf = None
+    for r in range(dirs.shape[0]):
+        d = dirs[r]
+        If = _ray_field(mesh, d, T_bcs, cfg).with_data(I0)
+        phi = mesh.sf @ jnp.asarray(d, mesh.v.dtype)   # d . Sf per face
+        phi = phi * mesh.face_active if hasattr(mesh, "face_active") \
+            else phi
+        phi_slot = slot_mod.from_flat(mesh, phi)
+        w_slot = schemes_mod.weights_slot(mesh, phi_slot, "upwind", If)
+        eqn = fvm.div(mesh, phi, If, phi_slot=phi_slot,
+                      slot_weights=w_slot,
+                      phi_dims=DimensionSet.of(0, 3, -1))
+        beta = cfg.a + cfg.s
+        eqn = eqn.replace_fields(
+            diag=eqn.diag + mesh.v * beta,
+            source=eqn.source + mesh.v * emission)
+        data, perf = linear.solve(mesh, eqn, I0, ctl)
+        Gnew = Gnew + wts[r] * jnp.maximum(data, 0.0)
+    return G.with_data(Gnew), perf

@@ -601,31 +601,56 @@ def chem_foam(case, max_steps: Optional[int] = None) -> None:
     log.info("End\n")
 
 
-def cavitating_foam(case, max_steps: Optional[int] = None) -> None:
+def cavitating_foam(case, max_steps: Optional[int] = None,
+                    sonic_liquid: bool = False) -> None:
     """cavitatingFoam: barotropic homogeneous-equilibrium cavitation
     (reference: applications/solvers/multiphase/cavitatingFoam/).
     constant/thermodynamicProperties: psil/psiv/rhol0/pSat;
-    constant/transportProperties: nul (phase viscosities optional)."""
+    constant/transportProperties: nul (phase viscosities optional).
+
+    sonic_liquid: sonicLiquidFoam mode (reference: applications/
+    solvers/compressible/sonicLiquidFoam/) — the single-phase limit:
+    rho = rho0 + psi (p - p0), i.e. rhol0 := rho0 - psi p0 with the
+    saturation pressure pushed to -inf so no vapour ever forms."""
     from . import cavitating as cav_mod
 
     mesh = case.mesh
     th = case.properties("thermodynamicProperties")
     tp = case.transport_properties()
     cdict = case.pimple_controls("PIMPLE")
-    cfg = cav_mod.CavitatingConfig(
-        rhol0=_dim_scalar_of(th, "rhol0", 1000.0),
-        psil=_dim_scalar_of(th, "psil", 4.54e-7),
-        psiv=_dim_scalar_of(th, "psiv", 2.5e-6),
-        p_sat=_dim_scalar_of(th, "pSat", 2300.0),
-        rho_min=_dim_scalar_of(th, "rhoMin", 0.001),
-        nul=_dim_scalar_of(tp, "nul", _dim_scalar_of(tp, "nu", 1e-6)),
-        nuv=_dim_scalar_of(tp, "nuv", 4.273e-7),
-        n_outer=int(cdict.get("nOuterCorrectors", 2)),
-        n_correctors=int(cdict.get("nCorrectors", 2)),
-        n_non_orth=int(cdict.get("nNonOrthogonalCorrectors", 0)),
-        corrected=case.laplacian_corrected(),
-        p_controls=case.solver_controls("p"),
-        u_controls=case.solver_controls("U"))
+    if sonic_liquid:
+        rho0_l = _dim_scalar_of(th, "rho0", 1000.0)
+        p0_l = _dim_scalar_of(th, "p0", 1e5)
+        psi_l = _dim_scalar_of(th, "psi", 4.54e-7)
+        mu_l = _dim_scalar_of(tp, "mu", 1e-3)
+        nu_l = _dim_scalar_of(tp, "nu", mu_l / max(rho0_l, 1e-12))
+        cfg = cav_mod.CavitatingConfig(
+            rhol0=rho0_l - psi_l * p0_l,
+            psil=psi_l, psiv=psi_l,
+            p_sat=-1e8,            # never cavitates
+            rho_min=1e-3,
+            nul=nu_l, nuv=nu_l,
+            n_outer=int(cdict.get("nOuterCorrectors", 1)),
+            n_correctors=int(cdict.get("nCorrectors", 2)),
+            n_non_orth=int(cdict.get("nNonOrthogonalCorrectors", 0)),
+            corrected=case.laplacian_corrected(),
+            p_controls=case.solver_controls("p"),
+            u_controls=case.solver_controls("U"))
+    else:
+        cfg = cav_mod.CavitatingConfig(
+            rhol0=_dim_scalar_of(th, "rhol0", 1000.0),
+            psil=_dim_scalar_of(th, "psil", 4.54e-7),
+            psiv=_dim_scalar_of(th, "psiv", 2.5e-6),
+            p_sat=_dim_scalar_of(th, "pSat", 2300.0),
+            rho_min=_dim_scalar_of(th, "rhoMin", 0.001),
+            nul=_dim_scalar_of(tp, "nul", _dim_scalar_of(tp, "nu", 1e-6)),
+            nuv=_dim_scalar_of(tp, "nuv", 4.273e-7),
+            n_outer=int(cdict.get("nOuterCorrectors", 2)),
+            n_correctors=int(cdict.get("nCorrectors", 2)),
+            n_non_orth=int(cdict.get("nNonOrthogonalCorrectors", 0)),
+            corrected=case.laplacian_corrected(),
+            p_controls=case.solver_controls("p"),
+            u_controls=case.solver_controls("U"))
     U = case.read_field("U")
     p = case.read_field("p")
     state = cav_mod.initial_state(mesh, U, p, cfg)
@@ -828,6 +853,86 @@ def electrostatic_foam(case, max_steps: Optional[int] = None) -> None:
             break
     case.write_fields([phiE, rho])
     case.final_state = {"phi": phiE, "rho": rho}
+    log.info("End\n")
+
+
+def magnetic_foam(case, max_steps: Optional[int] = None) -> None:
+    """magneticFoam (reference: applications/solvers/electromagnetics/
+    magneticFoam/): magnetostatics via the scalar potential psi,
+
+        laplacian(murf, psi) == div(murf * M . Sf)
+        H = grad(psi) - M_contribution,  B = mu0 (mur H + M)
+
+    constant/transportProperties `magnets` is a list of dicts
+    { box (  (x0 y0 z0) (x1 y1 z1) ); mur <f>; Mr <f>;
+      orientation (ox oy oz); } — box selection replaces the
+    reference's cellZone names (this mesh layer has no cellZones;
+    documented deviation)."""
+    import jax
+
+    from ..core.dimensions import dimless
+    from ..ops import fvc, fvm, slot as slot_mod, surface
+    from . import linear
+
+    mesh = case.mesh
+    tp = case.transport_properties()
+    mu0 = 4.0e-7 * np.pi
+    mur = np.ones(mesh.n_cells)
+    M = np.zeros((mesh.n_cells, 3))
+    c = np.asarray(mesh.c)
+    mags = tp.get("magnets", [])
+    entries = (list(mags.values()) if isinstance(mags, FoamDict)
+               else list(mags))
+    for spec in entries:
+        box = np.asarray(spec.get("box")).reshape(2, 3)
+        inside = np.all((c >= box[0]) & (c <= box[1]), axis=1)
+        ori = np.asarray(spec.get("orientation", (0.0, 0.0, 1.0)),
+                         dtype=float).reshape(3)
+        ori = ori / max(np.linalg.norm(ori), 1e-30)
+        mur[inside] = float(spec.get("mur", 1.0))
+        M[inside] = float(spec.get("Mr", 0.0)) * ori
+    mur_j = jnp.asarray(mur, mesh.v.dtype)
+    M_j = jnp.asarray(M, mesh.v.dtype)
+    psi = case.read_field("psi")
+    psi_ctl = case.solver_controls("psi")
+    n_non_orth = int(case.pimple_controls("SIMPLE").get(
+        "nNonOrthogonalCorrectors", 0))
+
+    @jax.jit
+    def solve_psi(psi):
+        mur_slot = slot_mod.interpolate(mesh, mur_j,
+                                        bv=surface.owner_to_b(mesh, mur_j))
+        # div(murf * M_f . Sf): the remanence source. Magnets are
+        # interior bodies, so the boundary remanence flux is zero
+        # (M = 0 in the surrounding medium at the domain boundary).
+        nbf = mesh.n_faces - mesh.n_internal_faces
+        m_flux = slot_mod.flux_of(mesh, M_j,
+                                  bv=jnp.zeros(nbf, mesh.v.dtype))
+        mflux = slot_mod.SlotFace(mur_slot.sv * m_flux.sv,
+                                  mur_slot.fb * m_flux.fb, m_flux.bv)
+        src = slot_mod.surface_sum(mesh, mflux)    # [nC] integrated
+        eqn = fvm.laplacian(mesh, slot_mod.to_flat(mesh, mur_slot), psi,
+                            corrected=case.laplacian_corrected(),
+                            gamma_dims=dimless, gamma_slot=mur_slot)
+        eqn = eqn.replace_fields(source=eqn.source + src)
+        from .piso import needs_reference
+
+        eqn, ctl = linear.prep_pressure(eqn, needs_reference(psi, mesh),
+                                        dict(psi_ctl), 0, 0.0)
+        data, perf = linear.solve(mesh, eqn, psi.data, ctl)
+        psi = psi.with_data(data).correct_boundary_conditions(mesh)
+        # H = -grad(psi): laplacian(mur, psi) == div(M) comes from
+        # div(B) = 0 with B = mu0 (mur H + M) and H = -grad(psi)
+        H = -fvc.grad(mesh, psi)
+        B = mu0 * (mur_j[:, None] * H + M_j)
+        return psi, H, B, perf
+
+    for _ in range(max(n_non_orth, 0) + 1):
+        psi, H, B, perf = solve_psi(psi)
+        log.info(log.solver_line("psi", perf))
+    case.write_fields([psi])
+    case.final_state = {"psi": psi, "H": H, "B": B}
+    log.info(f"max|B| = {float(jnp.max(jnp.linalg.norm(B, axis=1))):.6g}\n")
     log.info("End\n")
 
 
@@ -1142,6 +1247,33 @@ def rhocentralfoam_app(case, max_steps: Optional[int] = None) -> None:
     log.info("End\n")
 
 
+def _load_radiation(case):
+    """constant/radiationProperties -> P1Config | FvDOMConfig | None
+    (reference: radiationModel::New)."""
+    rad_path = case.const_path("radiationProperties")
+    if not os.path.exists(rad_path):
+        return None
+    rd = parse_file(rad_path)
+    if str(rd.get("radiation", "on")) not in ("on", "yes", "true"):
+        return None
+    model = str(rd.get("radiationModel", "none"))
+    from ..models import radiation as rad_mod
+
+    cc = rd.get("constantAbsorptionEmissionCoeffs", FoamDict())
+    a = _dim_scalar_of(cc, "absorptivity", 0.5)
+    e = _dim_scalar_of(cc, "emissivity", 0.5)
+    s = _dim_scalar_of(cc, "scatter", 0.0)
+    if model == "P1":
+        return rad_mod.P1Config(a=a, e=e, s=s, emissivity=1.0)
+    if model == "fvDOM":
+        fc = rd.get("fvDOMCoeffs", FoamDict())
+        return rad_mod.FvDOMConfig(
+            a=a, e=e, s=s, emissivity=1.0,
+            n_theta=int(fc.get("nTheta", 2)),
+            n_phi=int(fc.get("nPhi", 2)))
+    return None
+
+
 def _read_gravity(case) -> Tuple[float, float, float]:
     """constant/g (reference: uniformDimensionedVectorField g)."""
     path = case.const_path("g")
@@ -1312,20 +1444,10 @@ def _buoyant_rho_run(case, steady: bool, max_steps: Optional[int]) -> None:
         turb=model,
         turb_relax=relax.get("k", 0.7),
     )
-    # radiation (constant/radiationProperties, model P1)
-    rad_path = case.const_path("radiationProperties")
-    if os.path.exists(rad_path):
-        rd = parse_file(rad_path)
-        if (str(rd.get("radiation", "on")) in ("on", "yes", "true")
-                and str(rd.get("radiationModel", "none")) == "P1"):
-            from ..models import radiation as rad_mod
-
-            cc = rd.get("constantAbsorptionEmissionCoeffs", FoamDict())
-            cfg = cfg._replace(radiation=rad_mod.P1Config(
-                a=_dim_scalar_of(cc, "absorptivity", 0.5),
-                e=_dim_scalar_of(cc, "emissivity", 0.5),
-                s=_dim_scalar_of(cc, "scatter", 0.0),
-                emissivity=1.0))
+    # radiation (constant/radiationProperties, model P1 or fvDOM)
+    rad = _load_radiation(case)
+    if rad is not None:
+        cfg = cfg._replace(radiation=rad)
     U = case.read_field("U")
     p_rgh = case.read_field("p_rgh")
     T = case.read_field("T")
@@ -1748,12 +1870,30 @@ def _rho_pimple_run(case, steady: bool, transonic: bool,
         else None,
         turb=model,
         turb_relax=relax.get("k", 0.7),
+        fv_options=_load_fvoptions(case, th.mu),
+        mrf=_load_mrf(case),
     )
     U = case.read_field("U")
     p = case.read_field("p")
     T = case.read_field("T")
+    if cfg.mrf:
+        U = cfg.mrf.correct_boundary_velocity(mesh, U)
     state = rp_mod.initial_state(mesh, U, p, T, th, turb_state=tstate,
                                  steady=steady)
+    if cfg.mrf:
+        # initial MASS flux -> relative frame (rho-weighted correction)
+        from ..ops import slot as slot_mod, surface as surf_mod
+
+        rho_c = th.rho(p.data, T.data)
+        rho_slot = slot_mod.interpolate(
+            mesh, rho_c, bv=surf_mod.owner_to_b(mesh, rho_c))
+        sl = cfg.mrf.make_relative(
+            mesh, slot_mod.from_flat(mesh, state["phi"]),
+            rho_slot=rho_slot)
+        state["phi"] = slot_mod.to_flat(mesh, sl)
+        state["phi_slot"] = (sl.sv, sl.fb)
+    if cfg.fv_options:
+        state["fvopt"] = cfg.fv_options.init_state(mesh)
     step = rp_mod.make_step(mesh, cfg)
     res_ctl = _residual_control(case, cname)
     name = ("rhoSimpleFoam" if steady
@@ -2486,19 +2626,9 @@ def fire_foam(case, max_steps: Optional[int] = None) -> None:
         e_controls=case.solver_controls("T") if _has_solver(case, "T")
         else None,
         turb=model, turb_relax=relax.get("k", 0.7))
-    rad_path = case.const_path("radiationProperties")
-    if os.path.exists(rad_path):
-        rd = parse_file(rad_path)
-        if (str(rd.get("radiation", "on")) in ("on", "yes", "true")
-                and str(rd.get("radiationModel", "none")) == "P1"):
-            from ..models import radiation as rad_mod
-
-            cc = rd.get("constantAbsorptionEmissionCoeffs", FoamDict())
-            flow = flow._replace(radiation=rad_mod.P1Config(
-                a=_dim_scalar_of(cc, "absorptivity", 0.5),
-                e=_dim_scalar_of(cc, "emissivity", 0.5),
-                s=_dim_scalar_of(cc, "scatter", 0.0),
-                emissivity=1.0))
+    rad = _load_radiation(case)
+    if rad is not None:
+        flow = flow._replace(radiation=rad)
     try:
         comb = comb_mod.from_dict(case.properties("combustionProperties"),
                                   chem)
@@ -2650,10 +2780,29 @@ case_mod.register_application("SRFPimpleFoam", pimplefoam)
 # _load_fvoptions (reference: applications/solvers/incompressible/
 # porousSimpleFoam/ reads porousZones into the momentum equation)
 case_mod.register_application("porousSimpleFoam", simplefoam)
+# compressible porous/MRF family: the rho drivers read constant/
+# {porousZones,MRFZones} too (reference: applications/solvers/
+# compressible/rhoPorousMRFSimpleFoam etc.)
+case_mod.register_application("rhoPorousSimpleFoam", rho_simplefoam)
+case_mod.register_application("rhoPorousMRFSimpleFoam", rho_simplefoam)
+case_mod.register_application("rhoPorousMRFPimpleFoam", rho_pimplefoam)
+case_mod.register_application("rhoPorousMRFLTSPimpleFoam",
+                              rho_pimplefoam)
+# channelFoam = pimpleFoam + meanVelocityForce driving the prescribed
+# Ubar (reference: incompressible/channelFoam/ gradP adjustment);
+# windSimpleFoam = simpleFoam + actuationDiskSource fvOptions
+# (reference: incompressible/windSimpleFoam/)
+case_mod.register_application("channelFoam", pimplefoam)
+case_mod.register_application("windSimpleFoam", simplefoam)
 case_mod.register_application("electrostaticFoam", electrostatic_foam)
+case_mod.register_application("magneticFoam", magnetic_foam)
 case_mod.register_application("financialFoam", financial_foam)
 case_mod.register_application("mhdFoam", mhd_foam)
 case_mod.register_application("cavitatingFoam", cavitating_foam)
+case_mod.register_application(
+    "sonicLiquidFoam",
+    lambda case, max_steps=None: cavitating_foam(case, max_steps,
+                                                 sonic_liquid=True))
 case_mod.register_application("chemFoam", chem_foam)
 case_mod.register_application("boundaryFoam", boundary_foam)
 case_mod.register_application("shallowWaterFoam", shallow_water_foam)

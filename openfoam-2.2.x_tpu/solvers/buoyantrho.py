@@ -221,7 +221,7 @@ def buoyantrho_step(mesh, state: Dict, dt: Any, cfg: BuoyantRhoConfig
             from ..models import radiation as rad_mod
 
             Gf, gperf = rad_mod.solve_G(mesh, state["G"], T.data,
-                                        cfg.radiation)
+                                        cfg.radiation, T_bcs=T.bcs)
             state = dict(state)
             state["G"] = Gf
             diag["G"] = gperf

@@ -62,6 +62,8 @@ class RhoPimpleConfig(NamedTuple):
     turb: Any = None
     turb_controls: Dict = None
     turb_relax: float = 0.7
+    fv_options: Any = None    # models/fvoptions.OptionList (porous etc.)
+    mrf: Any = None           # models/mrf.MRFZones
 
 
 def _rho_ddt(mesh, field: VolField, rho, rho0, old, rdt) -> FvMatrix:
@@ -140,6 +142,15 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
             mesh, slot_mod.to_flat(mesh, mu_slot), U,
             corrected=cfg.corrected, gamma_dims=DimensionSet.of(1, -1, -1),
             limit=cfg.corr_limit, gamma_slot=mu_slot)
+        if cfg.mrf:
+            # reference: mrfZones.addCoriolis(rho, UEqn()) before relax
+            UEqn = cfg.mrf.add_coriolis(mesh, UEqn, U, rho=rho)
+        if cfg.fv_options:
+            # reference: rhoPorousSimpleFoam UEqn.H — porous/explicit
+            # sources enter the momentum equation before relaxation
+            UEqn = cfg.fv_options.add_to(mesh, UEqn, "U", U, U=U,
+                                         fvopt_state=state.get("fvopt"),
+                                         rho=rho, mu=mu)
         if relax_now and cfg.alpha_u < 1.0:
             UEqn = UEqn.relax(mesh, cfg.alpha_u, U.data)
         grad_p = fvc.grad_of(mesh, p, cfg.grad_scheme)
@@ -236,6 +247,11 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
             phiHbyA_b = rho_bv * boundary_flux(mesh, U)
             phiHbyA = slot_mod.SlotFace(rho_slot.sv * hba.sv,
                                         rho_slot.fb * hba.fb, phiHbyA_b)
+            if cfg.mrf:
+                # reference: mrfZones.relativeFlux(fvc::interpolate(rho),
+                # phiHbyA) — mass-flux weighted
+                phiHbyA = cfg.mrf.make_relative(mesh, phiHbyA,
+                                                rho_slot=rho_slot)
             p_before = p_w.data
 
             for nonorth in range(cfg.n_non_orth + 1):
@@ -347,6 +363,9 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
                                     + cfg.alpha_p * (p_w.data - p_before))
             grad_p = fvc.grad_of(mesh, p_w, cfg.grad_scheme)
             U = U.with_data(HbyA - (rA * 1.0)[:, None] * grad_p)
+            if cfg.fv_options:
+                U, fvopt_state = cfg.fv_options.correct_U(
+                    mesh, U, rA, state.get("fvopt"))
             U = U.correct_boundary_conditions(mesh)
         p = p.with_data(p_w.data + p_op)
         phi = slot_mod.to_flat(mesh, phi_slot)
@@ -395,6 +414,8 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
     new_state = dict(state)
     new_state.update(U=U, p=p, T=T, phi=phi,
                      phi_slot=(phi_slot.sv, phi_slot.fb))
+    if cfg.fv_options and "fvopt" in state:
+        new_state["fvopt"] = fvopt_state
     if not cfg.steady:
         new_state.update(U0=U.data, T0=T.data, p0=p.data, rho0=rho_new)
     if new_turb is not None:

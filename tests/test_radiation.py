@@ -148,3 +148,52 @@ def test_buoyant_with_radiation_couples():
     # bounded by the wall temperatures (small corner overshoot from the
     # partially-converged 80-iteration steady march is tolerated)
     assert T_rad.max() < 1.05 * Th and T_rad.min() > 0.95 * Tc
+
+
+# ---------------------------------------------------------------------------
+# fvDOM (reference: radiationModels/fvDOM/)
+# ---------------------------------------------------------------------------
+
+
+def test_fvdom_isothermal_equilibrium():
+    """Isothermal black enclosure at T0: every ray carries I =
+    sigma T0^4 / pi, so G = 4 sigma T0^4 exactly (the discrete weights
+    sum to 4 pi)."""
+    mesh = to_device(blockmesh.generate(parse_string(BOX)))
+    T0 = 800.0
+    Tb = _T_bcs(mesh, T0, T0)
+    cfg = radiation.FvDOMConfig(a=1.0, e=1.0, emissivity=1.0,
+                                n_theta=2, n_phi=1)
+    G = radiation.make_G(mesh, cfg, Tb)
+    Tf = jnp.full(mesh.n_cells, T0, mesh.v.dtype)
+    G, perf = radiation.solve_G(mesh, G, Tf, cfg, T_bcs=Tb)
+    exact = 4.0 * radiation.SIGMA * T0 ** 4
+    g = np.asarray(G.data)
+    assert np.abs(g - exact).max() / exact < 1e-2, (g.min(), g.max(), exact)
+    sh = np.asarray(radiation.Sh(mesh, G, Tf, cfg))
+    assert np.abs(sh).max() < 1e-2 * cfg.a * exact
+
+
+def test_fvdom_transparent_two_plate():
+    """Nearly transparent medium between hot/cold black plates: at any
+    interior point each half-space is filled by one wall's intensity,
+    G ~ 2 sigma (Th^4 + Tc^4); monotone decrease hot -> cold in the
+    net flux sense is reflected in G's x-gradient being small (G is
+    nearly uniform) while rays differ."""
+    mesh = to_device(blockmesh.generate(parse_string(BOX)))
+    Th, Tc = 1000.0, 500.0
+    Tb = _T_bcs(mesh, Th, Tc)
+    # side walls ~ average to mimic periodic plates; small absorption
+    cfg = radiation.FvDOMConfig(a=1e-4, e=1e-4, emissivity=1.0,
+                                n_theta=4, n_phi=2)
+    G = radiation.make_G(mesh, cfg, Tb)
+    Tf = jnp.full(mesh.n_cells, 300.0, mesh.v.dtype)   # cold medium
+    G, _ = radiation.solve_G(mesh, G, Tf, cfg, T_bcs=Tb)
+    g = np.asarray(G.data)
+    cc = np.asarray(mesh.c)
+    mid = np.abs(cc[:, 1] - 0.5) < 0.2
+    approx = 2.0 * radiation.SIGMA * (Th ** 4 + Tc ** 4)
+    # generous band: ray effects + side-wall average emission
+    assert 0.6 * approx < g[mid].mean() < 1.4 * approx, (
+        g[mid].mean(), approx)
+    assert np.isfinite(g).all() and (g >= 0).all()
