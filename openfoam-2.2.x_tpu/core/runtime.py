@@ -72,8 +72,12 @@ class Time:
 
     # -- loop -------------------------------------------------------------------
     def loop(self) -> Iterator["Time"]:
+        # stop tolerance scales with the case's own time scale — an
+        # absolute floor would swallow sub-1e-10 end times (MD runs
+        # finish in picoseconds)
         while (not self.stop_now and self.value
-               < self.end_time - 1e-10 * max(abs(self.end_time), 1.0)):
+               < self.end_time - 1e-10 * max(abs(self.end_time),
+                                             abs(self.delta_t))):
             dt = min(self.delta_t, self.end_time - self.value)
             self.value += dt
             self.current_dt = dt

@@ -279,7 +279,10 @@ def generate(dict_or_path) -> PolyMesh:
 
     # ---- generate points per block, merge duplicates ----------------------
     bbox = verts.max(0) - verts.min(0)
-    tol = max(float(np.linalg.norm(bbox)), 1.0) * 1e-8
+    # merge tolerance must be RELATIVE to the geometry scale — an
+    # absolute floor collapses nanometre-scale domains (MD cases use
+    # convertToMeters ~1e-9)
+    tol = (float(np.linalg.norm(bbox)) or 1.0) * 1e-8
 
     grids = [blk.point_grid() for blk in blocks]
     all_flat = np.concatenate([g.reshape(-1, 3) for g in grids], axis=0)

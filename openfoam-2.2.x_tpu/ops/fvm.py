@@ -366,9 +366,13 @@ def laplacian(
     )
 
 
-def Sp(mesh, sp: Any, field: VolField) -> FvMatrix:
-    """Implicit source sp*psi (reference: fvm::Sp): diag += V*sp."""
-    m = zero_matrix(mesh, _ncmp(field), dims=field.dims * dimVolume / dimTime)
+def Sp(mesh, sp: Any, field: VolField, sp_dims=None) -> FvMatrix:
+    """Implicit source sp*psi (reference: fvm::Sp): diag += V*sp.
+    sp_dims: dimensions of sp (default 1/s, the plain rate)."""
+    from ..core.dimensions import DimensionSet
+
+    d = (DimensionSet.of(0, 0, -1) if sp_dims is None else sp_dims)
+    m = zero_matrix(mesh, _ncmp(field), dims=field.dims * dimVolume * d)
     return m.replace_fields(diag=mesh.v * sp)
 
 

@@ -1605,6 +1605,278 @@ def ico_uncoupled_kinematic_parcel_foam(case,
     case.final_state = {"cloud": cloud, "U": U}
 
 
+def _engine_foam(case, max_steps: Optional[int] = None,
+                 combustion: bool = False) -> None:
+    """engineFoam / coldEngineFoam (reference: applications/solvers/
+    combustion/{engineFoam,coldEngineFoam}/ + src/engine/): in-cylinder
+    compressible flow with slider-crank piston motion from
+    constant/engineGeometry. controlDict times are CRANK-ANGLE DEGREES
+    (reference: engineTime user time). The patch named `piston` is the
+    moving crown; the opposite extreme of the cylinder axis is the
+    head. engineFoam adds b-Xi heat release with ignition from
+    constant/combustionProperties (ignitionStart CAD, location,
+    diameter)."""
+    import jax.numpy as jnp
+
+    from ..core.fields import vol_scalar
+    from ..mesh import engine as eng_mod
+    from ..models import thermo as thermo_mod
+    from . import engine as engine_solver
+
+    mesh = case.mesh
+    geom_d = case.properties("engineGeometry")
+    geom = eng_mod.from_dict(geom_d)
+    th = thermo_mod.from_dict(
+        case.properties("thermophysicalProperties"))
+    U = case.read_field("U")
+    p = case.read_field("p")
+    T = case.read_field("T")
+
+    # piston crown / head positions along the engine axis
+    pist = mesh.patch("piston")
+    cf = np.asarray(mesh.cf)
+    z_piston0 = float(cf[pist.slice, geom.axis].mean())
+    ax_all = cf[:, geom.axis]
+    z_head = float(ax_all.max() if z_piston0 < ax_all.mean()
+                   else ax_all.min())
+    pts_fn, umesh_fn = eng_mod.piston_motion(geom, z_head=z_head,
+                                             z_piston0=z_piston0)
+    comb = (case.properties("combustionProperties")
+            if combustion else FoamDict())
+    cfg = engine_solver.EngineConfig(
+        thermo=th, pts_fn=pts_fn, umesh_fn=umesh_fn,
+        s_per_cad=1.0 / eng_mod.deg_per_sec(geom),
+        n_correctors=int(case.pimple_controls("PIMPLE").get(
+            "nCorrectors", 2)),
+        p_ref_value=float(np.asarray(p.data).mean()),
+        Su0=_dim_scalar_of(comb, "Su", 0.0) if combustion else 0.0,
+        Xi=_dim_scalar_of(comb, "Xi", 2.0),
+        q_comb=_dim_scalar_of(comb, "qComb", 2.0e6),
+        Tu=_dim_scalar_of(comb, "Tu", 300.0),
+        p_controls=case.solver_controls("p"),
+        u_controls=case.solver_controls("U"))
+    b = None
+    if combustion:
+        try:
+            b = case.read_field("b")
+        except Exception:
+            b = vol_scalar(mesh, 1.0, name="b")
+    state = engine_solver.initial_state(case.poly_mesh, mesh, U, p,
+                                        T, th, cfg, b=b)
+    step = engine_solver.make_step(mesh, cfg)
+
+    ign = comb.get("ignition", FoamDict()) if combustion else FoamDict()
+    ign_start = _dim_scalar_of(ign, "start", 0.0)       # CAD
+    ign_d = _dim_scalar_of(ign, "diameter", 0.02)
+    loc = ign.get("location", None)
+    ignited = not combustion or not isinstance(ign, FoamDict) or \
+        "start" not in ign
+
+    name = "engineFoam" if combustion else "coldEngineFoam"
+    log.info(f"Starting loop: {name}, rpm {geom.rpm}, "
+             f"theta0 {geom.theta0} CAD\n")
+    for t in case.time.loop():
+        theta = geom.theta0 + t.value     # controlDict time == CAD
+        if combustion and not ignited and theta >= ign_start:
+            # spark: burnt kernel around the ignition location
+            # (reference: ignitionSite — here a one-shot host-side set)
+            c = np.asarray(mesh.c)
+            lc = (np.asarray([float(x) for x in loc])
+                  if loc is not None else c.mean(axis=0))
+            r = np.linalg.norm(c - lc[None, :], axis=1)
+            bb = np.asarray(state["b"].data).copy()
+            bb[r < 0.5 * ign_d] = 0.0
+            state["b"] = state["b"].with_data(
+                jnp.asarray(bb, mesh.v.dtype))
+            state["b0"] = state["b"].data
+            ignited = True
+            log.info(f"Ignition at theta = {theta:.2f} CAD\n")
+        state, diag = step(state, jnp.asarray(t.current_dt,
+                                              mesh.v.dtype))
+        log.info(f"Crank angle = {theta + t.current_dt:.6g} CAD\n"
+                 f"p_mean = {float(diag['p_mean']):.6g}  "
+                 f"T_mean = {float(diag['T_mean']):.6g}  "
+                 f"V = {float(diag['V_total']):.6g}\n")
+        if t.write_time():
+            case.write_fields([state["U"], state["p"], state["T"]]
+                              + ([state["b"]] if combustion else []))
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.write_fields([state["U"], state["p"], state["T"]]
+                      + ([state["b"]] if combustion else []))
+    case.final_state = {"state": state, "diag": diag}
+    log.info("End\n")
+
+
+def cold_engine_foam(case, max_steps: Optional[int] = None) -> None:
+    _engine_foam(case, max_steps, combustion=False)
+
+
+def engine_foam(case, max_steps: Optional[int] = None) -> None:
+    _engine_foam(case, max_steps, combustion=True)
+
+
+def dsmc_foam(case, max_steps: Optional[int] = None) -> None:
+    """dsmcFoam (reference: applications/solvers/discreteMethods/dsmc/
+    dsmcFoam/): VHS direct-simulation Monte Carlo. Reads
+    constant/dsmcProperties (nEquivalentParticles + moleculeProperties
+    per species) and system/dsmcInitialiseDict (numberDensities /
+    temperature / velocity — the reference's dsmcInitialise utility is
+    folded into the solver start-up when no cloud exists yet); writes
+    sampled rhoN/U/T fields at write times."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import lagrangian as lag
+    from ..lagrangian import dsmc
+    from ..bc.patchfields import default_bcs
+    from ..core.dimensions import DimensionSet
+    from ..core.fields import VolField
+
+    mesh = case.mesh
+    props = case.properties("dsmcProperties")
+    fn = _dim_scalar_of(props, "nEquivalentParticles", 1e12)
+    mol = props.get("moleculeProperties", FoamDict())
+    names, mass, dref, omega, tref = [], [], [], [], 273.0
+    for k, v in mol.items():
+        if isinstance(v, FoamDict):
+            names.append(k)
+            mass.append(_dim_scalar_of(v, "mass", 6.63e-26))
+            dref.append(_dim_scalar_of(v, "diameter", 4.17e-10))
+            omega.append(_dim_scalar_of(v, "omega", 0.81))
+            tref = _dim_scalar_of(v, "Tref", tref)
+    if not names:
+        names, mass, dref, omega = ["Ar"], [6.63e-26], [4.17e-10], [0.81]
+    species = dsmc.Species(mass=jnp.asarray(mass),
+                           d_ref=jnp.asarray(dref),
+                           omega=jnp.asarray(omega), T_ref=tref)
+    init_path = os.path.join(case.dir, "system", "dsmcInitialiseDict")
+    init = (parse_file(init_path) if os.path.exists(init_path)
+            else FoamDict())
+    nds = init.get("numberDensities", FoamDict())
+    nd_by_sp = [ _dim_scalar_of(nds, n, 0.0) for n in names ]
+    nd_tot = sum(nd_by_sp) or 1e20
+    fracs = ([x / nd_tot for x in nd_by_sp] if sum(nd_by_sp) > 0
+             else None)
+    T0 = _dim_scalar_of(init, "temperature", 300.0)
+    U0v = init.get("velocity", [0.0, 0.0, 0.0])
+    U0 = tuple(float(x) for x in np.asarray(U0v, float).reshape(-1)[-3:])
+    cloud = dsmc.initialise(mesh, species, nd_tot, T0, U0, fn,
+                            typ_fracs=fracs)
+    bt = jnp.asarray(lag.face_boundary_types(mesh))
+    cfg = dsmc.DsmcConfig(nEquivalentParticles=fn)
+    step = jax.jit(lambda c, dt: dsmc.evolve(mesh, c, dt, bt, cfg,
+                                             species))
+    sample = jax.jit(lambda c: dsmc.sample_fields(mesh, c, species, fn))
+
+    def write(t):
+        f = sample(cloud)
+        flds = [
+            VolField(data=f["rhoN"], bcs=default_bcs(mesh, 0),
+                     name="rhoN", dims=DimensionSet.of(0, -3, 0)),
+            VolField(data=f["T"], bcs=default_bcs(mesh, 0),
+                     name="overallT", dims=DimensionSet.of(0, 0, 0, 1)),
+            VolField(data=f["U"], bcs=default_bcs(mesh, 3),
+                     name="overallU", dims=DimensionSet.of(0, 1, -1)),
+        ]
+        case.write_fields(flds, time_name=t.name)
+
+    log.info(f"Starting loop: dsmcFoam, {int(cloud.n_active)} "
+             f"parcels, {len(names)} species\n")
+    for t in case.time.loop():
+        cloud = step(cloud, jnp.asarray(t.current_dt, mesh.v.dtype))
+        log.info(f"Time = {t.name}\n    Number of dsmc particles = "
+                 f"{int(cloud.n_active)}\n")
+        if t.write_time():
+            write(t)
+        if max_steps is not None and t.index >= max_steps:
+            break
+    write(case.time)
+    case.final_state = {"cloud": cloud,
+                        "fields": {k: v for k, v in sample(cloud).items()}}
+    log.info("End\n")
+
+
+def _md_setup(case):
+    """Shared mdFoam/mdEquilibrationFoam setup: LJ molecule properties
+    from constant/moleculeProperties, lattice fill from
+    system/mdInitialiseDict, periodic box = mesh bounding box."""
+    from ..lagrangian import md
+
+    mesh = case.mesh
+    props = case.properties("moleculeProperties")
+    eps = _dim_scalar_of(props, "epsilon", 1.656e-21)
+    sig = _dim_scalar_of(props, "sigma", 3.4e-10)
+    m = _dim_scalar_of(props, "mass", 6.63e-26)
+    rcut = _dim_scalar_of(props, "rCut", 2.5 * sig)
+    # domain bounds from the face centres (boundary faces included;
+    # exact for the box domains MD uses)
+    pts = np.asarray(mesh.cf)
+    lo, hi = pts.min(axis=0), pts.max(axis=0)
+    cfg = md.MdConfig(epsilon=eps, sigma=sig, mass=m,
+                      box=tuple(float(x) for x in (hi - lo)),
+                      r_cut=rcut)
+    init_path = os.path.join(case.dir, "system", "mdInitialiseDict")
+    init = (parse_file(init_path) if os.path.exists(init_path)
+            else FoamDict())
+    n_side = int(_dim_scalar_of(init, "nSide", 5))
+    T0 = _dim_scalar_of(init, "temperature", 120.0)
+    x, u = md.lattice_fill(cfg.box, n_side, mass=m, T0=T0)
+    x = x + lo[None, :]
+    return md, cfg, md.make_state(x, u, cfg), init
+
+
+def md_foam(case, max_steps: Optional[int] = None) -> None:
+    """mdFoam (reference: applications/solvers/discreteMethods/
+    molecularDynamics/mdFoam/): NVE Lennard-Jones molecular dynamics,
+    velocity-Verlet integration, periodic box."""
+    import jax
+    import jax.numpy as jnp
+
+    md, cfg, state, _ = _md_setup(case)
+    step = jax.jit(lambda s, dt: md.verlet_step(s, dt, cfg))
+    log.info(f"Starting loop: mdFoam, {state.x.shape[0]} molecules\n")
+    pot = 0.0
+    for t in case.time.loop():
+        state, pot = step(state, jnp.asarray(t.current_dt,
+                                             state.x.dtype))
+        T = float(md.temperature(state, cfg))
+        E = float(md.kinetic_energy(state, cfg)) + float(pot)
+        log.info(f"Time = {t.name}\n    temperature = {T:.6g} K, "
+                 f"total energy = {E:.6g} J\n")
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.final_state = {"state": state, "T": float(md.temperature(
+        state, cfg)), "E": float(md.kinetic_energy(state, cfg))
+        + float(pot)}
+    log.info("End\n")
+
+
+def md_equilibration_foam(case, max_steps: Optional[int] = None) -> None:
+    """mdEquilibrationFoam (reference: applications/solvers/
+    discreteMethods/molecularDynamics/mdEquilibrationFoam/): mdFoam +
+    velocity rescaling toward targetTemperature each step."""
+    import jax
+    import jax.numpy as jnp
+
+    md, cfg, state, init = _md_setup(case)
+    T_tgt = _dim_scalar_of(init, "targetTemperature",
+                           _dim_scalar_of(init, "temperature", 120.0))
+    step = jax.jit(lambda s, dt: md.equilibrate_step(
+        s, dt, cfg, T_tgt, relax=0.1))
+    log.info(f"Starting loop: mdEquilibrationFoam, "
+             f"{state.x.shape[0]} molecules, target {T_tgt} K\n")
+    for t in case.time.loop():
+        state, _ = step(state, jnp.asarray(t.current_dt, state.x.dtype))
+        log.info(f"Time = {t.name}\n    temperature = "
+                 f"{float(md.temperature(state, cfg)):.6g} K\n")
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.final_state = {"state": state,
+                        "T": float(md.temperature(state, cfg))}
+    log.info("End\n")
+
+
 def dns_foam(case, max_steps: Optional[int] = None) -> None:
     """dnsFoam (reference: applications/solvers/DNS/dnsFoam/): direct
     simulation of isotropic box turbulence — icoFoam's PISO loop plus
@@ -2830,6 +3102,12 @@ case_mod.register_application("twoLiquidMixingFoam",
 case_mod.register_application("multiphaseInterFoam",
                               multiphase_inter_foam)
 case_mod.register_application("bubbleFoam", two_phase_euler_foam)
+case_mod.register_application("engineFoam", engine_foam)
+case_mod.register_application("coldEngineFoam", cold_engine_foam)
+case_mod.register_application("dsmcFoam", dsmc_foam)
+case_mod.register_application("mdFoam", md_foam)
+case_mod.register_application("mdEquilibrationFoam",
+                              md_equilibration_foam)
 case_mod.register_application("reactingFoam", reacting_foam)
 case_mod.register_application("rhoReactingFoam", reacting_foam)
 case_mod.register_application("scalarTransportFoam", scalar_transport_foam)
