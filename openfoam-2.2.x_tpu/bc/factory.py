@@ -86,6 +86,10 @@ _ALIASES = {
     "supersonicFreestream": "supersonicFreestream",
     "variableHeightFlowRate": "variableHeightFlowRate",
     "cyclicAMI": "cyclicAMI",
+    # potentialFreeSurfaceFoam: dynamic surface-elevation pressure —
+    # mapped to mixed; the solver rewrites ref_value from zeta each
+    # step (solvers/potentialfreesurface.py)
+    "waveSurfacePressure": "mixed",
 }
 
 

@@ -135,6 +135,11 @@ class MRFZones:
         return slot_mod.SlotFace(phi_slot.sv - c.sv, phi_slot.fb - c.fb,
                                  phi_slot.bv - c.bv)
 
+    def make_relative_flat(self, mesh, phi: Any) -> Any:
+        """Flat-array variant of make_relative (volumetric flux) for
+        solvers on the flat face layout (interFoam family)."""
+        return phi - jnp.asarray(self._corr_flat, mesh.v.dtype)
+
     def make_absolute(self, mesh, phi_slot: slot_mod.SlotFace,
                       rho_slot: Optional[slot_mod.SlotFace] = None
                       ) -> slot_mod.SlotFace:

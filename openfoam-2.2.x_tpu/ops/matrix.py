@@ -222,6 +222,13 @@ class FvMatrix:
             return jnp.sum(off[:, :, None] * psi[mesh.cnbr], axis=1) + ami
         return jnp.sum(off * psi[mesh.cnbr], axis=1) + ami
 
+    def H1(self, mesh) -> Any:
+        """H at psi == 1 with no source: -(sum of off-diagonal
+        coefficients)/V (reference: fvMatrix::H1, used by the SIMPLEC
+        rAtU = 1/(A - H1) consistency correction)."""
+        ones = jnp.ones(self.diag.shape[0], mesh.v.dtype)
+        return -self.off_mul(mesh, ones) / mesh.v
+
     def H(self, mesh, psi: Any) -> Any:
         """(source_eff - offdiag*psi + (Dav - Dc)*psi) / V
         (reference: fvMatrix::H) — the correction term keeps

@@ -1163,6 +1163,8 @@ def interfoam_app(case, max_steps: Optional[int] = None,
         p_controls=case.solver_controls("p_rgh"),
         u_controls=case.solver_controls("U") if "U" in str(
             case.fv_solution.get("solvers", {})) else None,
+        fv_options=_load_fvoptions(case, min(nu1, nu2)),
+        mrf=_load_mrf(case),
     )
     if dym:
         # interDyMFoam (reference: interFoam/interDyMFoam): solid-body
@@ -1603,6 +1605,259 @@ def ico_uncoupled_kinematic_parcel_foam(case,
     write(case.time)
     log.info("End\n")
     case.final_state = {"cloud": cloud, "U": U}
+
+
+def potential_free_surface_foam(case, max_steps: Optional[int] = None
+                                ) -> None:
+    """potentialFreeSurfaceFoam (reference: applications/solvers/
+    multiphase/potentialFreeSurfaceFoam/): pisoFoam + the
+    waveSurfacePressure free-surface BC. The free-surface patch is the
+    one whose p_gh (or p) boundary type is waveSurfacePressure, else a
+    patch named freeSurface."""
+    import jax.numpy as jnp
+
+    from . import piso as piso_mod
+    from . import potentialfreesurface as pfs_mod
+
+    mesh = case.mesh
+    tp = case.transport_properties()
+    _, nu = dimensioned_scalar(tp["nu"])
+    pname = "p_gh" if os.path.exists(os.path.join(case.dir, "0",
+                                                  "p_gh")) else "p"
+    # find the free-surface patch from the raw boundaryField types
+    fs_idx = None
+    raw = parse_file(os.path.join(case.dir, "0", pname))
+    bf = raw.get("boundaryField", FoamDict())
+    for i, p in enumerate(mesh.patches):
+        ent = bf.get(p.name)
+        if isinstance(ent, FoamDict) and \
+                str(ent.get("type")) == "waveSurfacePressure":
+            fs_idx = i
+            break
+    if fs_idx is None:
+        for i, p in enumerate(mesh.patches):
+            if p.name == "freeSurface":
+                fs_idx = i
+                break
+    if fs_idx is None:
+        raise ValueError("potentialFreeSurfaceFoam: no "
+                         "waveSurfacePressure patch found")
+    g = _read_gravity(case)
+    pdict = case.pimple_controls("PIMPLE")
+    flow = piso_mod.PisoConfig(
+        nu=nu,
+        n_correctors=int(pdict.get("nCorrectors", 2)),
+        n_non_orth=int(pdict.get("nNonOrthogonalCorrectors", 0)),
+        p_controls=case.solver_controls(pname))
+    cfg = pfs_mod.FreeSurfaceConfig(
+        flow=flow, fs_patch=fs_idx,
+        g_mag=float(np.linalg.norm(np.asarray(g))))
+    U = case.read_field("U")
+    p = case.read_field(pname)
+    state = pfs_mod.initial_state(mesh, U, p, cfg)
+    step = pfs_mod.make_step(mesh, cfg)
+    log.info("Starting loop: potentialFreeSurfaceFoam\n")
+    for t in case.time.loop():
+        state, diag = step(state, jnp.asarray(t.current_dt,
+                                              mesh.v.dtype))
+        log.info(f"Time = {t.name}\nzeta: min = "
+                 f"{float(diag['zeta_min']):.6g} max = "
+                 f"{float(diag['zeta_max']):.6g}\n")
+        if t.write_time():
+            case.write_fields([state["U"], state["p"]])
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.write_fields([state["U"], state["p"]])
+    case.final_state = {"state": state, "diag": diag}
+    log.info("End\n")
+
+
+def settling_foam(case, max_steps: Optional[int] = None) -> None:
+    """settlingFoam (reference: applications/solvers/multiphase/
+    settlingFoam/): drift-flux mixture with hindered settling from
+    constant/transportProperties (rhoc/rhod/muc, V0/a/a1/alphaMin,
+    plasticViscosityCoeff/Exponent)."""
+    import jax.numpy as jnp
+
+    from . import settling as set_mod
+
+    mesh = case.mesh
+    tp = case.transport_properties()
+    V0v = tp.get("V0", [0.0, -0.002, 0.0])
+    if isinstance(V0v, list) and V0v and isinstance(V0v[-1],
+                                                    (list, tuple)):
+        V0v = V0v[-1]
+    pdict = case.pimple_controls("PIMPLE")
+    plast = tp.get("plastic", tp.get("plasticCoeffs", tp))
+    cfg = set_mod.SettlingConfig(
+        rhoc=_dim_scalar_of(tp, "rhoc", 1000.0),
+        rhod=_dim_scalar_of(tp, "rhod", 1042.0),
+        muc=_dim_scalar_of(tp, "muc", 1e-3),
+        plastic_coeff=_dim_scalar_of(plast, "plasticViscosityCoeff",
+                                     0.0),
+        plastic_exp=_dim_scalar_of(plast, "plasticViscosityExponent",
+                                   0.0),
+        vdj_model=str(tp.get("VdjModel", "simple")),
+        V0=tuple(float(x) for x in np.asarray(V0v,
+                                              float).reshape(-1)[-3:]),
+        a=_dim_scalar_of(tp, "a", 8.84),
+        a1=_dim_scalar_of(tp, "a1", 0.0),
+        alpha_min=_dim_scalar_of(tp, "alphaMin", 0.0),
+        g=_read_gravity(case),
+        n_correctors=int(pdict.get("nCorrectors", 2)),
+        n_non_orth=int(pdict.get("nNonOrthogonalCorrectors", 0)),
+        p_controls=case.solver_controls("p_rgh"))
+    U = case.read_field("U")
+    p_rgh = case.read_field("p_rgh")
+    alpha = case.read_field("alpha")
+    state = set_mod.initial_state(mesh, U, p_rgh, alpha, cfg)
+    step = set_mod.make_step(mesh, cfg)
+    log.info("Starting loop: settlingFoam\n")
+    for t in case.time.loop():
+        state, diag = step(state, jnp.asarray(t.current_dt,
+                                              mesh.v.dtype))
+        log.info(f"Time = {t.name}\nDispersed phase fraction = "
+                 f"{float(jnp.mean(state['alpha'].data)):.6g}\n")
+        if t.write_time():
+            case.write_fields([state["U"], state["p_rgh"],
+                               state["alpha"]])
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.write_fields([state["U"], state["p_rgh"], state["alpha"]])
+    case.final_state = {"state": state, "diag": diag}
+    log.info("End\n")
+
+
+def inter_mixing_foam(case, max_steps: Optional[int] = None) -> None:
+    """interMixingFoam (reference: applications/solvers/multiphase/
+    interMixingFoam/): three phases from transportProperties
+    (phase1 = air immiscible, phase2/phase3 miscible liquids with
+    diffusivity D23)."""
+    import jax.numpy as jnp
+
+    from . import interfoam as inter_mod
+    from . import intermixing as imx_mod
+
+    mesh = case.mesh
+    tp = case.transport_properties()
+
+    def phase(name):
+        ph = tp.get(name, tp)
+        _, nu_v = dimensioned_scalar(ph["nu"])
+        _, rho_v = dimensioned_scalar(ph["rho"])
+        return nu_v, rho_v
+
+    nu1, rho1 = phase("phase1")
+    nu2, rho2 = phase("phase2")
+    nu3, rho3 = phase("phase3")
+    _, sigma = dimensioned_scalar(tp.get("sigma", 0.0))
+    pdict = case.pimple_controls("PIMPLE")
+    flow = inter_mod.InterConfig(
+        rho1=rho1, rho2=rho2, nu1=nu1, nu2=nu2, sigma=sigma,
+        g=_read_gravity(case),
+        c_alpha=float(pdict.get("cAlpha", 1.0)),
+        n_correctors=int(pdict.get("nCorrectors", 3)),
+        n_non_orth=int(pdict.get("nNonOrthogonalCorrectors", 0)),
+        p_controls=case.solver_controls("p_rgh"))
+    cfg = imx_mod.InterMixingConfig(
+        flow=flow, rho3=rho3, nu3=nu3,
+        D23=_dim_scalar_of(tp, "D23", 3e-9))
+    U = case.read_field("U")
+    p_rgh = case.read_field("p_rgh")
+    alpha1 = case.read_field("alpha1")
+    alpha2 = case.read_field("alpha2")
+    state = imx_mod.initial_state(mesh, U, p_rgh, alpha1, alpha2, cfg)
+    step = imx_mod.make_step(mesh, cfg)
+    log.info("Starting loop: interMixingFoam\n")
+    for t in case.time.loop():
+        state, diag = step(state, jnp.asarray(t.current_dt,
+                                              mesh.v.dtype))
+        log.info(f"Time = {t.name}\nAir phase volume fraction = "
+                 f"{float(jnp.mean(state['alpha1'].data)):.6g}  "
+                 f"Liquid A = "
+                 f"{float(jnp.mean(state['alpha2'].data)):.6g}\n")
+        if t.write_time():
+            case.write_fields([state["U"], state["p_rgh"],
+                               state["alpha1"], state["alpha2"]])
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.write_fields([state["U"], state["p_rgh"], state["alpha1"],
+                       state["alpha2"]])
+    case.final_state = {"state": state, "diag": diag}
+    log.info("End\n")
+
+
+def inter_phase_change_foam(case, max_steps: Optional[int] = None
+                            ) -> None:
+    """interPhaseChangeFoam (reference: applications/solvers/
+    multiphase/interPhaseChangeFoam/): VOF with cavitation mass
+    transfer. transportProperties carries phase1/phase2 + sigma +
+    phaseChangeTwoPhaseMixture (SchnerrSauer/Kunz/Merkle) and its
+    coeffs dict; pSat from thermodynamicProperties or the coeffs."""
+    import jax.numpy as jnp
+
+    from . import interfoam as inter_mod
+    from . import interphasechange as ipc_mod
+
+    mesh = case.mesh
+    tp = case.transport_properties()
+
+    def phase(name):
+        ph = tp.get(name, tp)
+        _, nu_v = dimensioned_scalar(ph["nu"])
+        _, rho_v = dimensioned_scalar(ph["rho"])
+        return nu_v, rho_v
+
+    nu1, rho1 = phase("phase1")
+    nu2, rho2 = phase("phase2")
+    _, sigma = dimensioned_scalar(tp.get("sigma", 0.0))
+    model = str(tp.get("phaseChangeTwoPhaseMixture", "SchnerrSauer"))
+    coeffs = tp.get(model + "Coeffs", FoamDict())
+    p_sat = _dim_scalar_of(tp, "pSat", _dim_scalar_of(coeffs, "pSat",
+                                                      2300.0))
+    pdict = case.pimple_controls("PIMPLE")
+    flow = inter_mod.InterConfig(
+        rho1=rho1, rho2=rho2, nu1=nu1, nu2=nu2, sigma=sigma,
+        g=_read_gravity(case),
+        c_alpha=float(pdict.get("cAlpha", 1.0)),
+        n_alpha_subcycles=int(pdict.get("nAlphaSubCycles", 1)),
+        n_correctors=int(pdict.get("nCorrectors", 3)),
+        n_non_orth=int(pdict.get("nNonOrthogonalCorrectors", 0)),
+        p_controls=case.solver_controls("p_rgh"))
+    cfg = ipc_mod.PhaseChangeConfig(
+        flow=flow, model=model, p_sat=p_sat,
+        n_bubbles=_dim_scalar_of(coeffs, "n", 1.6e13),
+        d_nuc=_dim_scalar_of(coeffs, "dNuc", 2.0e-6),
+        Cc=_dim_scalar_of(coeffs, "Cc", 1.0),
+        Cv=_dim_scalar_of(coeffs, "Cv", 1.0),
+        U_inf=_dim_scalar_of(coeffs, "UInf", 20.0),
+        t_inf=_dim_scalar_of(coeffs, "tInf", 0.005))
+    U = case.read_field("U")
+    p_rgh = case.read_field("p_rgh")
+    alpha = None
+    for nm in ("alpha1", "alpha.water", "alpha"):
+        if os.path.exists(os.path.join(case.dir, "0", nm)):
+            alpha = case.read_field(nm)
+            break
+    state = ipc_mod.initial_state(mesh, U, p_rgh, alpha, cfg)
+    step = ipc_mod.make_step(mesh, cfg)
+    log.info(f"Starting loop: interPhaseChangeFoam ({model})\n")
+    for t in case.time.loop():
+        state, diag = step(state, jnp.asarray(t.current_dt,
+                                              mesh.v.dtype))
+        log.info(f"Time = {t.name}\n")
+        log.info(f"Liquid phase volume fraction = "
+                 f"{float(jnp.mean(state['alpha'].data)):.6g}  "
+                 f"Min(alpha1) = {float(diag['alpha_min']):.4g}  "
+                 f"Max(alpha1) = {float(diag['alpha_max']):.4g}\n")
+        if t.write_time():
+            case.write_fields([state["U"], state["p_rgh"],
+                               state["alpha"]])
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.write_fields([state["U"], state["p_rgh"], state["alpha"]])
+    case.final_state = {"state": state, "diag": diag}
+    log.info("End\n")
 
 
 def _engine_foam(case, max_steps: Optional[int] = None,
@@ -2098,7 +2353,8 @@ def solid_equilibrium_displacement_foam(case,
 
 
 def _rho_pimple_run(case, steady: bool, transonic: bool,
-                    max_steps: Optional[int]) -> None:
+                    max_steps: Optional[int],
+                    consistent: bool = False) -> None:
     """Shared driver for rhoSimpleFoam / rhoPimpleFoam / sonicFoam
     (reference: applications/solvers/compressible/)."""
     import jax.numpy as jnp
@@ -2120,6 +2376,7 @@ def _rho_pimple_run(case, steady: bool, transonic: bool,
     cfg = rp_mod.RhoPimpleConfig(
         thermo=th,
         steady=steady,
+        consistent=consistent,
         transonic=transonic or str(cdict.get("transonic", "no")) in (
             "yes", "true", "on", "1"),
         n_outer=int(cdict.get("nOuterCorrectors", 1)),
@@ -3005,6 +3262,20 @@ def rho_pimplefoam(case, max_steps: Optional[int] = None):
     _rho_pimple_run(case, steady=False, transonic=False, max_steps=max_steps)
 
 
+def rho_simplecfoam(case, max_steps: Optional[int] = None):
+    """rhoSimplecFoam (reference: applications/solvers/compressible/
+    rhoSimpleFoam/rhoSimplecFoam/): SIMPLEC-consistent rhoSimpleFoam."""
+    _rho_pimple_run(case, steady=True, transonic=False,
+                    max_steps=max_steps, consistent=True)
+
+
+def rho_pimplecfoam(case, max_steps: Optional[int] = None):
+    """rhoPimplecFoam (reference: applications/solvers/compressible/
+    rhoPimpleFoam/rhoPimplecFoam/): SIMPLEC-consistent rhoPimpleFoam."""
+    _rho_pimple_run(case, steady=False, transonic=False,
+                    max_steps=max_steps, consistent=True)
+
+
 def sonicfoam(case, max_steps: Optional[int] = None):
     _rho_pimple_run(case, steady=False, transonic=True, max_steps=max_steps)
 
@@ -3013,6 +3284,8 @@ case_mod.register_application("XiFoam", xi_foam)
 case_mod.register_application("fireFoam", fire_foam)
 case_mod.register_application("rhoSimpleFoam", rho_simplefoam)
 case_mod.register_application("rhoPimpleFoam", rho_pimplefoam)
+case_mod.register_application("rhoSimplecFoam", rho_simplecfoam)
+case_mod.register_application("rhoPimplecFoam", rho_pimplecfoam)
 case_mod.register_application("sonicFoam", sonicfoam)
 case_mod.register_application("solidDisplacementFoam",
                               solid_displacement_foam)
@@ -3027,6 +3300,11 @@ case_mod.register_application("buoyantBoussinesqPimpleFoam",
 case_mod.register_application("icoFoam", icofoam)
 case_mod.register_application("nonNewtonianIcoFoam", non_newtonian_icofoam)
 case_mod.register_application("interFoam", interfoam_app)
+# porousInterFoam / MRFInterFoam (reference: interFoam variants) — the
+# porous/MRF zones load from system/fvOptions + constant/MRFZones via
+# the same InterConfig hooks
+case_mod.register_application("porousInterFoam", interfoam_app)
+case_mod.register_application("MRFInterFoam", interfoam_app)
 case_mod.register_application(
     "LTSInterFoam",
     lambda case, max_steps=None: interfoam_app(case, max_steps,
@@ -3102,6 +3380,12 @@ case_mod.register_application("twoLiquidMixingFoam",
 case_mod.register_application("multiphaseInterFoam",
                               multiphase_inter_foam)
 case_mod.register_application("bubbleFoam", two_phase_euler_foam)
+case_mod.register_application("interPhaseChangeFoam",
+                              inter_phase_change_foam)
+case_mod.register_application("interMixingFoam", inter_mixing_foam)
+case_mod.register_application("settlingFoam", settling_foam)
+case_mod.register_application("potentialFreeSurfaceFoam",
+                              potential_free_surface_foam)
 case_mod.register_application("engineFoam", engine_foam)
 case_mod.register_application("coldEngineFoam", cold_engine_foam)
 case_mod.register_application("dsmcFoam", dsmc_foam)

@@ -54,6 +54,10 @@ class InterConfig(NamedTuple):
     p_ref_value: float = 0.0
     p_controls: Dict = None
     u_controls: Dict = None
+    # porousInterFoam / MRFInterFoam (reference: applications/solvers/
+    # multiphase/interFoam/{porousInterFoam,MRFInterFoam}/)
+    fv_options: Any = None
+    mrf: Any = None
 
 
 def mixture(cfg: InterConfig, alpha: Any) -> Tuple[Any, Any]:
@@ -140,6 +144,15 @@ def interfoam_step(mesh, state: Dict, dt: Any, cfg: InterConfig
         - fvm.laplacian(mesh, mu_f, U, corrected=cfg.corrected,
                         gamma_dims=dimViscosity * dimDensity)
     )
+    if cfg.mrf:
+        # MRFInterFoam: mrfZones.addCoriolis(rho, UEqn)
+        UEqn = cfg.mrf.add_coriolis(mesh, UEqn, U, rho=rho)
+    if cfg.fv_options:
+        # porousInterFoam: pZones.addResistance(UEqn) with the mixture
+        # density/viscosity
+        UEqn = cfg.fv_options.add_to(mesh, UEqn, "U", U, U=U,
+                                     fvopt_state=state.get("fvopt"),
+                                     rho=rho, mu=mu)
     # surface tension + buoyancy face fluxes (reference: UEqn.H rhs)
     st_flux = iface.surface_tension_flux(mesh, alpha, cfg.sigma)
     from ..bc.patchfields import default_bcs
@@ -175,6 +188,8 @@ def interfoam_step(mesh, state: Dict, dt: Any, cfg: InterConfig
             # moving mesh (interDyMFoam): continuity and advection run
             # on the RELATIVE flux (reference: fvc::makeRelative)
             phiHbyA = phiHbyA - state["mesh_phi"]
+        if cfg.mrf:
+            phiHbyA = cfg.mrf.make_relative_flat(mesh, phiHbyA)
         phig = rAf * (st_flux + buoy_flux)
         phiHbyA = phiHbyA + phig
 

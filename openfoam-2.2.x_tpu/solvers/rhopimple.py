@@ -38,6 +38,11 @@ class RhoPimpleConfig(NamedTuple):
     thermo: Any               # models/thermo.PerfectGas
     steady: bool = False      # rhoSimpleFoam mode
     transonic: bool = False   # sonicFoam pressure equation
+    # SIMPLEC consistency (rhoSimplecFoam/rhoPimplecFoam, reference:
+    # applications/solvers/compressible/rhoSimpleFoam/rhoSimplecFoam/
+    # pEqn.H): the pressure equation uses rAtU = 1/(A - H1) and HbyA
+    # is corrected by (rAU - rAtU) grad(p)
+    consistent: bool = False
     n_outer: int = 1
     n_correctors: int = 2
     n_non_orth: int = 0
@@ -223,7 +228,13 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
                           bcs=pf.shift_value_bcs(p.bcs, -p_op))
         p0_w = p0 - p_op
         rA = 1.0 / UEqn.A(mesh)
-        rhorA = rho * rA
+        if cfg.consistent:
+            denom = UEqn.A(mesh) - UEqn.H1(mesh)
+            rAtU = jnp.where(denom > 1e-30, 1.0 / jnp.maximum(
+                denom, 1e-30), rA)
+        else:
+            rAtU = rA
+        rhorA = rho * rAtU
         rra_b = surface.owner_to_b(mesh, rhorA)
         rra_slot = slot_mod.interpolate(mesh, rhorA, bv=rra_b)
         rra_flat = slot_mod.to_flat(mesh, rra_slot)
@@ -242,6 +253,11 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
         use_corr = cfg.corrected and not getattr(mesh, "orthogonal", False)
         for corr in range(n_corr):
             HbyA = rA[:, None] * UEqn.H(mesh, U.data)
+            if cfg.consistent:
+                # HbyA -= (rAU - rAtU) grad(p) (reference: rhoSimplecFoam
+                # pEqn.H) so the corrected velocity uses rAtU throughout
+                HbyA = HbyA - ((rA - rAtU)[:, None]
+                               * fvc.grad_of(mesh, p_w, cfg.grad_scheme))
             hba = slot_mod.flux_of(mesh, HbyA)  # volumetric
             rho_bv = surface.owner_to_b(mesh, rho)
             phiHbyA_b = rho_bv * boundary_flux(mesh, U)
@@ -362,7 +378,7 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
                 p_w = p_w.with_data(p_before
                                     + cfg.alpha_p * (p_w.data - p_before))
             grad_p = fvc.grad_of(mesh, p_w, cfg.grad_scheme)
-            U = U.with_data(HbyA - (rA * 1.0)[:, None] * grad_p)
+            U = U.with_data(HbyA - rAtU[:, None] * grad_p)
             if cfg.fv_options:
                 U, fvopt_state = cfg.fv_options.correct_U(
                     mesh, U, rA, state.get("fvopt"))

@@ -168,3 +168,61 @@ def test_sonicfoam_transonic_step_runs():
     pd = np.asarray(state["p"].data)
     assert np.isfinite(pd).all()
     assert 0.9e5 < pd.min() and pd.max() < 1.1e5
+
+
+def test_rhosimplec_consistent_matches_simple():
+    """SIMPLEC (rhoSimplecFoam, consistent rAtU=1/(A-H1)): converges on
+    the heated channel with LESS pressure under-relaxation (the whole
+    point of the consistent formulation) to the same solution as
+    rhoSimpleFoam."""
+    TH_V = PerfectGas(R=287.0, Cv=717.5, mu=0.116)
+    mesh = to_device(blockmesh.generate(parse_string(CHANNEL)))
+    ub, pb, tb = [], [], []
+    for pt in mesh.patches:
+        if pt.type == "empty":
+            for lst in (ub, pb, tb):
+                lst.append(pf.PatchField(kind="empty", vfrac=0.0))
+        elif pt.name == "inlet":
+            ub.append(pf.fixed_value(jnp.asarray([10.0, 0.0, 0.0])))
+            pb.append(pf.zero_gradient())
+            tb.append(pf.fixed_value(300.0))
+        elif pt.name == "outlet":
+            ub.append(pf.zero_gradient())
+            pb.append(pf.fixed_value(1e5))
+            tb.append(pf.zero_gradient())
+        else:
+            ub.append(pf.fixed_value(jnp.zeros(3)))
+            pb.append(pf.zero_gradient())
+            tb.append(pf.fixed_value(330.0))
+    U = vol_vector(mesh, jnp.asarray([10.0, 0.0, 0.0]), name="U",
+                   dims=dimVelocity, bcs=tuple(ub))
+    p = vol_scalar(mesh, 1e5, name="p", dims=P_DIM, bcs=tuple(pb))
+    T = vol_scalar(mesh, 300.0, name="T", dims=T_DIM, bcs=tuple(tb))
+
+    def run(consistent, alpha_p):
+        cfg = rhopimple.RhoPimpleConfig(
+            thermo=TH_V, steady=True, consistent=consistent,
+            alpha_u=0.7, alpha_p=alpha_p, alpha_e=0.7)
+        state = rhopimple.initial_state(mesh, U, p, T, TH_V,
+                                        steady=True)
+        step = jax.jit(lambda s, d: rhopimple.rhopimple_step(
+            mesh, s, d, cfg))
+        one = jnp.asarray(1.0, mesh.v.dtype)
+        for _ in range(80):
+            state, diag = step(state, one)
+        return state, diag
+
+    st_c, dg_c = run(True, alpha_p=1.0)   # SIMPLEC: no p relaxation
+    st_s, dg_s = run(False, alpha_p=0.3)
+    # converged to the same velocity field
+    du = float(np.max(np.abs(np.asarray(st_c["U"].data)
+                             - np.asarray(st_s["U"].data))))
+    assert du < 0.35, du                  # ~3% of the 10 m/s inlet
+    # both conserve mass through the channel
+    for st in (st_c, st_s):
+        phi = np.asarray(st["phi"])
+        nif = mesh.n_internal_faces
+        phib = phi[nif:] * np.asarray(mesh.face_active)[nif:]
+        m_in = -phib[phib < 0].sum()
+        m_out = phib[phib > 0].sum()
+        assert abs(m_out - m_in) / m_in < 5e-3
