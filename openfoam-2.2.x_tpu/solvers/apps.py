@@ -1607,6 +1607,274 @@ def ico_uncoupled_kinematic_parcel_foam(case,
     case.final_state = {"cloud": cloud, "U": U}
 
 
+def adjoint_shape_optimization_foam(case,
+                                    max_steps: Optional[int] = None
+                                    ) -> None:
+    """adjointShapeOptimizationFoam (reference: applications/solvers/
+    incompressible/adjointShapeOptimizationFoam/): primal+adjoint
+    SIMPLE with a porosity design variable. lambda/alphaMax from
+    constant/transportProperties."""
+    import jax.numpy as jnp
+
+    from ..core.fields import vol_scalar, vol_vector
+    from . import adjoint as adj_mod
+    from . import simple as simple_mod
+
+    mesh = case.mesh
+    tp = case.transport_properties()
+    _, nu = dimensioned_scalar(tp["nu"])
+    relax = _relaxation(case)
+    flow = simple_mod.SimpleConfig(
+        nu=nu,
+        alpha_u=float(relax.get("U", 0.7)),
+        alpha_p=float(relax.get("p", 0.3)),
+        p_controls=case.solver_controls("p"),
+        u_controls=case.solver_controls("U"))
+    U = case.read_field("U")
+    p = case.read_field("p")
+    try:
+        Ua = case.read_field("Ua")
+        pa = case.read_field("pa")
+    except Exception:
+        Ua = vol_vector(mesh, (0.0, 0.0, 0.0), name="Ua")
+        pa = vol_scalar(mesh, 0.0, name="pa")
+    # keep alpha zero in inlet-adjacent cells (reference: zeroCells)
+    owner = np.asarray(mesh.owner)
+    inlet_cells = []
+    for pt in mesh.patches:
+        if pt.type == "patch" and "in" in pt.name.lower():
+            inlet_cells.append(np.unique(owner[pt.slice]))
+    zc = (jnp.asarray(np.concatenate(inlet_cells).astype(np.int32))
+          if inlet_cells else None)
+    cfg = adj_mod.AdjointConfig(
+        flow=flow,
+        lam=_dim_scalar_of(tp, "lambda", 1e5),
+        alpha_max=_dim_scalar_of(tp, "alphaMax", 200.0),
+        zero_alpha_cells=zc)
+    state = adj_mod.initial_state(mesh, U, p, Ua, pa, cfg)
+    step = adj_mod.make_step(mesh, cfg)
+    log.info("Starting loop: adjointShapeOptimizationFoam\n")
+    for t in case.time.loop():
+        state, diag = step(state)
+        log.info(f"Time = {t.name}\nobjective = "
+                 f"{float(diag['objective']):.6g}  alpha_max = "
+                 f"{float(diag['alpha_max_val']):.4g}\n")
+        if t.write_time():
+            from ..core.fields import VolField
+
+            alpha_f = vol_scalar(mesh, 0.0, name="alpha").with_data(
+                state["alpha"])
+            case.write_fields([state["U"], state["p"], state["Ua"],
+                               state["pa"], alpha_f])
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.final_state = {"state": state, "diag": diag}
+    log.info("End\n")
+
+
+def _reacting_parcel_run(case, max_steps: Optional[int], coal=False,
+                         spray=False, porous=False) -> None:
+    """Shared driver for the reacting-parcel solver family (reference:
+    applications/solvers/lagrangian/{reactingParcelFoam,
+    porousExplicitSourceReactingParcelFoam,coalChemistryFoam,
+    sprayFoam}): a rhoPimpleFoam carrier + an evaporating (or
+    devolatilising) thermo parcel cloud, two-way coupled
+    (momentum via drag, vapour/volatile mass into the Yvapour
+    transport, latent/combustion heat into T). Operator-split per
+    step — the reference's intra-PIMPLE source coupling converges the
+    same splitting over outer correctors."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import lagrangian as lag
+    from ..lagrangian import reactingcloud as rcloud
+    from ..core.dimensions import DimensionSet, dimless
+    from ..core.fields import VolField, vol_scalar
+    from ..models import thermo as thermo_mod
+    from . import rhopimple as rp_mod
+    from . import linear
+    from ..ops import fvm, slot as slot_mod, schemes as schemes_mod, \
+        surface
+
+    mesh = case.mesh
+    th = thermo_mod.from_dict(case.properties("thermophysicalProperties"))
+    cdict = case.pimple_controls("PIMPLE")
+    cfg = rp_mod.RhoPimpleConfig(
+        thermo=th, steady=False,
+        n_correctors=int(cdict.get("nCorrectors", 2)),
+        n_non_orth=int(cdict.get("nNonOrthogonalCorrectors", 0)),
+        p_ref_value=1e5,
+        p_controls=case.solver_controls("p"),
+        fv_options=_load_fvoptions(case, th.mu) if porous else None)
+    U = case.read_field("U")
+    p = case.read_field("p")
+    T = case.read_field("T")
+    try:
+        Yv = case.read_field("Yvapour")
+    except Exception:
+        Yv = vol_scalar(mesh, 0.0, name="Yvapour")
+    state = rp_mod.initial_state(mesh, U, p, T, th)
+    if porous and cfg.fv_options:
+        state["fvopt"] = cfg.fv_options.initial_state(mesh)
+    flow_step = rp_mod.make_step(mesh, cfg)
+
+    # ---- cloud setup ----------------------------------------------------------
+    props_name = ("coalCloud1Properties" if coal else
+                  "reactingCloud1Properties")
+    try:
+        props = case.properties(props_name)
+    except Exception:
+        props = FoamDict()
+    cp = props.get("constantProperties", FoamDict())
+    rho0 = _dim_scalar_of(cp, "rho0", 1400.0 if coal else 1000.0)
+    d0 = _dim_scalar_of(cp, "d0", 100e-6)
+    T0p = _dim_scalar_of(cp, "T0", 300.0)
+    pos_path = case.const_path(
+        "coalCloud1Positions" if coal else "reactingCloudPositions")
+    if os.path.exists(pos_path):
+        pos = _read_positions(pos_path)
+    else:
+        pos = np.asarray(mesh.c)[:: max(1, mesh.n_cells // 32)][:32]
+    n_slots = max(4 * len(pos), 64) if spray else len(pos)
+    lcfg = lag.CloudConfig(
+        rho_f=float(np.asarray(p.data).mean())
+        / (th.R * float(np.asarray(T.data).mean())),
+        mu_f=th.mu, g=_read_gravity(case), solve_T=True,
+        cp_p=_dim_scalar_of(cp, "Cp0", 4187.0))
+    cloud = lag.make_cloud(mesh, pos, [0.0, 0.0, 0.0], d0, rho0,
+                           n_slots=n_slots, T0=T0p)
+    ecfg = rcloud.EvapConfig(
+        K_evap=_dim_scalar_of(props, "Kevap", 1e-8),
+        L_vap=_dim_scalar_of(cp, "Lvap", 2.26e6))
+    ccfg = rcloud.CoalConfig(Yvol0=_dim_scalar_of(cp, "Yvolatile",
+                                                  0.4))
+    coal_state = (rcloud.CoalCloud(
+        base=cloud, yvol=jnp.full_like(cloud.d, ccfg.Yvol0))
+        if coal else None)
+    bcfg = rcloud.BreakupConfig(rho_f=lcfg.rho_f)
+    inj = None
+    if spray:
+        inj_d = props.get("injection", FoamDict())
+        apex = inj_d.get("position", list(np.asarray(mesh.c)[0]))
+        direc = inj_d.get("direction", [0.0, -1.0, 0.0])
+        inj = lag.cone_injection(
+            mesh, [float(x) for x in np.asarray(apex,
+                                                float).reshape(-1)[-3:]],
+            [float(x) for x in np.asarray(direc,
+                                          float).reshape(-1)[-3:]],
+            half_angle_deg=_dim_scalar_of(inj_d, "coneAngle", 10.0),
+            u_mag=_dim_scalar_of(inj_d, "Umag", 50.0), d0=d0,
+            rho0=rho0, rate=_dim_scalar_of(inj_d, "parcelsPerSecond",
+                                           1000.0))
+    bt = jnp.asarray(lag.face_boundary_types(mesh))
+
+    name = ("coalChemistryFoam" if coal else
+            "sprayFoam" if spray else
+            "porousExplicitSourceReactingParcelFoam" if porous else
+            "reactingParcelFoam")
+
+    def cloud_step(cloud_in, coal_in, st, dt, carry, counter):
+        """Evolve + sources, jitted as one program."""
+        Udata = st["U"].data
+        Tdata = st["T"].data
+        rho = jnp.maximum(th.rho(st["p"].data, Tdata), 0.01)
+        c0 = cloud_in
+        if inj is not None:
+            c0, carry, counter = lag.inject(c0, inj, carry, counter,
+                                            dt)
+        c1 = lag.evolve(mesh, c0, Udata, dt, bt, lcfg, T_cell=Tdata)
+        if spray:
+            c1 = rcloud.reitz_diwakar_breakup(c1, Udata, dt, bcfg)
+        mom = lag.momentum_source(mesh, c0, c1, 1.0, dt, lcfg)
+        vap = jnp.zeros(mesh.n_cells, mesh.v.dtype)
+        heat = jnp.zeros(mesh.n_cells, mesh.v.dtype)
+        coal_out = coal_in
+        if coal:
+            coal_out, fuel, qsrc = rcloud.devolatilise(
+                coal_in._replace(base=c1), Tdata, dt, ccfg,
+                mesh.n_cells)
+            c1 = coal_out.base
+            vap = fuel
+            heat = -qsrc          # combustion HEATS the carrier
+        else:
+            c1, vap, hsink = rcloud.evaporate(c1, Udata, Tdata, dt,
+                                              lcfg, ecfg, mesh.n_cells)
+            heat = hsink          # latent heat COOLS the carrier
+        # explicit coupling back into the carrier
+        cp_c = th.Cp_of(Tdata)
+        T_new = Tdata - dt * heat / (rho * cp_c * mesh.v)
+        U_new = Udata + dt * mom / (rho * mesh.v)[:, None]
+        return (c1, coal_out, carry, counter, vap,
+                st["T"].with_data(T_new), st["U"].with_data(U_new))
+
+    cloud_step_j = jax.jit(cloud_step)
+
+    def transport_Yv(st, Yv_f, vap, dt):
+        """Implicit vapour-species transport + the parcel source."""
+        rdt = 1.0 / dt
+        rho = jnp.maximum(th.rho(st["p"].data, st["T"].data), 0.01)
+        phi = st["phi"]
+        phi_slot = slot_mod.from_flat(mesh, phi)
+        w = schemes_mod.weights_slot(mesh, phi_slot, "upwind", Yv_f)
+        eqn = (rp_mod._rho_ddt(mesh, Yv_f, rho, st["rho0"], Yv_f.data,
+                               rdt)
+               + fvm.div(mesh, phi, Yv_f, phi_slot=phi_slot,
+                         slot_weights=w,
+                         phi_dims=DimensionSet.of(1, 0, -1)))
+        eqn = eqn.add_source(vap / (dt * mesh.v), mesh)
+        data, perf = linear.solve(mesh, eqn, Yv_f.data,
+                                  {"solver": "PBiCGStab",
+                                   "tolerance": 1e-8, "relTol": 0.05,
+                                   "maxIter": 200})
+        return Yv_f.with_data(jnp.clip(data, 0.0, 1.0)), perf
+
+    transport_j = jax.jit(transport_Yv)
+    carry = jnp.zeros((), mesh.v.dtype)
+    counter = jnp.zeros((), jnp.int32)
+
+    log.info(f"Starting loop: {name}, {int(cloud.n_active)} parcels\n")
+    diag = {}
+    for t in case.time.loop():
+        dt = jnp.asarray(t.current_dt, mesh.v.dtype)
+        state, diag = flow_step(state, dt)
+        (cloud, coal_state, carry, counter, vap, T_new,
+         U_new) = cloud_step_j(cloud, coal_state, state, dt, carry,
+                               counter)
+        state = dict(state)
+        state["T"] = T_new
+        state["U"] = U_new
+        state["T0"] = T_new.data
+        Yv, yperf = transport_j(state, Yv, vap, dt)
+        log.info(f"Time = {t.name}\nCloud: active parcels = "
+                 f"{int(cloud.n_active)}, Yvapour mean = "
+                 f"{float(jnp.mean(Yv.data)):.6g}\n")
+        if t.write_time():
+            case.write_fields([state["U"], state["p"], state["T"],
+                               Yv])
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.write_fields([state["U"], state["p"], state["T"], Yv])
+    case.final_state = {"state": state, "cloud": cloud, "Yv": Yv,
+                        "coal": coal_state, "diag": diag}
+    log.info("End\n")
+
+
+def reacting_parcel_foam(case, max_steps: Optional[int] = None):
+    _reacting_parcel_run(case, max_steps)
+
+
+def porous_reacting_parcel_foam(case, max_steps: Optional[int] = None):
+    _reacting_parcel_run(case, max_steps, porous=True)
+
+
+def coal_chemistry_foam(case, max_steps: Optional[int] = None):
+    _reacting_parcel_run(case, max_steps, coal=True)
+
+
+def spray_foam(case, max_steps: Optional[int] = None):
+    _reacting_parcel_run(case, max_steps, spray=True)
+
+
 def potential_free_surface_foam(case, max_steps: Optional[int] = None
                                 ) -> None:
     """potentialFreeSurfaceFoam (reference: applications/solvers/
@@ -3384,6 +3652,14 @@ case_mod.register_application("interPhaseChangeFoam",
                               inter_phase_change_foam)
 case_mod.register_application("interMixingFoam", inter_mixing_foam)
 case_mod.register_application("settlingFoam", settling_foam)
+case_mod.register_application("reactingParcelFoam",
+                              reacting_parcel_foam)
+case_mod.register_application("porousExplicitSourceReactingParcelFoam",
+                              porous_reacting_parcel_foam)
+case_mod.register_application("coalChemistryFoam", coal_chemistry_foam)
+case_mod.register_application("sprayFoam", spray_foam)
+case_mod.register_application("adjointShapeOptimizationFoam",
+                              adjoint_shape_optimization_foam)
 case_mod.register_application("potentialFreeSurfaceFoam",
                               potential_free_surface_foam)
 case_mod.register_application("engineFoam", engine_foam)

@@ -108,6 +108,10 @@ def simple_step(mesh, state: Dict, cfg: SimpleConfig) -> Tuple[Dict, Dict]:
         # reference: mrfZones.addCoriolis(UEqn()) — BEFORE relax so the
         # H/A split sees the rotating-frame source
         UEqn = cfg.mrf.add_coriolis(mesh, UEqn, U)
+    if "alpha_sink" in state:
+        # adjointShapeOptimizationFoam porosity design variable
+        # (reference: its UEqn.H `fvm::Sp(alpha, U)`)
+        UEqn = UEqn + fvm.Sp(mesh, state["alpha_sink"], U)
     UEqn = UEqn.relax(mesh, cfg.alpha_u, U.data)
     grad_p = fvc.grad_of(mesh, p, cfg.grad_scheme)
     Umat = UEqn.add_source(-grad_p, mesh)
