@@ -1167,6 +1167,11 @@ def interfoam_app(case, max_steps: Optional[int] = None,
         mrf=_load_mrf(case),
     )
     if dym:
+        dmd = case.properties("dynamicMeshDict")
+        if str(dmd.get("dynamicFvMesh", "")) == "dynamicRefineFvMesh":
+            # interDyMFoam + dynamicRefineFvMesh: adaptive refinement
+            # around the interface (reference: damBreakWithObstacle)
+            return _inter_amr_run(case, cfg, dmd, max_steps)
         # interDyMFoam (reference: interFoam/interDyMFoam): solid-body
         # mesh motion + relative-flux formulation
         pts_fn, umesh_fn = _dym_motion(case)
@@ -1200,6 +1205,166 @@ def interfoam_app(case, max_steps: Optional[int] = None,
             break
     case.write_fields([state["U"], state["p_rgh"], state["alpha"]])
     case.final_state = state
+    log.info("End\n")
+
+
+def _field_on_mesh(case, name: str, mesh2, data):
+    """Rebuild a 0/ field's BC structure on a NEW (adapted) mesh with
+    the given remapped cell data (AMR: patch face counts change every
+    adaptation, so the boundaryField dict is re-instantiated against
+    the new patches; per-face nonuniform BC values are not remapped —
+    uniform/keyword BCs, the damBreak pattern, are exact)."""
+    import jax.numpy as jnp
+
+    from ..bc import factory as bc_factory
+    from ..bc.patchfields import normalize_bcs
+    from ..core.dimensions import DimensionSet
+    from ..core.fields import VolField
+    from ..io.fields import load_field_dict
+
+    path = os.path.join(case.dir, "0", name)
+    d = load_field_dict(path)
+    dims = d.get("dimensions", DimensionSet.of())
+    if not isinstance(dims, DimensionSet):
+        dims = DimensionSet.of()
+    rank = 1 if data.ndim == 2 else 0
+    dtype = mesh2.v.dtype
+    bf = d["boundaryField"]
+    bcs = []
+    for p in mesh2.patches:
+        spec = bf.match(p.name)
+        bcs.append(bc_factory.from_dict(spec, p, rank, dtype,
+                                        mesh=mesh2))
+    return VolField(data=jnp.asarray(data, dtype),
+                    bcs=normalize_bcs(mesh2, tuple(bcs), rank),
+                    name=name, dims=dims)
+
+
+def _correct_phi(mesh, phi, p_like):
+    """Projection of a remapped flux to div-free (reference:
+    correctPhi.H): laplacian(pcorr) == div(phi); phi -= flux(pcorr)."""
+    import jax.numpy as jnp
+
+    from ..core.dimensions import dimTime
+    from ..ops import fvm, surface
+    from . import linear
+    from .piso import needs_reference
+
+    pcorr = p_like.with_data(jnp.zeros_like(p_like.data))
+    pEqn = fvm.laplacian(mesh, jnp.asarray(1.0, mesh.v.dtype), pcorr,
+                         gamma_dims=dimTime)
+    pEqn = pEqn.replace_fields(
+        source=pEqn.source + surface.surface_sum(mesh, phi))
+    pEqn, ctl = linear.prep_pressure(
+        pEqn, needs_reference(pcorr, mesh),
+        {"solver": "PCG", "preconditioner": "polynomial",
+         "tolerance": 1e-8, "relTol": 0.0, "maxIter": 1000}, 0, 0.0)
+    data, _ = linear.solve(mesh, pEqn, pcorr.data, ctl)
+    return phi - pEqn.flux(mesh, data)
+
+
+def _inter_amr_run(case, cfg, dmd, max_steps: Optional[int]) -> None:
+    """interFoam on dynamicRefineFvMesh (reference:
+    src/dynamicFvMesh/dynamicRefineFvMesh + the damBreakWithObstacle
+    tutorial): every refineInterval steps the octree adapts to the
+    alpha band, fields remap volume-conservatively, and the jitted
+    step recompiles for the new topology (mesh/refine.py). The flux is
+    rebuilt from the remapped velocity; the reference's correctPhi
+    projection is the first PISO corrector of the next step."""
+    import jax.numpy as jnp
+
+    from ..mesh import refine, to_device as _to_dev
+    from ..ops import fvc
+    from . import interfoam as inter_mod
+
+    coeffs = dmd.get("dynamicRefineFvMeshCoeffs", FoamDict())
+    interval = int(_dim_scalar_of(coeffs, "refineInterval", 1))
+    fname = str(coeffs.get("field", "alpha1"))
+    lower = _dim_scalar_of(coeffs, "lowerRefineLevel", 0.001)
+    upper = _dim_scalar_of(coeffs, "upperRefineLevel", 0.999)
+    max_lvl = int(_dim_scalar_of(coeffs, "maxRefinement", 1))
+    n_buf = int(_dim_scalar_of(coeffs, "nBufferLayers", 1))
+    max_cells = int(_dim_scalar_of(coeffs, "maxCells", 500000))
+
+    amr, pm = refine.amr_init(case.poly_mesh)
+    # permutation original (blockMesh) order -> canonical octree order
+    pm0 = case.poly_mesh
+    nx, ny, nz = amr.base_n
+    ext = amr.bb_max - amr.bb_min
+    ijk = np.clip(np.floor((pm0.c - amr.bb_min) / ext
+                           * np.array([nx, ny, nz])).astype(int),
+                  0, np.array([nx, ny, nz]) - 1)
+    canon_idx = {c: i for i, c in enumerate(amr.cells)}
+    perm = np.array([canon_idx[(0, int(i), int(j), int(k))]
+                     for i, j, k in ijk])
+    mesh = _to_dev(pm)
+    case._poly, case._mesh = pm, mesh
+
+    def reorder(f):
+        out = np.empty_like(np.asarray(f.data))
+        out[perm] = np.asarray(f.data)
+        return out
+
+    alpha_name = next(nm for nm in ("alpha1", "alpha.water", "alpha")
+                      if os.path.exists(os.path.join(case.dir, "0",
+                                                     nm)))
+    U = _field_on_mesh(case, "U", mesh, reorder(case.read_field("U")))
+    p_rgh = _field_on_mesh(case, "p_rgh", mesh,
+                           reorder(case.read_field("p_rgh")))
+    alpha = _field_on_mesh(case, alpha_name, mesh,
+                           reorder(case.read_field(alpha_name)))
+    state = inter_mod.initial_state(mesh, U, p_rgh, alpha, cfg)
+    step = inter_mod.make_step(mesh, cfg)
+
+    log.info(f"Starting time loop: interDyMFoam/dynamicRefineFvMesh, "
+             f"{mesh.n_cells} cells\n")
+    diag = {}
+    for t in case.time.loop():
+        state, diag = step(state, jnp.asarray(t.current_dt,
+                                              mesh.v.dtype))
+        log.info(f"Time = {t.name}\nPhase-1 volume fraction: min = "
+                 f"{float(diag['alpha_min']):.6g} max = "
+                 f"{float(diag['alpha_max']):.6g}  cells = "
+                 f"{mesh.n_cells}\n")
+        t.adjust_delta_t(float(diag["courant_max"]))
+        if t.index % interval == 0:
+            a_host = np.asarray(state["alpha"].data)
+            out = refine.adapt(amr, pm, a_host, lower, upper, max_lvl,
+                               n_buf, max_cells)
+            if out is not None:
+                amr2, pm2 = out
+                vo, vn = refine.build_maps(amr, amr2)
+                mesh2 = _to_dev(pm2)
+                n2 = pm2.n_cells
+
+                def rm(f):
+                    return refine.remap_field(np.asarray(f.data),
+                                              vo, vn, n2)
+
+                U = _field_on_mesh(case, "U", mesh2, rm(state["U"]))
+                p_rgh = _field_on_mesh(case, "p_rgh", mesh2,
+                                       rm(state["p_rgh"]))
+                alpha = _field_on_mesh(case, alpha_name, mesh2,
+                                       rm(state["alpha"]))
+                state = inter_mod.initial_state(mesh2, U, p_rgh,
+                                                alpha, cfg)
+                # correctPhi (reference: correctPhi.H): project the
+                # rebuilt flux to div-free so the next MULES step
+                # stays bounded
+                state["phi"] = _correct_phi(mesh2, state["phi"],
+                                            p_rgh)
+                step = inter_mod.make_step(mesh2, cfg)
+                amr, pm, mesh = amr2, pm2, mesh2
+                case._poly, case._mesh = pm, mesh
+                log.info(f"Refined mesh: {mesh.n_cells} cells\n")
+        if t.write_time():
+            case.write_fields([state["U"], state["p_rgh"],
+                               state["alpha"]])
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.write_fields([state["U"], state["p_rgh"], state["alpha"]])
+    case.final_state = state
+    case.final_state["n_cells"] = mesh.n_cells
     log.info("End\n")
 
 
@@ -3291,6 +3456,12 @@ def xi_foam(case, max_steps: Optional[int] = None) -> None:
         else None,
         turb=model,
         turb_relax=_relaxation(case).get("k", 0.7),
+        # PDRFoam (reference: applications/solvers/combustion/PDRFoam/)
+        # runs the same b-Xi physics with sub-grid obstacle drag as a
+        # porosity resistance from system/fvOptions (the reference's
+        # PDRDragModel; its flame-area enhancement Ep/Xp fields are a
+        # documented omission)
+        fv_options=_load_fvoptions(case, th.mu / 1.2),
     )
     comb = case.properties("combustionProperties")
     su_e = comb.get("Su", 0.4)
@@ -3549,6 +3720,7 @@ def sonicfoam(case, max_steps: Optional[int] = None):
 
 
 case_mod.register_application("XiFoam", xi_foam)
+case_mod.register_application("PDRFoam", xi_foam)
 case_mod.register_application("fireFoam", fire_foam)
 case_mod.register_application("rhoSimpleFoam", rho_simplefoam)
 case_mod.register_application("rhoPimpleFoam", rho_pimplefoam)
