@@ -79,10 +79,21 @@ def decompose_par(argv) -> int:
 
     mesh = mesh_io.read(os.path.join(args.case, "constant", "polyMesh"))
     dd_path = os.path.join(args.case, "system", "decomposeParDict")
-    n = 4
+    n, method, coeffs = 4, "rcb", None
     if os.path.exists(dd_path):
-        n = int(parse_file(dd_path).get("numberOfSubdomains", 4))
-    parts = partition.decompose(mesh, n)
+        dd = parse_file(dd_path)
+        n = int(dd.get("numberOfSubdomains", 4))
+        method = str(dd.get("method", "rcb"))
+        coeffs = dd.get(method + "Coeffs", dd.get("coeffs", None))
+        if method == "manual" and coeffs and "dataFile" in coeffs:
+            df = str(coeffs["dataFile"])
+            if not os.path.isabs(df):
+                coeffs = dict(coeffs)
+                coeffs["dataFile"] = os.path.join(args.case, df)
+        if method in ("scotch", "metis"):
+            # graph partitioners map to RCB (documented replacement)
+            method = "rcb"
+    parts = partition.decompose(mesh, n, method=method, coeffs=coeffs)
     import numpy as np
 
     sizes = np.bincount(parts, minlength=n)
@@ -584,6 +595,491 @@ def post_process(argv) -> int:
     return 0
 
 
+
+def mirror_mesh_cmd(argv) -> int:
+    """mirrorMesh: reflect about system/mirrorMeshDict's plane
+    (reference: .../mesh/manipulation/mirrorMesh/)."""
+    args = _case_arg(argv)
+    import numpy as np
+
+    from ..core.dictionary import parse_file
+    from ..io import polymesh as mesh_io
+    from . import meshutils2
+
+    mdir = os.path.join(args.case, "constant", "polyMesh")
+    pm = mesh_io.read(mdir)
+    d = parse_file(os.path.join(args.case, "system", "mirrorMeshDict"))
+    pd = d.get("pointAndNormalDict", d)
+    point = [float(x) for x in np.asarray(
+        pd.get("basePoint", pd.get("point", [0, 0, 0])),
+        float).reshape(-1)[-3:]]
+    normal = [float(x) for x in np.asarray(
+        pd.get("normalVector", pd.get("normal", [1, 0, 0])),
+        float).reshape(-1)[-3:]]
+    out = meshutils2.mirror_mesh(pm, point, normal)
+    mesh_io.write(out, mdir)
+    print(f"mirrorMesh: {out.n_cells} cells")
+    return 0
+
+
+def subset_mesh_cmd(argv) -> int:
+    """subsetMesh <cellSet>: extract a cellSet into a new mesh
+    (reference: .../mesh/manipulation/subsetMesh/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("set_name")
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-patch", default="oldInternalFaces")
+    a = ap.parse_args(argv)
+    from ..io import polymesh as mesh_io
+    from . import meshutils, meshutils2
+
+    mdir = os.path.join(a.case, "constant", "polyMesh")
+    pm = mesh_io.read(mdir)
+    ids = meshutils.read_set(a.case, a.set_name)
+    out = meshutils2.subset_mesh(pm, ids, exposed_name=a.patch)
+    mesh_io.write(out, mdir)
+    print(f"subsetMesh: {out.n_cells} cells from set {a.set_name}")
+    return 0
+
+
+def merge_meshes_cmd(argv) -> int:
+    """mergeMeshes <masterCase> <addCase>: concatenate the added
+    mesh into the master's (reference: .../mergeMeshes/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("master")
+    ap.add_argument("add")
+    a = ap.parse_args(argv)
+    from ..io import polymesh as mesh_io
+    from . import meshutils2
+
+    m1 = mesh_io.read(os.path.join(a.master, "constant", "polyMesh"))
+    m2 = mesh_io.read(os.path.join(a.add, "constant", "polyMesh"))
+    out = meshutils2.merge_meshes(m1, m2)
+    mesh_io.write(out, os.path.join(a.master, "constant", "polyMesh"))
+    print(f"mergeMeshes: {out.n_cells} cells")
+    return 0
+
+
+def flatten_mesh_cmd(argv) -> int:
+    """flattenMesh: flatten the empty-direction coordinates of a 2D
+    mesh (reference: .../flattenMesh/)."""
+    args = _case_arg(argv)
+    from ..io import polymesh as mesh_io
+    from . import meshutils2
+
+    mdir = os.path.join(args.case, "constant", "polyMesh")
+    out = meshutils2.flatten_mesh(mesh_io.read(mdir))
+    mesh_io.write(out, mdir)
+    print("flattenMesh: done")
+    return 0
+
+
+def auto_patch_cmd(argv) -> int:
+    """autoPatch <featureAngle>: split the boundary by feature angle
+    (reference: .../autoPatch/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("angle", type=float)
+    ap.add_argument("-case", default=".")
+    a = ap.parse_args(argv)
+    from ..io import polymesh as mesh_io
+    from . import meshutils2
+
+    mdir = os.path.join(a.case, "constant", "polyMesh")
+    out = meshutils2.auto_patch(mesh_io.read(mdir), a.angle)
+    mesh_io.write(out, mdir)
+    print(f"autoPatch: {len(out.patches)} patches")
+    return 0
+
+
+
+def adiabatic_flame_t_cmd(argv) -> int:
+    """adiabaticFlameT <controlFile>: flame temperature from janaf
+    mixtures (reference: .../thermophysical/adiabaticFlameT/). The
+    control file carries reactants/products mole-fraction dicts, T0,
+    and the path of the species thermo dictionary."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("control")
+    ap.add_argument("-case", default=".")
+    a = ap.parse_args(argv)
+    from ..core.dictionary import parse_file
+    from . import thermoutils
+
+    d = parse_file(a.control if os.path.exists(a.control)
+                   else os.path.join(a.case, a.control))
+    tpath = str(d.get("thermo", "constant/thermo.compressibleGas"))
+    if not os.path.isabs(tpath):
+        tpath = os.path.join(a.case, tpath)
+    thermo = parse_file(tpath)
+    T0 = float(d.get("T0", 300.0))
+    reac = {str(k): float(v) for k, v in d["reactants"].items()}
+    prod = {str(k): float(v) for k, v in d["products"].items()}
+    T = thermoutils.adiabatic_flame_T(thermo, reac, prod, T0)
+    print(f"Adiabatic flame temperature = {T:.2f} K")
+    return 0
+
+
+def mixture_adiabatic_flame_t_cmd(argv) -> int:
+    """mixtureAdiabaticFlameT: as adiabaticFlameT with MASS-fraction
+    composition (reference: .../mixtureAdiabaticFlameT/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("control")
+    ap.add_argument("-case", default=".")
+    a = ap.parse_args(argv)
+    from ..core.dictionary import parse_file
+    from . import thermoutils
+
+    d = parse_file(a.control if os.path.exists(a.control)
+                   else os.path.join(a.case, a.control))
+    tpath = str(d.get("thermo", "constant/thermo.compressibleGas"))
+    if not os.path.isabs(tpath):
+        tpath = os.path.join(a.case, tpath)
+    thermo = parse_file(tpath)
+    reac = {str(k): float(v) for k, v in d["reactants"].items()}
+    prod = {str(k): float(v) for k, v in d["products"].items()}
+    T = thermoutils.adiabatic_flame_T(
+        thermo, reac, prod, float(d.get("T0", 300.0)), by_mole=False)
+    print(f"Adiabatic flame temperature = {T:.2f} K")
+    return 0
+
+
+def chemkin_to_foam_cmd(argv) -> int:
+    """chemkinToFoam <CHEMKINFile> <thermoFile> <reactionsOut>
+    <thermoOut> (reference: .../utilities/thermophysical/
+    chemkinToFoam/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("chem")
+    ap.add_argument("thermo")
+    ap.add_argument("reactions_out")
+    ap.add_argument("thermo_out")
+    a = ap.parse_args(argv)
+    from . import thermoutils
+
+    n = thermoutils.chemkin_to_foam(a.chem, a.thermo, a.reactions_out,
+                                    a.thermo_out)
+    print(f"chemkinToFoam: {n} reactions")
+    return 0
+
+
+
+def sample_cmd(argv) -> int:
+    """sample: run system/sampleDict sets/surfaces over saved times
+    (reference: applications/utilities/postProcessing/sampling/
+    sample/)."""
+    args = _case_arg(argv)
+    from ..core.case import Case
+    from ..core.dictionary import FoamDict, parse_file
+    from ..functionobjects.sampling import SampledSets
+    from ..functionobjects.surfaces import SampledSurfaces
+
+    case = Case(args.case)
+    sd = parse_file(os.path.join(args.case, "system", "sampleDict"))
+
+    def _entries(seq):
+        # `sets ( name { ... } ... )` parses as alternating word/dict
+        if seq is None or hasattr(seq, "items"):
+            return seq
+        out = FoamDict()
+        lst = list(seq)
+        i = 0
+        while i < len(lst):
+            if (i + 1 < len(lst) and hasattr(lst[i + 1], "get")
+                    and not hasattr(lst[i], "get")):
+                out[str(lst[i])] = lst[i + 1]
+                i += 2
+            else:
+                out[f"set{i}"] = lst[i]
+                i += 1
+        return out
+
+    fos = []
+    if sd.get("sets") is not None:
+        spec = FoamDict()
+        spec["fields"] = sd.get("fields", ["U", "p"])
+        spec["sets"] = _entries(sd["sets"])
+        fos.append(SampledSets("sample", spec, case))
+    if sd.get("surfaces") is not None:
+        spec = FoamDict()
+        spec["fields"] = sd.get("fields", ["U", "p"])
+        spec["surfaces"] = _entries(sd["surfaces"])
+        fos.append(SampledSurfaces("sampleSurfaces", spec, case))
+    if not fos:
+        print("sample: no sets/surfaces in sampleDict")
+        return 1
+    times = []
+    for d in sorted(os.listdir(args.case)):
+        try:
+            float(d)
+        except ValueError:
+            continue
+        if os.path.isdir(os.path.join(args.case, d)):
+            times.append(d)
+    n = 0
+    for t in times:
+        state = {}
+        for fname in sorted(os.listdir(os.path.join(args.case, t))):
+            base = fname[:-3] if fname.endswith(".gz") else fname
+            try:
+                state[base] = case.read_field(base, time=t)
+            except Exception:
+                continue
+        if not state:
+            continue
+        for fo in fos:
+            fo.execute(t, state)
+        n += 1
+        print(f"Time = {t}: sampled {sorted(state)}")
+    print(f"sample: {n} times")
+    return 0
+
+
+def foam_to_ensight(argv) -> int:
+    """foamToEnsight: EnSight Gold ASCII export of the mesh + saved
+    fields (reference: applications/utilities/postProcessing/
+    dataConversion/foamToEnsight/). Cells are written as `nfaced`
+    polyhedra."""
+    args = _case_arg(argv)
+    import numpy as np
+
+    from ..core.case import Case
+
+    case = Case(args.case)
+    pm = case.poly_mesh
+    out = os.path.join(args.case, "EnSight")
+    os.makedirs(out, exist_ok=True)
+
+    # ---- geometry -----------------------------------------------------------
+    cell_faces = [[] for _ in range(pm.n_cells)]
+    nif = pm.n_internal_faces
+    for f in range(pm.n_faces):
+        cell_faces[pm.owner[f]].append((f, False))
+        if f < nif:
+            cell_faces[pm.neighbour[f]].append((f, True))
+    with open(os.path.join(out, "geometry"), "w") as g:
+        g.write("EnSight Geometry File\nwritten by foamtpu\n"
+                "node id assign\nelement id assign\n"
+                "part\n1\ninternalMesh\ncoordinates\n")
+        g.write(f"{pm.n_points:10d}\n")
+        for ax in range(3):
+            g.write("\n".join(f"{x:12.5e}" for x in pm.points[:, ax])
+                    + "\n")
+        g.write(f"nfaced\n{pm.n_cells:10d}\n")
+        for cf in cell_faces:
+            g.write(f"{len(cf):10d}\n")
+        for cf in cell_faces:
+            for f, flip in cf:
+                g.write(f"{int(pm.face_npts[f]):10d}\n")
+        for cf in cell_faces:
+            for f, flip in cf:
+                pts = list(pm.face_pts[f, :pm.face_npts[f]])
+                if flip:
+                    pts = pts[::-1]
+                g.write(" ".join(str(p + 1) for p in pts) + "\n")
+
+    # ---- per-time variables ---------------------------------------------------
+    times = []
+    for d in sorted(os.listdir(args.case), key=lambda s: (len(s), s)):
+        try:
+            float(d)
+        except ValueError:
+            continue
+        if os.path.isdir(os.path.join(args.case, d)):
+            times.append(d)
+    times.sort(key=float)
+    var_names = {}
+    for ti, t in enumerate(times):
+        for fname in sorted(os.listdir(os.path.join(args.case, t))):
+            base = fname[:-3] if fname.endswith(".gz") else fname
+            try:
+                f = case.read_field(base, time=t)
+            except Exception:
+                continue
+            data = np.asarray(f.data)
+            kind = "vector" if data.ndim == 2 else "scalar"
+            var_names[base] = kind
+            with open(os.path.join(out, f"{base}.{ti:04d}"),
+                      "w") as vf:
+                vf.write(f"{base}\npart\n1\nnfaced\n")
+                if data.ndim == 1:
+                    vf.write("\n".join(f"{x:12.5e}" for x in data)
+                             + "\n")
+                else:
+                    for ax in range(3):
+                        vf.write("\n".join(f"{x:12.5e}"
+                                            for x in data[:, ax])
+                                 + "\n")
+    with open(os.path.join(out, "case.case"), "w") as cf:
+        cf.write("FORMAT\ntype: ensight gold\n\nGEOMETRY\n"
+                 "model: geometry\n\nVARIABLE\n")
+        for name, kind in var_names.items():
+            cf.write(f"{kind} per element: {name} {name}.****\n")
+        cf.write(f"\nTIME\ntime set: 1\nnumber of steps: "
+                 f"{len(times)}\nfilename start number: 0\n"
+                 f"filename increment: 1\ntime values:\n")
+        cf.write("\n".join(t for t in times) + "\n")
+    print(f"foamToEnsight: {len(times)} times, "
+          f"{len(var_names)} fields -> {out}")
+    return 0
+
+
+
+def surface_check(argv) -> int:
+    """surfaceCheck <surface.stl>: triangle quality/closedness report
+    (reference: applications/utilities/surface/surfaceCheck/)."""
+    import argparse as _ap
+
+    import numpy as np
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("surf")
+    a = ap.parse_args(argv)
+    from ..mesh.snappy import read_stl
+
+    tris = read_stl(a.surf)
+    n = tris.shape[0]
+    e1 = tris[:, 1] - tris[:, 0]
+    e2 = tris[:, 2] - tris[:, 0]
+    areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+    degenerate = int((areas < 1e-30).sum())
+    # closedness: every edge shared by exactly 2 triangles
+    pts = tris.reshape(-1, 3)
+    _, inv = np.unique(np.round(pts, 10), axis=0, return_inverse=True)
+    tri_pts = inv.reshape(-1, 3)
+    edges = {}
+    for t in tri_pts:
+        for i in range(3):
+            e = tuple(sorted((int(t[i]), int(t[(i + 1) % 3]))))
+            edges[e] = edges.get(e, 0) + 1
+    open_edges = sum(1 for v in edges.values() if v != 2)
+    bb = (tris.reshape(-1, 3).min(axis=0),
+          tris.reshape(-1, 3).max(axis=0))
+    print(f"Triangles      : {n}")
+    print(f"Bounding box   : ({bb[0][0]:g} {bb[0][1]:g} {bb[0][2]:g}) "
+          f"({bb[1][0]:g} {bb[1][1]:g} {bb[1][2]:g})")
+    print(f"Total area     : {areas.sum():g}")
+    print(f"Degenerate tris: {degenerate}")
+    print(f"Open edges     : {open_edges} "
+          f"({'closed' if open_edges == 0 else 'OPEN'} surface)")
+    return 0
+
+
+def surface_convert(argv) -> int:
+    """surfaceConvert <in> <out>: STL <-> OBJ/VTK conversion
+    (reference: applications/utilities/surface/surfaceConvert/)."""
+    import argparse as _ap
+
+    import numpy as np
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("infile")
+    ap.add_argument("outfile")
+    a = ap.parse_args(argv)
+    from ..mesh.snappy import read_stl, write_stl
+
+    ext_in = os.path.splitext(a.infile)[1].lower()
+    if ext_in in (".stl", ".stlb"):
+        tris = read_stl(a.infile)
+    elif ext_in == ".obj":
+        vs, fs = [], []
+        for ln in open(a.infile):
+            t = ln.split()
+            if not t:
+                continue
+            if t[0] == "v":
+                vs.append([float(x) for x in t[1:4]])
+            elif t[0] == "f":
+                fs.append([int(x.split("/")[0]) - 1 for x in t[1:4]])
+        v = np.asarray(vs)
+        tris = v[np.asarray(fs)]
+    else:
+        print(f"surfaceConvert: unsupported input {ext_in}")
+        return 1
+    ext = os.path.splitext(a.outfile)[1].lower()
+    if ext == ".obj":
+        pts = tris.reshape(-1, 3)
+        upts, inv = np.unique(np.round(pts, 10), axis=0,
+                              return_inverse=True)
+        with open(a.outfile, "w") as f:
+            f.write("# written by foamtpu surfaceConvert\n")
+            for p in upts:
+                f.write(f"v {p[0]:g} {p[1]:g} {p[2]:g}\n")
+            for t in inv.reshape(-1, 3):
+                f.write(f"f {t[0] + 1} {t[1] + 1} {t[2] + 1}\n")
+    elif ext in (".stl", ".stlb"):
+        write_stl(a.outfile, tris)
+    elif ext == ".vtk":
+        pts = tris.reshape(-1, 3)
+        upts, inv = np.unique(np.round(pts, 10), axis=0,
+                              return_inverse=True)
+        with open(a.outfile, "w") as f:
+            f.write("# vtk DataFile Version 2.0\nsurface\nASCII\n"
+                    "DATASET POLYDATA\n")
+            f.write(f"POINTS {len(upts)} float\n")
+            for p in upts:
+                f.write(f"{p[0]:g} {p[1]:g} {p[2]:g}\n")
+            t = inv.reshape(-1, 3)
+            f.write(f"POLYGONS {len(t)} {4 * len(t)}\n")
+            for a3 in t:
+                f.write(f"3 {a3[0]} {a3[1]} {a3[2]}\n")
+    else:
+        print(f"surfaceConvert: unsupported output {ext}")
+        return 1
+    print(f"surfaceConvert: {tris.shape[0]} triangles -> {a.outfile}")
+    return 0
+
+
+def surface_transform_points(argv) -> int:
+    """surfaceTransformPoints -translate/-scale/-rollPitchYaw <in>
+    <out> (reference: .../surface/surfaceTransformPoints/)."""
+    import argparse as _ap
+
+    import numpy as np
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("infile")
+    ap.add_argument("outfile")
+    ap.add_argument("-translate", default=None)
+    ap.add_argument("-scale", default=None)
+    ap.add_argument("-rollPitchYaw", default=None)
+    a = ap.parse_args(argv)
+    from ..mesh.snappy import read_stl, write_stl
+
+    tris = read_stl(a.infile)
+
+    def vec(s):
+        return np.asarray([float(x) for x in
+                           s.strip("() ").split()], float)
+
+    if a.scale:
+        tris = tris * vec(a.scale)[None, None, :]
+    if a.rollPitchYaw:
+        r, p, y = np.deg2rad(vec(a.rollPitchYaw))
+        cx, sx = np.cos(r), np.sin(r)
+        cy, sy = np.cos(p), np.sin(p)
+        cz, sz = np.cos(y), np.sin(y)
+        Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+        R = Rz @ Ry @ Rx
+        tris = tris @ R.T
+    if a.translate:
+        tris = tris + vec(a.translate)[None, None, :]
+    write_stl(a.outfile, tris)
+    print(f"surfaceTransformPoints: {tris.shape[0]} triangles")
+    return 0
+
+
 COMMANDS = {
     "blockMesh": block_mesh,
     "snappyHexMesh": snappy_hex_mesh,
@@ -591,6 +1087,19 @@ COMMANDS = {
     "createPatch": create_patch_cmd,
     "extrudeMesh": extrude_mesh_cmd,
     "refineMesh": refine_mesh_cmd,
+    "mirrorMesh": mirror_mesh_cmd,
+    "subsetMesh": subset_mesh_cmd,
+    "mergeMeshes": merge_meshes_cmd,
+    "flattenMesh": flatten_mesh_cmd,
+    "autoPatch": auto_patch_cmd,
+    "adiabaticFlameT": adiabatic_flame_t_cmd,
+    "mixtureAdiabaticFlameT": mixture_adiabatic_flame_t_cmd,
+    "chemkinToFoam": chemkin_to_foam_cmd,
+    "sample": sample_cmd,
+    "foamToEnsight": foam_to_ensight,
+    "surfaceCheck": surface_check,
+    "surfaceConvert": surface_convert,
+    "surfaceTransformPoints": surface_transform_points,
     "changeDictionary": change_dictionary_cmd,
     "gmshToFoam": gmsh_to_foam_cmd,
     "splitMeshRegions": split_mesh_regions_cmd,
