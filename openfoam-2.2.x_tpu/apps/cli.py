@@ -1080,6 +1080,101 @@ def surface_transform_points(argv) -> int:
     return 0
 
 
+
+def tutorials_cmd(argv) -> int:
+    """tutorials [-test] [-filter substr] [-steps N]: the Alltest
+    tutorial-regression harness (reference: tutorials/Alltest +
+    bin/tools/RunFunctions). Each discovered case is copied to a
+    scratch directory and driven through its pipeline: an explicit
+    per-case Allrun (runApplication lines) when present, else
+    blockMesh -> topoSet/setFields (if their dicts exist) -> run.
+    -test caps every solver at -steps N (default 3), the reference
+    Alltest's controlDict-shortening analogue."""
+    import argparse as _ap
+    import shutil
+    import tempfile
+    import time as _time
+    import traceback
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("-test", action="store_true")
+    ap.add_argument("-filter", default="")
+    ap.add_argument("-steps", type=int, default=3)
+    ap.add_argument("-root", default="tutorials")
+    a = ap.parse_args(argv)
+
+    cases = []
+    for root, dirs, files in os.walk(a.root):
+        if (os.path.basename(root) == "system"
+                and "controlDict" in files):
+            cases.append(os.path.dirname(root))
+    cases.sort()
+    if a.filter:
+        cases = [c for c in cases if a.filter in c]
+    if not cases:
+        print("tutorials: no cases found")
+        return 1
+
+    results = []
+    for src in cases:
+        name = os.path.relpath(src, a.root)
+        t0 = _time.time()
+        tmp = tempfile.mkdtemp(prefix="foamtpu-tut-")
+        case = os.path.join(tmp, os.path.basename(src))
+        shutil.copytree(src, case)
+        ok, msg = True, ""
+        try:
+            allrun = os.path.join(case, "Allrun")
+            steps = ["blockMesh"]
+            if os.path.exists(allrun):
+                steps = []
+                for ln in open(allrun):
+                    ln = ln.strip()
+                    if ln.startswith(("runApplication",
+                                      "runParallel")):
+                        steps.append(" ".join(ln.split()[1:]))
+            else:
+                sysd = os.path.join(case, "system")
+                if os.path.exists(os.path.join(sysd,
+                                               "topoSetDict")):
+                    steps.append("topoSet")
+                if os.path.exists(os.path.join(
+                        sysd, "snappyHexMeshDict")):
+                    steps.append("snappyHexMesh")
+                if os.path.exists(os.path.join(sysd,
+                                               "setFieldsDict")):
+                    steps.append("setFields")
+                steps.append("run")
+            for st in steps:
+                argv2 = st.split()
+                cmd0 = argv2[0]
+                rest = argv2[1:]
+                if cmd0 not in COMMANDS:
+                    # a solver name: route through run
+                    cmd0, rest = "run", []
+                args2 = rest + ["-case", case]
+                if a.test and cmd0 == "run":
+                    args2 += ["-steps", str(a.steps)]
+                rc = COMMANDS[cmd0](args2)
+                if rc != 0:
+                    ok, msg = False, f"{cmd0} rc={rc}"
+                    break
+        except Exception as e:      # noqa: BLE001 - harness boundary
+            ok = False
+            msg = f"{type(e).__name__}: {e}"
+            if os.environ.get("FOAMTPU_DEBUG"):
+                traceback.print_exc()
+        dt = _time.time() - t0
+        results.append((name, ok, dt, msg))
+        print(f"{'PASS' if ok else 'FAIL'}  {name}  ({dt:.1f}s)"
+              + (f"  {msg}" if msg else ""))
+        shutil.rmtree(tmp, ignore_errors=True)
+    n_fail = sum(1 for _, ok, _, _ in results if not ok)
+    print(f"\ntutorials: {len(results) - n_fail}/{len(results)} "
+          f"passed")
+    return 1 if n_fail else 0
+
+
 COMMANDS = {
     "blockMesh": block_mesh,
     "snappyHexMesh": snappy_hex_mesh,
@@ -1100,6 +1195,7 @@ COMMANDS = {
     "surfaceCheck": surface_check,
     "surfaceConvert": surface_convert,
     "surfaceTransformPoints": surface_transform_points,
+    "tutorials": tutorials_cmd,
     "changeDictionary": change_dictionary_cmd,
     "gmshToFoam": gmsh_to_foam_cmd,
     "splitMeshRegions": split_mesh_regions_cmd,

@@ -3192,6 +3192,79 @@ def compressible_inter_foam(case, max_steps: Optional[int] = None) -> None:
     case.final_state = state
 
 
+def _pimple_dym_sixdof(case, dmd, max_steps: Optional[int]) -> None:
+    """pimpleDyMFoam with the sixDoFRigidBodyMotion motion solver
+    (reference: src/sixDoFRigidBodyMotion + the floatingObject
+    tutorial pattern): flow forces on the body patch drive the rigid
+    body; the mesh blends with the body motion (solvers/floating.py).
+    dynamicMeshDict keys: sixDoFRigidBodyMotionCoeffs { patch; mass;
+    momentOfInertia; centreOfMass; innerDistance; outerDistance;
+    rhoInf; restraints { ... linearSpring ... } }."""
+    import jax.numpy as jnp
+
+    from ..models import sixdof
+    from . import floating as fl_mod
+
+    mesh = case.mesh
+    tp = case.transport_properties()
+    _, nu = dimensioned_scalar(tp["nu"])
+    co = dmd.get("sixDoFRigidBodyMotionCoeffs", dmd)
+    patch_name = str(co.get("patch", co.get("patches", "body")))
+    body_idx = [i for i, p in enumerate(mesh.patches)
+                if p.name == patch_name][0]
+    com = tuple(float(x) for x in np.asarray(
+        co.get("centreOfMass", [0, 0, 0]), float).reshape(-1)[-3:])
+    moi = np.asarray(co.get("momentOfInertia", [1, 1, 1]),
+                     float).reshape(-1)[-3:]
+    springs = []
+    restr = co.get("restraints", FoamDict())
+    for rname, rd in (restr.items() if hasattr(restr, "items")
+                      else []):
+        if not hasattr(rd, "get"):
+            continue
+        if str(rd.get("sixDoFRigidBodyMotionRestraint",
+                      rd.get("type", ""))) == "linearSpring":
+            anchor = tuple(float(x) for x in np.asarray(
+                rd.get("anchor", com), float).reshape(-1)[-3:])
+            attach = tuple(float(x) for x in np.asarray(
+                rd.get("refAttachmentPt", [0, 0, 0]),
+                float).reshape(-1)[-3:])
+            springs.append((anchor, attach,
+                            _dim_scalar_of(rd, "stiffness", 0.0),
+                            _dim_scalar_of(rd, "damping", 0.0),
+                            _dim_scalar_of(rd, "restLength", 0.0)))
+    bcfg = sixdof.RigidBodyConfig(
+        mass=_dim_scalar_of(co, "mass", 1.0),
+        I_body=tuple(moi),
+        g=_read_gravity(case),
+        springs=tuple(springs))
+    cfg = fl_mod.FloatingConfig(
+        nu=nu, body=bcfg, body_patch=body_idx, x0=com,
+        r_inner=_dim_scalar_of(co, "innerDistance", 0.1),
+        r_outer=_dim_scalar_of(co, "outerDistance", 0.3),
+        rho_ref=_dim_scalar_of(co, "rhoInf", 1000.0),
+        p_controls=case.solver_controls("p"))
+    U = case.read_field("U")
+    p = case.read_field("p")
+    state = fl_mod.initial_state(case.poly_mesh, mesh, U, p, cfg)
+    step = fl_mod.make_step(mesh, cfg)
+    log.info(f"Starting loop: pimpleDyMFoam + sixDoFRigidBodyMotion "
+             f"(patch {patch_name})\n")
+    for t in case.time.loop():
+        state, diag = step(state, jnp.asarray(t.current_dt,
+                                              mesh.v.dtype))
+        bx = np.asarray(diag["body_x"])
+        log.info(f"Time = {t.name}\nCentre of mass: ({bx[0]:.6g} "
+                 f"{bx[1]:.6g} {bx[2]:.6g})\n")
+        if t.write_time():
+            case.write_fields([state["U"], state["p"]])
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.write_fields([state["U"], state["p"]])
+    case.final_state = {"state": state, "diag": diag}
+    log.info("End\n")
+
+
 def pimple_dym_foam(case, max_steps: Optional[int] = None) -> None:
     """pimpleDyMFoam: transient incompressible flow on a moving mesh
     (reference: applications/solvers/incompressible/pimpleFoam/
@@ -3204,6 +3277,11 @@ def pimple_dym_foam(case, max_steps: Optional[int] = None) -> None:
 
     mesh = case.mesh
     dmd = case.properties("dynamicMeshDict")
+    solver_nm = str(dmd.get("motionSolverLibs", ""))
+    msd = dmd.get("motionSolver", dmd.get("solver", ""))
+    if (str(msd) == "sixDoFRigidBodyMotion"
+            or "sixDoFRigidBodyMotion" in solver_nm):
+        return _pimple_dym_sixdof(case, dmd, max_steps)
     coeffs = dmd.get("solidBodyMotionFvMeshCoeffs", dmd)
     fn = str(coeffs.get("solidBodyMotionFunction", "linearMotion"))
     c = coeffs.get(fn + "Coeffs", FoamDict())
