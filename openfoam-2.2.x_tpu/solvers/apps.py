@@ -1838,7 +1838,8 @@ def adjoint_shape_optimization_foam(case,
 
 
 def _reacting_parcel_run(case, max_steps: Optional[int], coal=False,
-                         spray=False, porous=False) -> None:
+                         spray=False, porous=False,
+                         film=False) -> None:
     """Shared driver for the reacting-parcel solver family (reference:
     applications/solvers/lagrangian/{reactingParcelFoam,
     porousExplicitSourceReactingParcelFoam,coalChemistryFoam,
@@ -1931,12 +1932,45 @@ def _reacting_parcel_run(case, max_steps: Optional[int], coal=False,
             u_mag=_dim_scalar_of(inj_d, "Umag", 50.0), d0=d0,
             rho0=rho0, rate=_dim_scalar_of(inj_d, "parcelsPerSecond",
                                            1000.0))
-    bt = jnp.asarray(lag.face_boundary_types(mesh))
+    bt_host = lag.face_boundary_types(mesh)
+    bt = jnp.asarray(bt_host)
 
     name = ("coalChemistryFoam" if coal else
             "sprayFoam" if spray else
             "porousExplicitSourceReactingParcelFoam" if porous else
+            "reactingParcelFilmFoam" if film else
             "reactingParcelFoam")
+
+    # ---- surface film (reactingParcelFilmFoam: parcels impinging on
+    # film patches deposit their mass; reference: the
+    # surfaceFilmModel's parcel injection/absorption coupling) --------------
+    fmm = film_cfg = film_state = None
+    cell_to_filmface = None
+    if film:
+        from ..regionmodels import film_init, FilmConfig
+        from ..regionmodels.filmmesh import build_film_mesh
+
+        try:
+            sfp = case.properties("surfaceFilmProperties")
+        except Exception:
+            sfp = FoamDict()
+        patches = [str(x) for x in (sfp.get("filmPatches")
+                                    or ["film"])]
+        fmm = build_film_mesh(case.poly_mesh, patches)
+        film_cfg = FilmConfig(
+            nu=_dim_scalar_of(sfp, "nu", 1e-6),
+            rho=_dim_scalar_of(sfp, "rho", 1000.0),
+            g=_read_gravity(case), thermo=False)
+        film_state = film_init(fmm, film_cfg)
+        c2f = np.full(mesh.n_cells, -1, np.int64)
+        c2f[np.asarray(fmm.owner_cells)] = np.arange(
+            fmm.n_faces)
+        cell_to_filmface = jnp.asarray(c2f)
+        # film-patch faces ABSORB parcels (escape code)
+        for pch in mesh.patches:
+            if pch.name in patches:
+                bt_host[pch.slice] = lag.BND_ESCAPE
+        bt = jnp.asarray(bt_host)
 
     def cloud_step(cloud_in, coal_in, st, dt, carry, counter):
         """Evolve + sources, jitted as one program."""
@@ -1948,6 +1982,12 @@ def _reacting_parcel_run(case, max_steps: Optional[int], coal=False,
             c0, carry, counter = lag.inject(c0, inj, carry, counter,
                                             dt)
         c1 = lag.evolve(mesh, c0, Udata, dt, bt, lcfg, T_cell=Tdata)
+        # parcels absorbed at boundaries this step (film impingement)
+        dep_mask = c0.active & (~c1.active)
+        dep_mass_c = jax.ops.segment_sum(
+            jnp.where(dep_mask,
+                      c1.rho * jnp.pi / 6.0 * c1.d ** 3, 0.0),
+            c1.cell, num_segments=mesh.n_cells)
         if spray:
             c1 = rcloud.reitz_diwakar_breakup(c1, Udata, dt, bcfg)
         mom = lag.momentum_source(mesh, c0, c1, 1.0, dt, lcfg)
@@ -1970,7 +2010,8 @@ def _reacting_parcel_run(case, max_steps: Optional[int], coal=False,
         T_new = Tdata - dt * heat / (rho * cp_c * mesh.v)
         U_new = Udata + dt * mom / (rho * mesh.v)[:, None]
         return (c1, coal_out, carry, counter, vap,
-                st["T"].with_data(T_new), st["U"].with_data(U_new))
+                st["T"].with_data(T_new), st["U"].with_data(U_new),
+                dep_mass_c)
 
     cloud_step_j = jax.jit(cloud_step)
 
@@ -2003,13 +2044,23 @@ def _reacting_parcel_run(case, max_steps: Optional[int], coal=False,
         dt = jnp.asarray(t.current_dt, mesh.v.dtype)
         state, diag = flow_step(state, dt)
         (cloud, coal_state, carry, counter, vap, T_new,
-         U_new) = cloud_step_j(cloud, coal_state, state, dt, carry,
-                               counter)
+         U_new, dep_mass_c) = cloud_step_j(cloud, coal_state, state,
+                                           dt, carry, counter)
         state = dict(state)
         state["T"] = T_new
         state["U"] = U_new
         state["T0"] = T_new.data
         Yv, yperf = transport_j(state, Yv, vap, dt)
+        if film:
+            from ..regionmodels import film_step
+
+            ff = cell_to_filmface[jnp.arange(mesh.n_cells)]
+            dep_face = jnp.zeros(fmm.n_faces, mesh.v.dtype).at[
+                jnp.clip(cell_to_filmface, 0)].add(
+                jnp.where(cell_to_filmface >= 0, dep_mass_c, 0.0))
+            S_mass = dep_face / (fmm.area * dt)   # kg/m^2/s
+            film_state, fdiag = film_step(fmm, film_state, dt,
+                                          film_cfg, S_mass=S_mass)
         log.info(f"Time = {t.name}\nCloud: active parcels = "
                  f"{int(cloud.n_active)}, Yvapour mean = "
                  f"{float(jnp.mean(Yv.data)):.6g}\n")
@@ -2020,7 +2071,8 @@ def _reacting_parcel_run(case, max_steps: Optional[int], coal=False,
             break
     case.write_fields([state["U"], state["p"], state["T"], Yv])
     case.final_state = {"state": state, "cloud": cloud, "Yv": Yv,
-                        "coal": coal_state, "diag": diag}
+                        "coal": coal_state, "diag": diag,
+                        "film": film_state}
     log.info("End\n")
 
 
@@ -2038,6 +2090,10 @@ def coal_chemistry_foam(case, max_steps: Optional[int] = None):
 
 def spray_foam(case, max_steps: Optional[int] = None):
     _reacting_parcel_run(case, max_steps, spray=True)
+
+
+def reacting_parcel_film_foam(case, max_steps: Optional[int] = None):
+    _reacting_parcel_run(case, max_steps, film=True)
 
 
 def potential_free_surface_foam(case, max_steps: Optional[int] = None
@@ -3908,6 +3964,8 @@ case_mod.register_application("porousExplicitSourceReactingParcelFoam",
                               porous_reacting_parcel_foam)
 case_mod.register_application("coalChemistryFoam", coal_chemistry_foam)
 case_mod.register_application("sprayFoam", spray_foam)
+case_mod.register_application("reactingParcelFilmFoam",
+                              reacting_parcel_film_foam)
 case_mod.register_application("adjointShapeOptimizationFoam",
                               adjoint_shape_optimization_foam)
 case_mod.register_application("potentialFreeSurfaceFoam",

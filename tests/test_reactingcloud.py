@@ -297,3 +297,45 @@ injection
     case_mod._APPLICATIONS["sprayFoam"](c, max_steps=8)
     n = int(c.final_state["cloud"].n_active)
     assert n >= 32 + 20, f"injection inactive: {n} parcels (32 initial)"
+
+
+CONTROL_FILM = """
+application     reactingParcelFilmFoam;
+startFrom       startTime;
+startTime       0;
+stopAt          endTime;
+endTime         0.25;
+deltaT          0.005;
+writeControl    timeStep;
+writeInterval   1000;
+writeFormat     ascii;
+"""
+
+
+def test_reacting_parcel_film_case(tmp_path):
+    """reactingParcelFilmFoam: parcels falling under gravity onto the
+    film patch deposit their mass into the surface film (film mass
+    grows, parcels are absorbed)."""
+    case = _mk_parcel_case(tmp_path, "reactingParcelFilmFoam", extra={
+        "system/controlDict": CONTROL_FILM,
+        "constant/reactingCloud1Properties": """
+constantProperties { rho0 1000; d0 2e-4; T0 300; Cp0 4187; Lvap 2.26e6; }
+Kevap 1e-12;
+""",
+        "constant/surfaceFilmProperties": """
+filmPatches ( walls );
+rho rho [1 -3 0 0 0 0 0] 1000;
+nu nu [0 2 -1 0 0 0 0] 1e-6;
+""",
+        "constant/g": "dimensions [0 1 -2 0 0 0 0]; value (0 -9.81 0);"})
+    import foamtpu.solvers.apps  # noqa: F401
+    import foamtpu.core.case as case_mod
+    from foamtpu.core.case import Case
+
+    c = Case(case)
+    case_mod._APPLICATIONS["reactingParcelFilmFoam"](c, max_steps=45)
+    film = c.final_state["film"]
+    n_act = int(c.final_state["cloud"].n_active)
+    film_mass = float((np.asarray(film["delta"]) * 1000.0).sum())
+    assert n_act < 32, "no parcels were absorbed"
+    assert film_mass > 0.0, "absorbed parcels did not feed the film"
