@@ -1175,6 +1175,28 @@ def tutorials_cmd(argv) -> int:
     return 1 if n_fail else 0
 
 
+
+def fluent_mesh_to_foam(argv) -> int:
+    """fluentMeshToFoam <mesh.msh>: convert an ASCII Fluent mesh
+    (reference: .../mesh/conversion/fluentMeshToFoam/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("mshfile")
+    ap.add_argument("-case", default=".")
+    a = ap.parse_args(argv)
+    from ..io import polymesh as mesh_io
+    from .fluent import read_fluent
+
+    pm = read_fluent(a.mshfile)
+    mdir = os.path.join(a.case, "constant", "polyMesh")
+    os.makedirs(mdir, exist_ok=True)
+    mesh_io.write(pm, mdir)
+    print(f"fluentMeshToFoam: {pm.n_cells} cells, {pm.n_faces} faces, "
+          f"{len(pm.patches)} patches")
+    return 0
+
+
 COMMANDS = {
     "blockMesh": block_mesh,
     "snappyHexMesh": snappy_hex_mesh,
@@ -1198,6 +1220,7 @@ COMMANDS = {
     "tutorials": tutorials_cmd,
     "changeDictionary": change_dictionary_cmd,
     "gmshToFoam": gmsh_to_foam_cmd,
+    "fluentMeshToFoam": fluent_mesh_to_foam,
     "splitMeshRegions": split_mesh_regions_cmd,
     "postProcess": post_process,
     "renumberMesh": renumber_mesh,

@@ -254,3 +254,67 @@ def test_surface_utilities(tmp_path, capsys):
     t3 = read_stl(moved)
     assert abs(t3.reshape(-1, 3).min(axis=0) - [1, 2, 3]).max() < 1e-5
     assert abs(t3.reshape(-1, 3).max(axis=0) - [3, 4, 5]).max() < 1e-5
+
+
+def _fluent_box_msh(path, nx=2, ny=2, nz=1):
+    """Write a tiny ASCII Fluent hex-box mesh by converting a blockMesh
+    PolyMesh into the Fluent section format (faces carry owner/nbr)."""
+    pm = _pm()  # 4x4x4 cube
+    with open(path, "w") as f:
+        f.write('(0 "fluent box")\n')
+        f.write("(2 3)\n")
+        np_, nc, nf = pm.n_points, pm.n_cells, pm.n_faces
+        nif = pm.n_internal_faces
+        f.write(f"(10 (0 1 {np_:x} 0))\n")
+        f.write(f"(10 (1 1 {np_:x} 1 3)(\n")
+        for p in pm.points:
+            f.write(f"{p[0]:.10g} {p[1]:.10g} {p[2]:.10g}\n")
+        f.write("))\n")
+        f.write(f"(12 (0 1 {nc:x} 0))\n")
+        f.write(f"(12 (2 1 {nc:x} 1 4))\n")
+        # interior faces zone 3
+        f.write(f"(13 (0 1 {nf:x} 0))\n")
+        f.write(f"(13 (3 1 {nif:x} 2 0)(\n")
+        for fc in range(nif):
+            pts = pm.face_pts[fc, :pm.face_npts[fc]]
+            f.write(f"{len(pts):x} "
+                    + " ".join(f"{p + 1:x}" for p in pts)
+                    + f" {pm.owner[fc] + 1:x} {pm.neighbour[fc] + 1:x}\n")
+        f.write("))\n")
+        zid = 4
+        start = nif + 1
+        for p in pm.patches:
+            f.write(f"(13 ({zid:x} {start:x} {start + p.size - 1:x} "
+                    f"3 0)(\n")
+            for fc in range(p.start, p.start + p.size):
+                pts = pm.face_pts[fc, :pm.face_npts[fc]]
+                f.write(f"{len(pts):x} "
+                        + " ".join(f"{q + 1:x}" for q in pts)
+                        + f" {pm.owner[fc] + 1:x} 0\n")
+            f.write("))\n")
+            f.write(f"(39 ({zid} wall {p.name})())\n")
+            start += p.size
+            zid += 1
+    return pm
+
+
+def test_fluent_mesh_to_foam(tmp_path):
+    """fluentMeshToFoam converts an ASCII Fluent mesh; the result has
+    identical volume/closure to the source mesh and icoFoam-style FV
+    assembly works on it (checkMesh passes)."""
+    msh = os.path.join(str(tmp_path), "box.msh")
+    src = _fluent_box_msh(msh)
+    case = os.path.join(str(tmp_path), "c")
+    os.makedirs(case, exist_ok=True)
+    from foamtpu.apps.cli import main
+
+    assert main(["fluentMeshToFoam", msh, "-case", case]) == 0
+    from foamtpu.io import polymesh as mesh_io
+
+    pm = mesh_io.read(os.path.join(case, "constant", "polyMesh"))
+    _check(pm)
+    assert pm.n_cells == src.n_cells
+    assert abs(pm.v.sum() - src.v.sum()) < 1e-10
+    names = {p.name for p in pm.patches}
+    assert {"right", "left", "rest"} <= names
+    assert main(["checkMesh", "-case", case]) == 0
