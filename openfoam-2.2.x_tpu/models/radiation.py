@@ -24,6 +24,7 @@ import dataclasses as _dc
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..bc import patchfields as pf
 from ..core.dimensions import DimensionSet
@@ -219,3 +220,96 @@ def solve_fvdom(mesh, G: VolField, T: Any, cfg: FvDOMConfig, T_bcs=None
         data, perf = linear.solve(mesh, eqn, I0, ctl)
         Gnew = Gnew + wts[r] * jnp.maximum(data, 0.0)
     return G.with_data(Gnew), perf
+
+
+# ---------------------------------------------------------------------------
+# viewFactor: surface-to-surface radiation in a transparent enclosure
+# (reference: src/thermophysicalModels/radiation/radiationModels/
+#  viewFactor/ + applications/utilities/preProcessing/viewFactorsGen)
+# ---------------------------------------------------------------------------
+
+
+class ViewFactorModel(NamedTuple):
+    """Grey diffuse surface-to-surface radiation between the faces of
+    the enclosure patches.
+
+    TPU design: the reference assembles and solves the radiosity
+    system with a dense LU on the master rank; here the view-factor
+    matrix F [nF,nF] and the radiosity solve are dense device
+    matmuls/solves — exactly the MXU shape. View factors come from the
+    per-face-pair double-area formula
+        F_ij = max(cos t_i, 0) max(cos t_j, 0) A_j / (pi r^2)
+    normalised so each row sums to the enclosure fraction (the
+    reference's viewFactorsGen ray-agreement correction); occlusion by
+    intermediate geometry is not ray-tested (documented deviation —
+    convex enclosures are exact)."""
+    faces: Any          # [nF] flat face ids of the enclosure
+    F: Any              # [nF,nF] view factors (row-normalised)
+    emissivity: Any     # [nF]
+    areas: Any          # [nF]
+    owners: Any         # [nF] owner cells
+
+
+SIGMA_SB = 5.670374419e-8
+
+
+def make_viewfactor(mesh, patch_names, emissivity=0.9) -> ViewFactorModel:
+    """Build the view-factor matrix for the given enclosure patches."""
+    fids = []
+    for p in mesh.patches:
+        if p.name in patch_names or p.type in patch_names:
+            fids.extend(range(p.start, p.start + p.size))
+    fids = np.asarray(fids, np.int64)
+    cf = np.asarray(mesh.cf)[fids]
+    sf = np.asarray(mesh.sf)[fids]
+    areas = np.linalg.norm(sf, axis=1)
+    # boundary Sf points OUT of the domain; the enclosure radiates
+    # INWARD — use the inward normal
+    n = -sf / np.maximum(areas, 1e-300)[:, None]
+    # pairwise geometry (host, f64 — one-time setup)
+    r = cf[None, :, :] - cf[:, None, :]            # i -> j
+    d2 = np.maximum((r ** 2).sum(axis=2), 1e-300)
+    ct_i = np.einsum("ijd,id->ij", r, n) / np.sqrt(d2)
+    ct_j = -np.einsum("ijd,jd->ij", r, n) / np.sqrt(d2)
+    F = (np.maximum(ct_i, 0.0) * np.maximum(ct_j, 0.0)
+         * areas[None, :] / (np.pi * d2))
+    np.fill_diagonal(F, 0.0)
+    # row-normalise toward sum(F_ij) = 1 for a closed enclosure
+    s = F.sum(axis=1)
+    F = np.where(s[:, None] > 1e-12, F / np.maximum(s, 1e-300)[:, None],
+                 0.0)
+    dt = mesh.v.dtype
+    eps = np.broadcast_to(np.asarray(emissivity, float),
+                          fids.shape).astype(float)
+    return ViewFactorModel(
+        faces=jnp.asarray(fids), F=jnp.asarray(F, dt),
+        emissivity=jnp.asarray(eps, dt),
+        areas=jnp.asarray(areas, dt),
+        owners=jnp.asarray(np.asarray(mesh.owner)[fids]))
+
+
+def viewfactor_heat_flux(vf: ViewFactorModel, T_face):
+    """Net radiative heat flux INTO each enclosure face [W/m^2]
+    (reference: viewFactor::calculate): solve the grey radiosity
+    system  J = eps sigma T^4 + (1-eps) F J,  then
+    q = eps/(1-eps) (sigma T^4 - J) ... expressed via irradiation
+    H = F J:  q_net = eps (H - sigma T^4)."""
+    eb = SIGMA_SB * T_face ** 4
+    eps = vf.emissivity
+    n = eb.shape[0]
+    A = jnp.eye(n, dtype=eb.dtype) - (1.0 - eps)[:, None] * vf.F
+    J = jnp.linalg.solve(A, eps * eb)
+    H = vf.F @ J
+    return eps * (H - eb)
+
+
+def viewfactor_source(mesh, vf: ViewFactorModel, T_cells,
+                      T_face=None):
+    """Per-cell radiative source [W/m^3] from the enclosure faces,
+    deposited into the owner cells (wall-adjacent), using the owner
+    cell temperature as the face temperature unless given."""
+    Tf = T_cells[vf.owners] if T_face is None else T_face
+    q = viewfactor_heat_flux(vf, Tf)             # W/m^2 into the face
+    src = jnp.zeros(mesh.n_cells, q.dtype).at[vf.owners].add(
+        q * vf.areas)
+    return src / mesh.v

@@ -197,3 +197,93 @@ def test_fvdom_transparent_two_plate():
     assert 0.6 * approx < g[mid].mean() < 1.4 * approx, (
         g[mid].mean(), approx)
     assert np.isfinite(g).all() and (g >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# viewFactor (reference: radiationModels/viewFactor)
+# ---------------------------------------------------------------------------
+
+
+def test_viewfactor_parallel_plates():
+    """Two large parallel plates at T1/T2 with emissivities e1/e2: the
+    net exchange must match the textbook
+    q = sigma (T1^4 - T2^4) / (1/e1 + 1/e2 - 1)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from foamtpu.core.dictionary import parse_string
+    from foamtpu.mesh import blockmesh, to_device
+    from foamtpu.models import radiation as rad
+
+    # thin gap between two 1x1 plates (gap 0.01 -> F12 ~ 1)
+    BM = """
+convertToMeters 1;
+vertices
+(
+    (0 0 0) (1 0 0) (1 1 0) (0 1 0)
+    (0 0 0.01) (1 0 0.01) (1 1 0.01) (0 1 0.01)
+);
+blocks ( hex (0 1 2 3 4 5 6 7) (16 16 1) simpleGrading (1 1 1) );
+boundary
+(
+    bottom { type wall; faces ((0 3 2 1)); }
+    top    { type wall; faces ((4 5 6 7)); }
+    sides  { type patch; faces ((2 6 5 1) (0 4 7 3) (1 5 4 0)
+                                (3 7 6 2)); }
+);
+"""
+    mesh = to_device(blockmesh.generate(parse_string(BM)))
+    e1, e2 = 0.8, 0.6
+    # per-face emissivity: bottom faces then top faces in fid order
+    vf = rad.make_viewfactor(mesh, ("bottom", "top"), emissivity=1.0)
+    nfh = vf.faces.shape[0] // 2
+    eps = np.full(vf.faces.shape[0], e1)
+    eps[nfh:] = e2
+    vf = vf._replace(emissivity=jnp.asarray(eps, mesh.v.dtype))
+    T1, T2 = 600.0, 300.0
+    Tf = np.full(vf.faces.shape[0], T1)
+    Tf[nfh:] = T2
+    q = np.asarray(rad.viewfactor_heat_flux(
+        vf, jnp.asarray(Tf, mesh.v.dtype)))
+    q_exact = rad.SIGMA_SB * (T1 ** 4 - T2 ** 4) / (1 / e1 + 1 / e2 - 1)
+    # hot plate LOSES q_exact per unit area; cold plate gains it
+    q_hot = -q[:nfh].mean()
+    q_cold = q[nfh:].mean()
+    assert abs(q_hot - q_exact) / q_exact < 0.08, (q_hot, q_exact)
+    assert abs(q_cold - q_exact) / q_exact < 0.08
+    # energy conservation: total net exchange sums to ~0
+    tot = float((q * np.asarray(vf.areas)).sum())
+    assert abs(tot) < 1e-3 * q_exact * float(np.asarray(
+        vf.areas)[:nfh].sum())
+
+
+def test_viewfactor_rows_normalised_and_equilibrium():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from foamtpu.core.dictionary import parse_string
+    from foamtpu.mesh import blockmesh, to_device
+    from foamtpu.models import radiation as rad
+
+    BM = """
+convertToMeters 1;
+vertices
+(
+    (0 0 0) (1 0 0) (1 1 0) (0 1 0)
+    (0 0 1) (1 0 1) (1 1 1) (0 1 1)
+);
+blocks ( hex (0 1 2 3 4 5 6 7) (4 4 4) simpleGrading (1 1 1) );
+boundary
+(
+    walls { type wall; faces ((2 6 5 1) (0 4 7 3) (1 5 4 0)
+                              (3 7 6 2) (0 3 2 1) (4 5 6 7)); }
+);
+"""
+    mesh = to_device(blockmesh.generate(parse_string(BM)))
+    vf = rad.make_viewfactor(mesh, ("walls",), emissivity=0.7)
+    F = np.asarray(vf.F)
+    assert np.allclose(F.sum(axis=1), 1.0, atol=1e-6)
+    # isothermal enclosure: zero net flux everywhere
+    T = jnp.full(vf.faces.shape[0], 450.0, mesh.v.dtype)
+    q = np.asarray(rad.viewfactor_heat_flux(vf, T))
+    assert np.max(np.abs(q)) < 1e-2
