@@ -3411,10 +3411,10 @@ def reacting_foam(case, max_steps: Optional[int] = None) -> None:
     reactingFoam/). Mechanism read from constant/reactions
     (foamChemistry format) + per-species thermo from
     constant/thermo.compressibleGas; species fields Yi from 0/
-    (Ydefault fallback). Deviation (documented): the flow thermo is a
-    single mixture gas — janaf of the dominant initial species with the
-    mixture-averaged gas constant — not a per-cell multi-species
-    heThermo mixture."""
+    (Ydefault fallback). With per-species janaf tables present the
+    solver runs in reactingMixture mode (reference:
+    hePsiThermo<reactingMixture>): per-cell R(Y) and Cp(Y,T) feed the
+    flow EOS; transport (mu) stays the dominant-species Sutherland."""
     import dataclasses as _dc
 
     from ..bc import patchfields as pfm
@@ -3510,12 +3510,39 @@ def reacting_foam(case, max_steps: Optional[int] = None) -> None:
                                   chem)
     except Exception:
         comb = None
+    # reactingMixture (hePsiThermo<reactingMixture>): per-species janaf
+    # tables -> per-cell R(Y)/Cp(Y,T) honoured by the flow EOS
+    cp_lo = cp_hi = t_common = None
+    if thd is not None:
+        lo_rows, hi_rows, tc_rows = [], [], []
+        ok = True
+        for sname in species:
+            ent = thd.get(sname)
+            if ent is None:
+                ok = False
+                break
+            tdct = ent.get("thermodynamics", FoamDict())
+            lo = [float(x) for x in tdct.get("lowCpCoeffs", [])]
+            hi = [float(x) for x in tdct.get("highCpCoeffs", lo)]
+            if len(lo) < 7:
+                ok = False
+                break
+            lo_rows.append(lo[:7])
+            hi_rows.append(hi[:7])
+            tc_rows.append(float(tdct.get("Tcommon", 1000.0)))
+        if ok:
+            cp_lo = np.asarray(lo_rows)
+            cp_hi = np.asarray(hi_rows)
+            t_common = np.asarray(tc_rows)
     cfg = reacting_mod.ReactingConfig(flow=flow, chem=chem, W=W,
-                                      y_controls=y_ctl, combustion=comb)
+                                      y_controls=y_ctl, combustion=comb,
+                                      cp_lo=cp_lo, cp_hi=cp_hi,
+                                      t_common=t_common)
     U = case.read_field("U")
     p = case.read_field("p")
     T = case.read_field("T")
     state = reacting_mod.initial_state(mesh, U, p, T, Y, th)
+    state = reacting_mod.seed_mixture_state(state, cfg)
     step = reacting_mod.make_step(mesh, cfg)
     log.info(f"Starting loop: reactingFoam, {mesh.n_cells} cells, "
              f"{len(species)} species\n")

@@ -43,6 +43,34 @@ class ReactingConfig(NamedTuple):
     y_controls: Dict = None
     combustion: Any = None       # models/combustion.Combustion closure
                                  # (None -> laminar direct integration)
+    # reactingMixture thermo (reference: hePsiThermo<reactingMixture>,
+    # src/thermophysicalModels/reactionThermo/): per-species janaf
+    # NASA-7 coefficient tables -> per-cell mixture R(Y) and Cp(Y,T)
+    # carried in the state and honoured by the flow step's EOS
+    cp_lo: Any = None            # [nS,7] low-T janaf coefficients
+    cp_hi: Any = None            # [nS,7]
+    t_common: Any = None         # [nS]
+
+    def mixture_RCp(self, Y, T):
+        """(R_mix [nC], cp_mix [nC]) from mass fractions (reference:
+        reactingMixture via multiComponentMixture::cellMixture)."""
+        R_UNIV = 8314.47
+        Wv = jnp.asarray(self.W, Y.dtype)
+        R_mix = R_UNIV * jnp.sum(Y / Wv[None, :], axis=1)
+        if self.cp_lo is None:
+            return R_mix, None
+        lo = jnp.asarray(self.cp_lo, Y.dtype)      # [nS,7]
+        hi = jnp.asarray(self.cp_hi, Y.dtype)
+        tc = jnp.asarray(self.t_common, Y.dtype)
+        Tc = jnp.clip(T, 200.0, 5000.0)
+        a = jnp.where((Tc[:, None] < tc[None, :])[:, :, None],
+                      lo[None, :, :], hi[None, :, :])   # [nC,nS,7]
+        poly = (a[..., 0] + Tc[:, None] * (a[..., 1] + Tc[:, None]
+                * (a[..., 2] + Tc[:, None] * (a[..., 3]
+                   + Tc[:, None] * a[..., 4]))))        # Cp_i/R
+        cp_i = poly * R_UNIV / Wv[None, :]              # J/kg/K
+        cp_mix = jnp.sum(Y * cp_i, axis=1)
+        return R_mix, cp_mix
 
 
 def reacting_step(mesh, state: Dict, dt: Any, cfg: ReactingConfig
@@ -104,7 +132,18 @@ def reacting_step(mesh, state: Dict, dt: Any, cfg: ReactingConfig
     # heat release -> temperature (explicit): dT = -sum hf dc / (rho cp)
     dc = c_new - c
     q = -(dc @ cfg.chem.hf) * rdt                   # J/m^3/s
-    cp = th.Cp_of(T.data)
+    # reactingMixture mode engages when janaf tables are supplied
+    # (the app parses thermo.compressibleGas); without them the
+    # single-mixture thermo closure is preserved
+    mixture_mode = cfg.cp_lo is not None
+    if mixture_mode:
+        R_mix, cp_mix = cfg.mixture_RCp(jnp.clip(
+            c_new * jnp.asarray(cfg.W, mesh.v.dtype)[None, :]
+            / rho[:, None], 0.0, 1.0), T.data)
+        cp = cp_mix
+    else:
+        R_mix, cp_mix = None, None
+        cp = th.Cp_of(T.data)
     T = T.with_data(T.data + dt * q / (rho * cp))
     T = T.correct_boundary_conditions(mesh)
     Ydata = c_new * Wv[None, :] / rho[:, None]
@@ -116,12 +155,15 @@ def reacting_step(mesh, state: Dict, dt: Any, cfg: ReactingConfig
 
     new_state = dict(state)
     new_state.update(T=T, Y=Y, Y0=Ydata, rho_prev=rho)
+    if mixture_mode:
+        new_state["R_mix"] = R_mix
+        new_state["cp_mix"] = cp_mix
     if not cfg.flow.steady:
         # close the split thermodynamically: constant-volume heat
         # release keeps rho, raises T AND p = rho R T together; all
         # old-time levels move to the post-chemistry state so the next
         # flow step starts from a consistent (p, T, rho) triple
-        p_new = rho * th.R * T.data
+        p_new = rho * (R_mix if mixture_mode else th.R) * T.data
         pfld: VolField = state["p"]
         new_state["p"] = pfld.with_data(p_new)
         new_state["p0"] = p_new
@@ -136,6 +178,18 @@ def initial_state(mesh, U, p, T, Y: VolField, thermo,
     st = rp_init(mesh, U, p, T, thermo, steady=steady)
     st["Y"] = Y
     st["Y0"] = Y.data
+    return st
+
+
+def seed_mixture_state(st, cfg: "ReactingConfig"):
+    """Initialise the per-cell mixture R/Cp so the FIRST flow step
+    already runs on the composition-dependent EOS (reactingMixture
+    mode only — requires the janaf tables)."""
+    if cfg.cp_lo is None:
+        return st
+    R_mix, cp_mix = cfg.mixture_RCp(st["Y"].data, st["T"].data)
+    st["R_mix"] = R_mix
+    st["cp_mix"] = cp_mix
     return st
 
 

@@ -97,6 +97,22 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
     p: VolField = state["p"]
     T: VolField = state["T"]
     phi = state["phi"]            # MASS flux
+
+    # composition-dependent gas properties (reactingFoam's
+    # hePsiThermo<reactingMixture>): the species solver stores the
+    # mixture gas constant / heat capacity per cell in the state and
+    # the EOS here honours them; absent -> the single-mixture thermo
+    R_mix = state.get("R_mix")
+    cp_mix = state.get("cp_mix")
+
+    def _rho_of(pd, Td):
+        return (pd / (R_mix * Td)) if R_mix is not None             else th.rho(pd, Td)
+
+    def _psi_of(Td):
+        return (1.0 / (R_mix * Td)) if R_mix is not None             else th.psi(Td)
+
+    def _cp_of(Td):
+        return cp_mix if cp_mix is not None else th.Cp_of(Td)
     nif = mesh.n_internal_faces
     rdt = 1.0 / dt
     diag: Dict[str, Any] = {}
@@ -109,7 +125,7 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
     closed = needs_reference(p, mesh)
     n_outer = 1 if cfg.steady else cfg.n_outer
     n_corr = 1 if cfg.steady else cfg.n_correctors
-    rho0 = state.get("rho0", th.rho(p.data, T.data))
+    rho0 = state.get("rho0", _rho_of(p.data, T.data))
     U0 = state.get("U0", U.data)
     T0 = state.get("T0", T.data)
     p0 = state.get("p0", p.data)
@@ -119,8 +135,8 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
         final_outer = outer == n_outer - 1
         relax_now = cfg.steady or not final_outer
 
-        rho = jnp.maximum(th.rho(p.data, T.data), cfg.rho_min)
-        psi = th.psi(T.data)
+        rho = jnp.maximum(_rho_of(p.data, T.data), cfg.rho_min)
+        psi = _psi_of(T.data)
         mu = th.mu_T(T.data) if th.sutherland_As > 0 else \
             jnp.full(mesh.n_cells, th.mu, mesh.v.dtype)
         nut = (cfg.turb.nut(mesh, new_turb) if cfg.turb is not None
@@ -197,7 +213,7 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
                                     phi_slot.fb * K_slot.fb,
                                     phi_slot.bv * Kb)) / mesh.v
         dpdt = jnp.zeros_like(K) if cfg.steady else (p.data - p0) * rdt
-        cp_c = th.Cp_of(T.data)   # janaf: Cp(T) field; hConst: scalar
+        cp_c = _cp_of(T.data)   # janaf: Cp(T) field; hConst: scalar
         TEqn = TEqn.add_source((dpdt - dKdt - div_phiK) / cp_c, mesh)
         if relax_now and cfg.alpha_e < 1.0:
             TEqn = TEqn.relax(mesh, cfg.alpha_e, T.data)
@@ -209,8 +225,8 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
             tperf = linear.SolverPerf(jnp.zeros(()), jnp.zeros(()),
                                       jnp.zeros((), jnp.int32))
         diag["T"] = tperf
-        psi = th.psi(T.data)
-        rho = jnp.maximum(th.rho(p.data, T.data), cfg.rho_min)
+        psi = _psi_of(T.data)
+        rho = jnp.maximum(_rho_of(p.data, T.data), cfg.rho_min)
         rho_slot = slot_mod.interpolate(mesh, rho,
                                         bv=surface.owner_to_b(mesh, rho))
 
@@ -385,7 +401,7 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
             U = U.correct_boundary_conditions(mesh)
         p = p.with_data(p_w.data + p_op)
         phi = slot_mod.to_flat(mesh, phi_slot)
-        rho = jnp.maximum(th.rho(p.data, T.data), cfg.rho_min)
+        rho = jnp.maximum(_rho_of(p.data, T.data), cfg.rho_min)
         # waveTransmissive/advective outlets: characteristic update of
         # the outlet p/T/U values from the VOLUMETRIC flux, local sound
         # speed and dt (no-op for other BC kinds)
@@ -416,7 +432,7 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
 
     # diagnostics
     div_phi = slot_mod.surface_sum(mesh, phi_slot)
-    rho_new = jnp.maximum(th.rho(p.data, T.data), cfg.rho_min)
+    rho_new = jnp.maximum(_rho_of(p.data, T.data), cfg.rho_min)
     cont = (jnp.zeros_like(rho_new) if cfg.steady
             else (rho_new - rho0) * rdt) + div_phi / mesh.v
     diag["continuity"] = jnp.sum(jnp.abs(cont) * mesh.v) / jnp.sum(mesh.v)

@@ -99,3 +99,35 @@ def test_adiabatic_reactor_heat_release():
     # mass conserved in the closed box
     m1 = float((np.asarray(state["rho0"]) * v).sum())
     assert abs(m1 - m0) / m0 < 5e-3
+
+
+def test_reacting_mixture_thermo():
+    """reactingMixture mode: the mixture gas constant and Cp respond
+    to composition — converting a light species into a heavy one at
+    constant rho and T lowers p = rho R(Y) T (reference:
+    hePsiThermo<reactingMixture>)."""
+    import numpy as np
+
+    from foamtpu.solvers import reacting
+
+    # two species: H2-like (W=2) and a heavy product (W=34)
+    W = np.array([2.016, 34.0])
+    # flat janaf: Cp/R = a0 constant (a0_light=3.5, a0_heavy=4.0)
+    lo = np.array([[3.5, 0, 0, 0, 0, 0, 0],
+                   [4.0, 0, 0, 0, 0, 0, 0]], float)
+    cfg = reacting.ReactingConfig(
+        flow=None, chem=None, W=W, cp_lo=lo, cp_hi=lo,
+        t_common=np.array([1000.0, 1000.0]))
+    Y_light = jnp.asarray([[1.0, 0.0]])
+    Y_heavy = jnp.asarray([[0.0, 1.0]])
+    T = jnp.asarray([300.0])
+    R_l, cp_l = cfg.mixture_RCp(Y_light, T)
+    R_h, cp_h = cfg.mixture_RCp(Y_heavy, T)
+    assert abs(float(R_l[0]) - 8314.47 / 2.016) < 1.0
+    assert abs(float(R_h[0]) - 8314.47 / 34.0) < 1.0
+    assert abs(float(cp_l[0]) - 3.5 * 8314.47 / 2.016) < 5.0
+    assert abs(float(cp_h[0]) - 4.0 * 8314.47 / 34.0) < 5.0
+    # 50/50 mixture interpolates by mass fraction
+    R_m, cp_m = cfg.mixture_RCp(jnp.asarray([[0.5, 0.5]]), T)
+    assert abs(float(R_m[0])
+               - 8314.47 * (0.5 / 2.016 + 0.5 / 34.0)) < 1.0
