@@ -532,8 +532,9 @@ def split_mesh_regions_cmd(argv) -> int:
 
 
 def snappy_hex_mesh(argv) -> int:
-    """snappyHexMesh (castellated stage only — see mesh/snappy.py):
-    carve the existing constant/polyMesh against the STL geometry in
+    """snappyHexMesh (castellate + refine + snap + addLayers — see
+    mesh/snappy.py + mesh/layers.py): carve the existing
+    constant/polyMesh against the STL geometry in
     system/snappyHexMeshDict."""
     args = _case_arg(argv)
     from ..core.dictionary import parse_file
@@ -546,7 +547,7 @@ def snappy_hex_mesh(argv) -> int:
                                 "snappyHexMeshDict"))
     out = snappy.from_dict(args.case, d, pm)
     mesh_io.write(out, mdir)
-    print(f"snappyHexMesh (castellated): {pm.n_cells} -> "
+    print(f"snappyHexMesh: {pm.n_cells} -> "
           f"{out.n_cells} cells, patches "
           f"{[pt.name for pt in out.patches]}")
     return 0

@@ -289,7 +289,8 @@ def _background_box(pm: PolyMesh):
 
 def from_dict(case_dir: str, d, pm: PolyMesh) -> PolyMesh:
     """system/snappyHexMeshDict -> castellate (+ octree refinement on
-    uniform box backgrounds) (+ snap when `snap true;`). Reads the
+    uniform box backgrounds) (+ snap when `snap true;`) (+ boundary
+    layers when `addLayers true;` via addLayersControls). Reads the
     first triSurfaceMesh entry in geometry{} from
     constant/triSurface/."""
     geom = d.get("geometry")
@@ -339,6 +340,25 @@ def from_dict(case_dir: str, d, pm: PolyMesh) -> PolyMesh:
         sc = d.get("snapControls", {})
         n_iter = int(sc.get("nSolveIter", 5)) if hasattr(sc, "get") else 5
         out = snap(out, tris, body_patch=body, n_iter=min(n_iter, 10))
+
+    # LAYER stage (reference: autoLayerDriver; mesh/layers.py)
+    do_layers = str(d.get("addLayers", "false")).lower() in (
+        "true", "yes", "on", "1")
+    if do_layers:
+        from . import layers as layers_mod
+
+        lc = d.get("addLayersControls", {})
+        n_l, exp, rel = 3, 1.2, 0.3
+        if hasattr(lc, "get"):
+            exp = float(lc.get("expansionRatio", 1.2))
+            rel = float(lc.get("finalLayerThickness", 0.3))
+            lay = lc.get("layers", {})
+            if hasattr(lay, "items"):
+                for lname, lspec in lay.items():
+                    if hasattr(lspec, "get"):
+                        n_l = int(lspec.get("nSurfaceLayers", 3))
+        out = layers_mod.add_layers(out, body, n_layers=n_l,
+                                    expansion=exp, rel_total=rel)
     return out
 
 
