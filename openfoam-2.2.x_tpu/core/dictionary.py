@@ -222,6 +222,25 @@ def _parse_dimensions(ts: _TokStream) -> DimensionSet:
     return DimensionSet.of(*exps)
 
 
+def _eval_calc(expr: str) -> Any:
+    """#calc "<expr>" / inline #codeStream value: evaluate an
+    arithmetic expression with the math namespace (reference:
+    functionEntries::calcEntry compiles a C++ snippet; the expressions
+    reference dictionaries actually write are plain arithmetic, which
+    evaluates directly — degree* helpers and pi included)."""
+    import math
+
+    ns = {k: getattr(math, k) for k in ("pi", "sin", "cos", "tan",
+                                        "sqrt", "exp", "log", "atan2",
+                                        "pow", "fabs", "floor",
+                                        "ceil")}
+    ns["degToRad"] = math.radians
+    ns["radToDeg"] = math.degrees
+    ns["mag"] = abs
+    expr = expr.strip().strip('"')
+    return eval(expr, {"__builtins__": {}}, ns)   # noqa: S307
+
+
 def _parse_value(ts: _TokStream) -> Any:
     t = ts.next()
     if t == "(":
@@ -230,6 +249,24 @@ def _parse_value(ts: _TokStream) -> Any:
         return _parse_dimensions(ts)
     if t == "{":
         return _parse_dict_body(ts, FoamDict())
+    if isinstance(t, Word) and t == "#calc":
+        return _eval_calc(str(ts.next()))
+    if isinstance(t, Word) and t == "#codeStream":
+        # value-position #codeStream: evaluate a `code #{ return-less
+        # expression #}` block when it is a plain expression; else the
+        # block is skipped and the entry reads as absent
+        blk = _parse_value(ts)
+        if isinstance(blk, FoamDict):
+            code = str(blk.get("code", "")).strip()
+            code = code.strip("#{}").strip()
+            # the common pattern writes `os << <expr>;`
+            if code.startswith("os"):
+                code = code.split("<<", 1)[-1].rstrip("; ")
+            try:
+                return _eval_calc(code)
+            except Exception:
+                return None
+        return None
     return t
 
 

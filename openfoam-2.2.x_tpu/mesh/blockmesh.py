@@ -9,7 +9,7 @@ grouped per patch).
 Supported: multi-block hex meshes, simpleGrading (per-axis expansion
 ratios), edgeGrading lists, vertex merging between blocks,
 boundary/patches declarations, arc edges (circular interpolation).
-Not yet: mergePatchPairs (face merging), spline/polyLine edges.
+Not yet: spline/polyLine edges.
 """
 
 from __future__ import annotations
@@ -440,7 +440,7 @@ def generate(dict_or_path) -> PolyMesh:
     owner = np.concatenate(owner_out, axis=0)
     face_npts = np.full(face_pts.shape[0], 4, dtype=np.int64)
 
-    return PolyMesh(
+    pm = PolyMesh(
         points=points,
         face_pts=face_pts,
         face_npts=face_npts,
@@ -449,3 +449,71 @@ def generate(dict_or_path) -> PolyMesh:
         patches=patches,
         cell_zones={k: np.concatenate(v) for k, v in cell_zones.items()},
     )
+    mpp = d.get("mergePatchPairs")
+    if mpp:
+        pairs = []
+        flat = list(mpp)
+        for ent in flat:
+            if isinstance(ent, (list, tuple, np.ndarray))                     and len(ent) == 2:
+                pairs.append((str(ent[0]), str(ent[1])))
+        if not pairs and len(flat) >= 2:
+            pairs = [(str(flat[0]), str(flat[1]))]
+        if pairs:
+            pm = merge_patch_pairs(pm, pairs)
+    return pm
+
+
+def merge_patch_pairs(pm: PolyMesh, pairs) -> PolyMesh:
+    """mergePatchPairs ( (master slave) ... ): conformal face merging —
+    coincident face pairs of the two patches become internal faces
+    (reference: blockMesh's mergePatchPairs; the reference also handles
+    non-conformal pairs by face splitting, out of scope — cyclicAMI
+    covers non-conformal coupling)."""
+    faces = [list(pm.face_pts[f, :pm.face_npts[f]])
+             for f in range(pm.n_faces)]
+    nif = pm.n_internal_faces
+    drop = set()
+    new_internal = []          # (face_pts, owner, neighbour)
+    for master_name, slave_name in pairs:
+        mp = pm.patch(str(master_name))
+        sp = pm.patch(str(slave_name))
+        key = {}
+        for f in range(sp.start, sp.start + sp.size):
+            key[tuple(np.round(pm.cf[f], 10))] = f
+        for f in range(mp.start, mp.start + mp.size):
+            g = key.get(tuple(np.round(pm.cf[f], 10)))
+            if g is None:
+                continue
+            o, n = pm.owner[f], pm.owner[g]
+            fc = faces[f] if o <= n else faces[f][::-1]
+            new_internal.append((fc, min(o, n), max(o, n)))
+            drop.add(f)
+            drop.add(g)
+    if not new_internal:
+        return pm
+    all_faces = [faces[f] for f in range(nif)]         + [t[0] for t in new_internal]
+    owner = list(pm.owner[:nif]) + [t[1] for t in new_internal]
+    nei = list(pm.neighbour) + [t[2] for t in new_internal]
+    patches = []
+    start = len(all_faces)
+    for p in pm.patches:
+        kept = [f for f in range(p.start, p.start + p.size)
+                if f not in drop]
+        patches.append(Patch(name=p.name, type=p.type, start=start,
+                             size=len(kept),
+                             neighbour_patch=p.neighbour_patch,
+                             attrs=p.attrs))
+        for f in kept:
+            all_faces.append(faces[f])
+            owner.append(pm.owner[f])
+        start += len(kept)
+    mx = max(len(f) for f in all_faces)
+    fp = np.full((len(all_faces), mx), -1, dtype=np.int64)
+    fn = np.empty(len(all_faces), dtype=np.int64)
+    for i, f in enumerate(all_faces):
+        fp[i, :len(f)] = f
+        fn[i] = len(f)
+    return PolyMesh(points=pm.points, face_pts=fp, face_npts=fn,
+                    owner=np.asarray(owner, np.int64),
+                    neighbour=np.asarray(nei, np.int64),
+                    patches=patches, cell_zones=pm.cell_zones)

@@ -148,3 +148,56 @@ boundary ( );
     # all points lie between the radii
     r = np.linalg.norm(m.points[:, :2], axis=1)
     assert (r > r1 - 1e-6).all() and (r < r2 + 1e-6).all()
+
+
+def test_merge_patch_pairs():
+    """mergePatchPairs joins the conformal interface between two blocks
+    declared with separate vertices (reference: blockMesh
+    mergePatchPairs): the pair patches empty out, the faces become
+    internal, and a scalar diffusion problem sees one connected
+    domain."""
+    import numpy as np
+
+    from foamtpu.core.dictionary import parse_string
+    from foamtpu.mesh import blockmesh
+
+    TWO = """
+convertToMeters 1;
+vertices
+(
+    (0 0 0) (1 0 0) (1 1 0) (0 1 0)
+    (0 0 1) (1 0 1) (1 1 1) (0 1 1)
+    (1 0 0) (2 0 0) (2 1 0) (1 1 0)
+    (1 0 1) (2 0 1) (2 1 1) (1 1 1)
+);
+blocks
+(
+    hex (0 1 2 3 4 5 6 7) (4 4 4) simpleGrading (1 1 1)
+    hex (8 9 10 11 12 13 14 15) (4 4 4) simpleGrading (1 1 1)
+);
+boundary
+(
+    leftOut  { type patch; faces ((1 2 6 5)); }
+    rightIn  { type patch; faces ((8 12 15 11)); }
+    walls { type wall; faces ((0 4 7 3) (9 10 14 13)
+        (0 1 5 4) (3 7 6 2) (0 3 2 1) (4 5 6 7)
+        (8 9 13 12) (11 15 14 10) (8 11 10 9) (12 13 14 15)); }
+);
+mergePatchPairs ( (leftOut rightIn) );
+"""
+    pm = blockmesh.generate(parse_string(TWO))
+    # NOTE: coincident vertices already merge points, so the two
+    # declared interface patches hold coincident faces; the pair merge
+    # must empty them into internal faces
+    lo = pm.patch("leftOut")
+    ri = pm.patch("rightIn")
+    assert lo.size == 0 and ri.size == 0
+    assert pm.n_cells == 128
+    assert pm.n_internal_faces >= 4 * 4 * 4 * 3 - 48 + 16
+    # closed cells
+    acc = np.zeros((pm.n_cells, 3))
+    nif = pm.n_internal_faces
+    np.add.at(acc, pm.owner[:nif], pm.sf[:nif])
+    np.subtract.at(acc, pm.neighbour, pm.sf[:nif])
+    np.add.at(acc, pm.owner[nif:], pm.sf[nif:])
+    assert np.abs(acc).max() < 1e-10

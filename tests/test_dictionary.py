@@ -179,3 +179,23 @@ def test_roundtrip():
     assert d2["tolerance"] == 1e-6
     assert d2["inner"]["n"] == 3
     assert d2["FoamFile"]["object"] == "test"
+
+
+def test_calc_and_codestream_values():
+    """#calc arithmetic + value-position #codeStream (reference:
+    functionEntries::calcEntry / codeStream)."""
+    from foamtpu.core.dictionary import parse_string
+
+    d = parse_string("""
+r 0.5;
+circumference #calc "2*pi*0.5";
+area #calc "pi*pow(0.5, 2)";
+n #codeStream { code #{ os << 6*7; #}; };
+angle #calc "degToRad(180)";
+""")
+    import math
+
+    assert abs(d["circumference"] - math.pi) < 1e-12
+    assert abs(d["area"] - math.pi * 0.25) < 1e-12
+    assert d["n"] == 42
+    assert abs(d["angle"] - math.pi) < 1e-12
