@@ -1839,7 +1839,7 @@ def adjoint_shape_optimization_foam(case,
 
 def _reacting_parcel_run(case, max_steps: Optional[int], coal=False,
                          spray=False, porous=False,
-                         film=False) -> None:
+                         film=False, lts=False) -> None:
     """Shared driver for the reacting-parcel solver family (reference:
     applications/solvers/lagrangian/{reactingParcelFoam,
     porousExplicitSourceReactingParcelFoam,coalChemistryFoam,
@@ -1939,7 +1939,32 @@ def _reacting_parcel_run(case, max_steps: Optional[int], coal=False,
             "sprayFoam" if spray else
             "porousExplicitSourceReactingParcelFoam" if porous else
             "reactingParcelFilmFoam" if film else
+            "LTSReactingParcelFoam" if lts else
             "reactingParcelFoam")
+
+    # LTS (reference: LTSReactingParcelFoam's fv::localEulerDdt): the
+    # carrier and species equations advance on a per-cell pseudo-time
+    # from the local Courant limit; parcels keep the global deltaT
+    lts_max_co = float(case.control_dict.get("maxCo", 0.5))
+    lts_max_dt = float(case.control_dict.get("maxDeltaT", 1.0))
+
+    def _lts_rdt(st, rdt_old):
+        from ..ops import slot as slot_mod
+
+        rho_c = jnp.maximum(th.rho(st["p"].data, st["T"].data), 0.01)
+        sum_phi = jnp.sum(jnp.abs(st["phi"])[mesh.cface]
+                          * jnp.abs(mesh.csign), axis=1)
+        rdt = jnp.maximum(sum_phi / (2.0 * lts_max_co * rho_c
+                                     * mesh.v), 1.0 / lts_max_dt)
+        for _ in range(3):
+            nb = slot_mod.nbr_values(mesh, rdt)
+            nb = jnp.where(mesh.st_valid > 0, nb, 0.0)
+            rdt = jnp.maximum(rdt, 0.7 * jnp.max(nb, axis=1))
+        if rdt_old is not None:
+            rdt = jnp.maximum(rdt, rdt_old / 1.2)
+        return rdt
+
+    lts_rdt_fn = jax.jit(_lts_rdt)
 
     # ---- surface film (reactingParcelFilmFoam: parcels impinging on
     # film patches deposit their mass; reference: the
@@ -2042,6 +2067,9 @@ def _reacting_parcel_run(case, max_steps: Optional[int], coal=False,
     diag = {}
     for t in case.time.loop():
         dt = jnp.asarray(t.current_dt, mesh.v.dtype)
+        if lts:
+            state["lts_rdt"] = lts_rdt_fn(state,
+                                          state.get("lts_rdt"))
         state, diag = flow_step(state, dt)
         (cloud, coal_state, carry, counter, vap, T_new,
          U_new, dep_mass_c) = cloud_step_j(cloud, coal_state, state,
@@ -2082,6 +2110,10 @@ def reacting_parcel_foam(case, max_steps: Optional[int] = None):
 
 def porous_reacting_parcel_foam(case, max_steps: Optional[int] = None):
     _reacting_parcel_run(case, max_steps, porous=True)
+
+
+def lts_reacting_parcel_foam(case, max_steps: Optional[int] = None):
+    _reacting_parcel_run(case, max_steps, lts=True)
 
 
 def coal_chemistry_foam(case, max_steps: Optional[int] = None):
@@ -2458,6 +2490,51 @@ def cold_engine_foam(case, max_steps: Optional[int] = None) -> None:
 
 def engine_foam(case, max_steps: Optional[int] = None) -> None:
     _engine_foam(case, max_steps, combustion=True)
+
+
+def sonic_dym_foam(case, max_steps: Optional[int] = None) -> None:
+    """sonicDyMFoam (reference: applications/solvers/compressible/
+    sonicFoam/sonicDyMFoam/): transonic pressure-based compressible
+    flow on a solid-body moving mesh — the ALE engine solver
+    (solvers/engine.py) with the transonic div(phid,p) pressure
+    equation and motion from constant/dynamicMeshDict."""
+    import jax.numpy as jnp
+
+    from ..models import thermo as thermo_mod
+    from . import engine as engine_solver
+
+    mesh = case.mesh
+    th = thermo_mod.from_dict(
+        case.properties("thermophysicalProperties"))
+    pts_fn, umesh_fn = _dym_motion(case)
+    cdict = case.pimple_controls("PIMPLE")
+    U = case.read_field("U")
+    p = case.read_field("p")
+    T = case.read_field("T")
+    cfg = engine_solver.EngineConfig(
+        thermo=th, pts_fn=pts_fn, umesh_fn=umesh_fn, s_per_cad=1.0,
+        n_correctors=int(cdict.get("nCorrectors", 2)),
+        p_ref_value=float(np.asarray(p.data).mean()),
+        transonic=True,
+        p_controls=case.solver_controls("p"),
+        u_controls=case.solver_controls("U"))
+    state = engine_solver.initial_state(case.poly_mesh, mesh, U, p, T,
+                                        th, cfg)
+    step = engine_solver.make_step(mesh, cfg)
+    log.info("Starting loop: sonicDyMFoam\n")
+    for t in case.time.loop():
+        state, diag = step(state, jnp.asarray(t.current_dt,
+                                              mesh.v.dtype))
+        log.info(f"Time = {t.name}\np_mean = "
+                 f"{float(diag['p_mean']):.6g}  T_mean = "
+                 f"{float(diag['T_mean']):.6g}\n")
+        if t.write_time():
+            case.write_fields([state["U"], state["p"], state["T"]])
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.write_fields([state["U"], state["p"], state["T"]])
+    case.final_state = {"state": state, "diag": diag}
+    log.info("End\n")
 
 
 def dsmc_foam(case, max_steps: Optional[int] = None) -> None:
@@ -3987,6 +4064,8 @@ case_mod.register_application("interMixingFoam", inter_mixing_foam)
 case_mod.register_application("settlingFoam", settling_foam)
 case_mod.register_application("reactingParcelFoam",
                               reacting_parcel_foam)
+case_mod.register_application("LTSReactingParcelFoam",
+                              lts_reacting_parcel_foam)
 case_mod.register_application("porousExplicitSourceReactingParcelFoam",
                               porous_reacting_parcel_foam)
 case_mod.register_application("coalChemistryFoam", coal_chemistry_foam)
@@ -3998,6 +4077,7 @@ case_mod.register_application("adjointShapeOptimizationFoam",
 case_mod.register_application("potentialFreeSurfaceFoam",
                               potential_free_surface_foam)
 case_mod.register_application("engineFoam", engine_foam)
+case_mod.register_application("sonicDyMFoam", sonic_dym_foam)
 case_mod.register_application("coldEngineFoam", cold_engine_foam)
 case_mod.register_application("dsmcFoam", dsmc_foam)
 case_mod.register_application("mdFoam", md_foam)

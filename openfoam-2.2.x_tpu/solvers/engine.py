@@ -54,6 +54,8 @@ class EngineConfig(NamedTuple):
     p_ref_value: float = 1e5
     p_min: float = 1e3
     rho_min: float = 0.01
+    # sonicDyMFoam: implicit div(phid, p) convective mass flux
+    transonic: bool = False
     # combustion (engineFoam; Su0 <= 0 disables -> coldEngineFoam)
     Su0: float = 0.0
     Xi: float = 2.0              # fixed wrinkling (no turbulence model)
@@ -83,6 +85,13 @@ def engine_step(mesh, state: Dict, dt_cad: Any, cfg: EngineConfig
                                 "preconditioner": "polynomial",
                                 "tolerance": 1e-8, "relTol": 0.01,
                                 "maxIter": 1000}
+    if cfg.transonic:
+        # the implicit div(phid,p) makes the matrix asymmetric
+        p_ctrl = dict(p_ctrl)
+        if str(p_ctrl.get("solver", "PCG")) in ("PCG", "GAMG"):
+            p_ctrl["solver"] = "PBiCGStab"
+            p_ctrl.setdefault("preconditioner", "polynomial")
+        p_ctrl.pop("_prep", None)
     u_ctrl = cfg.u_controls or {"solver": "PBiCGStab",
                                 "tolerance": 1e-7, "relTol": 0.1,
                                 "maxIter": 300}
@@ -195,6 +204,26 @@ def engine_step(mesh, state: Dict, dt_cad: Any, cfg: EngineConfig
                         - mesh_t.v * psi * p_lin))
         pEqn = pEqn0.replace_fields(diag=pEqn0.diag - ddt_diag,
                                     source=src)
+        if cfg.transonic:
+            # sonicDyMFoam: the convective mass flux is implicit as
+            # div(phid, p), phid = psi_f (HbyA_rel . Sf) (reference:
+            # sonicDyMFoam pEqn.H transonic branch on the RELATIVE
+            # flux); the explicit div(phiHbyA) leaves the source and
+            # the p_op shift moves to the RHS
+            psi_b = surface.owner_to_b(mesh_t, psi)
+            psi_slot = slot_mod.interpolate(mesh_t, psi, bv=psi_b)
+            phid = slot_mod.SlotFace(
+                psi_slot.sv * hba_rel.sv, psi_slot.fb * hba_rel.fb,
+                psi_b * hba_rel.bv)
+            wp = schemes_mod.weights_slot(mesh_t, phid, "upwind", p_w)
+            conv = fvm.div(mesh_t, slot_mod.to_flat(mesh_t, phid),
+                           p_w, phi_slot=phid, slot_weights=wp,
+                           phi_dims=pEqn0.dims / p_w.dims)
+            pEqn = (pEqn - conv).replace_fields(
+                source=pEqn.source - conv.source
+                + cfg.p_ref_value * slot_mod.surface_sum(mesh_t, phid)
+                - slot_mod.surface_sum(mesh_t, phiHbyA),
+                symmetric=False)
         pdata, pperf = linear.solve(mesh_t, pEqn, p_w.data, p_ctrl_p)
         p_w = p_w.with_data(jnp.maximum(pdata, cfg.p_min - p_op))
         if corr == 0:
@@ -205,9 +234,28 @@ def engine_step(mesh, state: Dict, dt_cad: Any, cfg: EngineConfig
                                     corrected=False, corr=None)
         p_bcl = surface.owner_to_b(mesh_t, p_w.data)
         F_b = pEqn0.ic * p_bcl - pEqn0.bc
-        phi_slot = slot_mod.SlotFace(phiHbyA.sv - F.sv,
-                                     phiHbyA.fb - F.fb,
-                                     phiHbyA.bv - F_b)
+        if cfg.transonic:
+            # mass flux carried by the implicit convection
+            nbp = slot_mod.nbr_values(mesh_t, p_w.data)
+            p_up = (wp[0] * p_w.data[:, None] + (1.0 - wp[0]) * nbp
+                    + cfg.p_ref_value)
+            conv_sv = phid.sv * p_up
+            if mesh_t.fb_cells.shape[0]:
+                pfb = (wp[1] * p_w.data[mesh_t.fb_cells]
+                       + (1.0 - wp[1]) * p_w.data[mesh_t.fb_nbrs]
+                       + cfg.p_ref_value)
+                conv_fb = phid.fb * pfb
+            else:
+                conv_fb = phid.fb
+            conv_bv = phid.bv * (p_w.boundary_values(mesh_t)
+                                 + cfg.p_ref_value)
+            phi_slot = slot_mod.SlotFace(conv_sv - F.sv,
+                                         conv_fb - F.fb,
+                                         conv_bv - F_b)
+        else:
+            phi_slot = slot_mod.SlotFace(phiHbyA.sv - F.sv,
+                                         phiHbyA.fb - F.fb,
+                                         phiHbyA.bv - F_b)
         grad_p = fvc.grad_of(mesh_t, p_w, "Gauss linear")
         U = U.with_data(HbyA - rA[:, None] * grad_p)
         U = U.correct_boundary_conditions(mesh_t)

@@ -98,6 +98,12 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
     T: VolField = state["T"]
     phi = state["phi"]            # MASS flux
 
+    # localEuler (LTS) pseudo-time: a per-cell 1/dt carried in the
+    # state overrides the global step (reference: the
+    # fv::localEulerDdtScheme used by LTSReactingParcelFoam); every
+    # rdt use below broadcasts elementwise over cells
+    lts_rdt = state.get("lts_rdt")
+
     # composition-dependent gas properties (reactingFoam's
     # hePsiThermo<reactingMixture>): the species solver stores the
     # mixture gas constant / heat capacity per cell in the state and
@@ -114,7 +120,7 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
     def _cp_of(Td):
         return cp_mix if cp_mix is not None else th.Cp_of(Td)
     nif = mesh.n_internal_faces
-    rdt = 1.0 / dt
+    rdt = lts_rdt if lts_rdt is not None else 1.0 / dt
     diag: Dict[str, Any] = {}
     new_turb = state.get("turb")
 

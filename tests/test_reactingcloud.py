@@ -339,3 +339,25 @@ nu nu [0 2 -1 0 0 0 0] 1e-6;
     film_mass = float((np.asarray(film["delta"]) * 1000.0).sum())
     assert n_act < 32, "no parcels were absorbed"
     assert film_mass > 0.0, "absorbed parcels did not feed the film"
+
+
+def test_lts_reacting_parcel_case(tmp_path):
+    """LTSReactingParcelFoam: per-cell pseudo-time carrier runs stably
+    with parcels on the global dt; fields stay finite and the per-cell
+    rdt field varies with the local flow."""
+    case = _mk_parcel_case(tmp_path, "LTSReactingParcelFoam", extra={
+        "constant/reactingCloud1Properties": """
+constantProperties { rho0 1000; d0 5e-5; T0 300; Cp0 4187; Lvap 2.26e6; }
+Kevap 1e-8;
+"""})
+    import foamtpu.solvers.apps  # noqa: F401
+    import foamtpu.core.case as case_mod
+    from foamtpu.core.case import Case
+
+    c = Case(case)
+    case_mod._APPLICATIONS["LTSReactingParcelFoam"](c, max_steps=5)
+    st = c.final_state["state"]
+    assert np.isfinite(np.asarray(st["T"].data)).all()
+    assert "lts_rdt" in st
+    assert np.isfinite(np.asarray(st["lts_rdt"])).all()
+    assert int(c.final_state["cloud"].n_active) > 0
