@@ -3080,7 +3080,8 @@ def multiphase_inter_foam(case, max_steps: Optional[int] = None) -> None:
         corrected=case.laplacian_corrected(),
         p_controls=case.solver_controls("p_rgh")
         if _has_solver(case, "p_rgh") else case.solver_controls("p"),
-        u_controls=case.solver_controls("U"))
+        u_controls=case.solver_controls("U"),
+        mrf=_load_mrf(case))
     U = case.read_field("U")
     p_rgh = case.read_field("p_rgh")
     state = mpi_mod.initial_state(mesh, U, p_rgh, alphas, cfg)
@@ -4055,6 +4056,8 @@ case_mod.register_application("compressibleInterFoam",
 case_mod.register_application("twoPhaseEulerFoam", two_phase_euler_foam)
 case_mod.register_application("twoLiquidMixingFoam",
                               two_liquid_mixing_foam)
+case_mod.register_application("MRFMultiphaseInterFoam",
+                              multiphase_inter_foam)
 case_mod.register_application("multiphaseInterFoam",
                               multiphase_inter_foam)
 case_mod.register_application("bubbleFoam", two_phase_euler_foam)

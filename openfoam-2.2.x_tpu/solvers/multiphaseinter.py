@@ -42,6 +42,9 @@ class MultiphaseConfig(NamedTuple):
     p_ref_value: float = 0.0
     p_controls: Dict = None
     u_controls: Dict = None
+    # MRFMultiphaseInterFoam (reference: the multiphaseInterFoam MRF
+    # variant): rotating zones from constant/MRFZones
+    mrf: Any = None
 
 
 def mixture(cfg: MultiphaseConfig, alphas: Any):
@@ -140,6 +143,8 @@ def multiphase_step(mesh, state: Dict, dt: Any, cfg: MultiphaseConfig
                       phi_dims=DimensionSet.of(1, 0, -1))
             - fvm.laplacian(mesh, mu_f, U, corrected=cfg.corrected,
                             gamma_dims=dimViscosity * dimDensity))
+    if cfg.mrf:
+        UEqn = cfg.mrf.add_coriolis(mesh, UEqn, U, rho=rho)
     from ..bc.patchfields import default_bcs
 
     sng_rho = fvc.sn_grad(mesh, VolField(
@@ -164,6 +169,8 @@ def multiphase_step(mesh, state: Dict, dt: Any, cfg: MultiphaseConfig
             * mesh.face_active[:nif]
         phiHbyA = jnp.concatenate(
             [phiHbyA_i, boundary_flux(mesh, U)], axis=0)
+        if cfg.mrf:
+            phiHbyA = cfg.mrf.make_relative_flat(mesh, phiHbyA)
         phig = rAf * (st_flux + buoy_flux)
         phiHbyA = phiHbyA + phig
         for nonorth in range(cfg.n_non_orth + 1):
