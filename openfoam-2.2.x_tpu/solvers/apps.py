@@ -1414,6 +1414,57 @@ def rhocentralfoam_app(case, max_steps: Optional[int] = None) -> None:
     log.info("End\n")
 
 
+def rhocentral_dym_foam(case, max_steps: Optional[int] = None) -> None:
+    """rhoCentralDyMFoam (reference: applications/solvers/compressible/
+    rhoCentralFoam/rhoCentralDyMFoam/): the KNP step on a solid-body
+    moving mesh from constant/dynamicMeshDict (relative convection,
+    absolute pressure work; volume-preserving motions — documented in
+    solvers/rhocentral.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..bc.patchfields import default_bcs
+    from ..core.dimensions import DimensionSet
+    from ..core.fields import VolField
+    from ..mesh import moving
+    from ..models import thermo as thermo_mod
+    from . import rhocentral as rc_mod
+
+    mesh = case.mesh
+    th = thermo_mod.from_dict(
+        case.properties("thermophysicalProperties"))
+    U = case.read_field("U")
+    T = case.read_field("T")
+    p_f = case.read_field("p")
+    rho = VolField(data=th.rho(p_f.data, T.data),
+                   bcs=default_bcs(mesh, 0), name="rho",
+                   dims=DimensionSet.of(1, -3, 0))
+    scheme = str(case.fv_schemes.get("fluxScheme", "Kurganov"))
+    cfg = rc_mod.RhoCentralConfig(thermo=th, flux_scheme=scheme)
+    pts_fn, umesh_fn = _dym_motion(case)
+    pm = case.poly_mesh
+    state = rc_mod.initial_state(mesh, rho, U, T, cfg)
+    state["topo"] = moving.topo_from_poly(pm, mesh.v.dtype)
+    state["points0"] = jnp.asarray(pm.points, mesh.v.dtype)
+    state["t"] = jnp.zeros((), mesh.v.dtype)
+    step = jax.jit(lambda s, d: rc_mod.rhocentraldym_step(
+        mesh, s, d, cfg, pts_fn, umesh_fn))
+    log.info(f"Starting time loop: rhoCentralDyMFoam, "
+             f"{mesh.n_cells} cells\n")
+    for t in case.time.loop():
+        state, diag = step(state, jnp.asarray(t.current_dt,
+                                              mesh.v.dtype))
+        log.info(f"Time = {t.name}  Courant = "
+                 f"{float(diag['courant_max']):.4g}\n")
+        if t.write_time():
+            case.write_fields([state["U"], state["T"], state["rho"]])
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.write_fields([state["U"], state["T"], state["rho"]])
+    case.final_state = state
+    log.info("End\n")
+
+
 def _load_radiation(case):
     """constant/radiationProperties -> P1Config | FvDOMConfig | None
     (reference: radiationModel::New)."""
@@ -3993,6 +4044,8 @@ case_mod.register_application(
     lambda case, max_steps=None: interfoam_app(case, max_steps,
                                                dym=True))
 case_mod.register_application("rhoCentralFoam", rhocentralfoam_app)
+case_mod.register_application("rhoCentralDyMFoam",
+                              rhocentral_dym_foam)
 case_mod.register_application("pisoFoam", pisofoam)
 case_mod.register_application("pimpleFoam", pimplefoam)
 case_mod.register_application("simpleFoam", simplefoam)

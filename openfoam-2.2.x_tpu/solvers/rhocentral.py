@@ -64,9 +64,14 @@ def _side_values(mesh, q: Any, grad_q: Optional[Any]):
 def knp_fluxes(mesh, cfg: RhoCentralConfig,
                rho: Any, U: Any, T: Any,
                rho_b: Any, U_b: Any, T_b: Any,
-               second_order: bool) -> Tuple[Any, Any, Any, Any]:
+               second_order: bool,
+               mesh_un: Any = None) -> Tuple[Any, Any, Any, Any]:
     """Central-upwind face fluxes (mass, momentum, energy) on all
-    faces + amaxSf for the acoustic Courant number."""
+    faces + amaxSf for the acoustic Courant number. mesh_un: face
+    mesh-motion normal velocity [nF] — convection and wave speeds go
+    RELATIVE while the pressure work keeps the absolute face velocity
+    (reference: rhoCentralDyMFoam's fvc::makeRelative on phiv with
+    mesh.phi() folded into the energy flux)."""
     th = cfg.thermo
     nif = mesh.n_internal_faces
     sf = mesh.sf * mesh.face_active[:, None]
@@ -102,6 +107,9 @@ def knp_fluxes(mesh, cfg: RhoCentralConfig,
     c_m = th.c(T_m)
     un_p = jnp.sum(U_p * nhat, axis=1)
     un_m = jnp.sum(U_m * nhat, axis=1)
+    if mesh_un is not None:
+        un_p = un_p - mesh_un
+        un_m = un_m - mesh_un
 
     a_pos = jnp.maximum(jnp.maximum(un_p + c_p, un_m + c_m), 0.0)
     a_neg = jnp.minimum(jnp.minimum(un_p - c_p, un_m - c_m), 0.0)
@@ -131,14 +139,24 @@ def knp_fluxes(mesh, cfg: RhoCentralConfig,
     mom = (knp(rho_p[:, None] * U_p, rho_m[:, None] * U_m,
                un_p[:, None], un_m[:, None])
            + (alpha * p_p + (1.0 - alpha) * p_m)[:, None] * nhat) * mag_sf[:, None]
+    # pressure work uses the ABSOLUTE face velocity: un_rel + u_mesh
+    un_pw_p = un_p if mesh_un is None else un_p + mesh_un
+    un_pw_m = un_m if mesh_un is None else un_m + mesh_un
     ener = (knp(rho_p * e_p, rho_m * e_m, un_p, un_m)
-            + (alpha * un_p * p_p + (1.0 - alpha) * un_m * p_m)) * mag_sf
+            + (alpha * un_pw_p * p_p
+               + (1.0 - alpha) * un_pw_m * p_m)) * mag_sf
     return mass, mom, ener, amax
 
 
 def rhocentral_step(mesh, state: Dict, dt: Any, cfg: RhoCentralConfig
                     ) -> Tuple[Dict, Dict]:
     """One explicit Euler step (2-stage SSP-RK2 for second order)."""
+    return _rhocentral_core(mesh, state, dt, cfg)
+
+
+def _rhocentral_core(mesh, state: Dict, dt: Any,
+                     cfg: RhoCentralConfig, mesh_un: Any = None
+                     ) -> Tuple[Dict, Dict]:
     th = cfg.thermo
     U_f: VolField = state["U"]      # carries velocity BCs
     T_f: VolField = state["T"]      # carries temperature BCs
@@ -153,7 +171,8 @@ def rhocentral_step(mesh, state: Dict, dt: Any, cfg: RhoCentralConfig
         T_b = T_f.with_data(T).boundary_values(mesh)
         rho_b = rho_f.with_data(rho).boundary_values(mesh)
         mass, mom, ener, amax = knp_fluxes(
-            mesh, cfg, rho, U, T, rho_b, U_b, T_b, cfg.second_order)
+            mesh, cfg, rho, U, T, rho_b, U_b, T_b, cfg.second_order,
+            mesh_un=mesh_un)
         d_rho = -surface.surface_sum(mesh, mass) / mesh.v
         d_rhoU = -surface.surface_sum(mesh, mom) / mesh.v[:, None]
         d_rhoE = -surface.surface_sum(mesh, ener) / mesh.v
@@ -198,6 +217,30 @@ def rhocentral_step(mesh, state: Dict, dt: Any, cfg: RhoCentralConfig
         "rho_max": jnp.max(rho_n),
         "mass": jnp.sum(rho_n * mesh.v),
     }
+    return new_state, diag
+
+
+def rhocentraldym_step(mesh, state: Dict, dt: Any,
+                       cfg: RhoCentralConfig, pts_fn, umesh_fn
+                       ) -> Tuple[Dict, Dict]:
+    """rhoCentralDyMFoam (reference: applications/solvers/compressible/
+    rhoCentralFoam/rhoCentralDyMFoam/): the KNP step on a solid-body
+    moving mesh. Geometry recomputes on device per step; convection
+    runs on the relative normal velocity, pressure work on the
+    absolute one. Volume-preserving (rigid) motions only — the
+    conservative update keeps V (documented; the reference's deforming
+    movingCone case needs the V0 ddt, out of scope)."""
+    from ..mesh import moving
+
+    t = state["t"] + dt
+    points = pts_fn(state["points0"], t)
+    mesh_t = moving.update_geometry(mesh, points, state["topo"])
+    mesh_un = (moving.mesh_flux(mesh_t, umesh_fn, t)
+               * mesh_t.face_active
+               / jnp.maximum(mesh_t.mag_sf, 1e-300))
+    new_state, diag = _rhocentral_core(mesh_t, state, dt, cfg,
+                                       mesh_un=mesh_un)
+    new_state["t"] = t
     return new_state, diag
 
 

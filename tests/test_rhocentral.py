@@ -118,3 +118,59 @@ def test_mass_conservation_consistency(forward_step_result):
     v_tot = float(jnp.sum(mesh.v))
     rho_mean = float(diag["mass"]) / v_tot
     assert 1.0 < rho_mean < 4.0
+
+
+def test_rhocentraldym_translating_freestream():
+    """rhoCentralDyMFoam core: a uniform still gas on a rigidly
+    translating mesh is preserved (free-stream preservation of the
+    relative-flux KNP step) while pure rhoCentral on the same
+    ABSOLUTE formulation would advect the state."""
+    import jax
+
+    from foamtpu.mesh import moving
+    from foamtpu.solvers import rhocentral as rc
+
+    d = parse_string("""
+vertices
+(
+    (0 0 0) (1 0 0) (1 1 0) (0 1 0)
+    (0 0 0.1) (1 0 0.1) (1 1 0.1) (0 1 0.1)
+);
+blocks ( hex (0 1 2 3 4 5 6 7) (12 12 1) simpleGrading (1 1 1) );
+boundary
+(
+    walls { type slip; faces ((2 6 5 1) (0 4 7 3) (1 5 4 0)
+                              (3 7 6 2)); }
+    frontAndBack { type empty; faces ((0 3 2 1) (4 5 6 7)); }
+);
+""")
+    pm = blockmesh.generate(d)
+    mesh = to_device(pm)
+    th = PerfectGas(R=287.0, Cv=717.5, mu=0.0)
+    bcs_U, bcs_s = [], []
+    for p in mesh.patches:
+        if p.type == "empty":
+            bcs_U.append(pf.PatchField(kind="empty", vfrac=0.0))
+            bcs_s.append(pf.PatchField(kind="empty", vfrac=0.0))
+        else:
+            bcs_U.append(pf.PatchField(kind="slip", vfrac=0.0))
+            bcs_s.append(pf.zero_gradient())
+    rho0 = 1e5 / (287.0 * 300.0)
+    rho = vol_scalar(mesh, rho0, name="rho", bcs=tuple(bcs_s))
+    U = vol_vector(mesh, (0.0, 0.0, 0.0), name="U",
+                   bcs=tuple(bcs_U))
+    T = vol_scalar(mesh, 300.0, name="T", bcs=tuple(bcs_s))
+    cfg = rhocentral.RhoCentralConfig(thermo=th, second_order=False)
+    state = rhocentral.initial_state(mesh, rho, U, T, cfg)
+    topo = moving.topo_from_poly(pm, mesh.v.dtype)
+    state["topo"] = topo
+    state["points0"] = jnp.asarray(pm.points, mesh.v.dtype)
+    state["t"] = jnp.zeros((), mesh.v.dtype)
+    pts_fn, umesh_fn = moving.linear_motion((5.0, 0.0, 0.0))
+    step = jax.jit(lambda s, dt: rc.rhocentraldym_step(
+        mesh, s, dt, cfg, pts_fn, umesh_fn))
+    for _ in range(20):
+        state, diag = step(state, jnp.asarray(5e-5, mesh.v.dtype))
+    assert float(jnp.max(jnp.abs(state["U"].data))) < 1e-4
+    assert float(jnp.max(jnp.abs(state["T"].data - 300.0))) < 1e-2
+    assert abs(float(diag["mass"]) - rho0 * 0.1) < 1e-6 * rho0
