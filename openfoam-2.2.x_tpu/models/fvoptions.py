@@ -120,16 +120,31 @@ class Option:
             ff = jnp.asarray(d["f"], mesh.v.dtype)
             nu = float(d.get("nu", 0.0))
             magU = jnp.linalg.norm(U.data, axis=1)
-            # isotropic Darcy-Forchheimer: Sp = (nu*d + 0.5*f*|U|) per
-            # component (diagonal tensor assumed; reference supports
-            # full tensors via coordinateSystem — diagonal average here);
-            # mass-weighted rows (compressible) get mu*d + 0.5*rho*f*|U|
+            # anisotropic Darcy-Forchheimer (reference:
+            # porosityModel::DarcyForchheimer with coordinateSystem):
+            # coefficient tensor C = visc*D + 0.5*rho|U|*F in MESH axes
+            # (D/F = R diag(d/f) R^T). Semi-implicit split: the
+            # isotropic part tr(C)/3 goes on the diagonal, the
+            # anisotropic remainder is an explicit source.
+            Dm = jnp.asarray(d.get("D", np.diag(np.asarray(
+                d["d"], float))), mesh.v.dtype)
+            Fm = jnp.asarray(d.get("F", np.diag(np.asarray(
+                d["f"], float))), mesh.v.dtype)
             if rho is not None:
                 visc = mu if mu is not None else nu * rho
-                dcoef = jnp.mean(dd) * visc + 0.5 * jnp.mean(ff) * magU * rho
+                half_f = 0.5 * magU * rho
             else:
-                dcoef = jnp.mean(dd) * nu + 0.5 * jnp.mean(ff) * magU
-            return eqn.replace_fields(diag=eqn.diag + mesh.v * m * dcoef)
+                visc = jnp.asarray(nu, mesh.v.dtype)
+                half_f = 0.5 * magU
+            # C [nC,3,3]
+            C = (jnp.broadcast_to(visc, magU.shape)[:, None, None]
+                 * Dm[None] + half_f[:, None, None] * Fm[None])
+            iso = jnp.trace(C, axis1=1, axis2=2) / 3.0
+            aniso = C - iso[:, None, None] * jnp.eye(3, dtype=C.dtype)
+            src = -jnp.einsum("cij,cj->ci", aniso, U.data)                 * (mesh.v * m)[:, None]
+            return eqn.replace_fields(
+                diag=eqn.diag + mesh.v * m * iso,
+                source=eqn.source + src)
         if k == "actuationDiskSource":
             Cp, Ct = float(d["Cp"]), float(d["Ct"])
             area = float(d["diskArea"])
@@ -201,6 +216,39 @@ class OptionList:
         return st
 
 
+
+
+def _coord_rotation(spec: FoamDict) -> np.ndarray:
+    """coordinateSystem { coordinateRotation { e1 (..); e2/e3 (..); } }
+    -> rotation matrix R with columns = local axes (reference:
+    src/meshTools/coordinateSystems/ axesRotation)."""
+    cs = spec.get("coordinateSystem", spec)
+    rot = cs.get("coordinateRotation", cs) if hasattr(cs, "get") else cs
+    if not hasattr(rot, "get"):
+        return np.eye(3)
+    e1 = rot.get("e1")
+    if e1 is None:
+        return np.eye(3)
+    e1 = _vec(e1)
+    e1 = e1 / max(np.linalg.norm(e1), 1e-30)
+    if rot.get("e2") is not None:
+        e2 = _vec(rot.get("e2"))
+        e2 = e2 - (e2 @ e1) * e1
+        e2 = e2 / max(np.linalg.norm(e2), 1e-30)
+        e3 = np.cross(e1, e2)
+    else:
+        e3 = _vec(rot.get("e3", (0.0, 0.0, 1.0)))
+        e3 = e3 - (e3 @ e1) * e1
+        e3 = e3 / max(np.linalg.norm(e3), 1e-30)
+        e2 = np.cross(e3, e1)
+    return np.stack([e1, e2, e3], axis=1)
+
+
+def _rotated_tensor(vec3: np.ndarray, R: np.ndarray) -> np.ndarray:
+    """R diag(v) R^T — the principal-axis tensor in mesh axes."""
+    return R @ np.diag(np.asarray(vec3, float)) @ R.T
+
+
 def _parse_option(mesh, name: str, spec: FoamDict, nu: float) -> Option:
     kind = str(spec.get("type"))
     sub = spec.get(f"{kind}Coeffs", spec)
@@ -233,8 +281,11 @@ def _parse_option(mesh, name: str, spec: FoamDict, nu: float) -> Option:
                     else sub["d"])
         fvec = _vec(dtab.get("f", (0.0, 0.0, 0.0)) if "f" not in sub
                     else sub["f"])
+        R = _coord_rotation(dtab if hasattr(dtab, "get") else sub)
         return Option(name, "explicitPorositySource", mask, ("U",),
-                      {"d": dvec, "f": fvec, "nu": nu})
+                      {"d": dvec, "f": fvec, "nu": nu,
+                       "D": _rotated_tensor(dvec, R),
+                       "F": _rotated_tensor(fvec, R)})
     if kind == "actuationDiskSource":
         return Option(name, kind, mask, ("U",), {
             "Cp": float(sub.get("Cp", 0.386)),
@@ -292,9 +343,8 @@ def from_porous_zones(mesh, d: FoamDict, nu: float) -> List[Option]:
     """constant/porousZones (2.2 list of zone dicts with Darcy {d; f;})
     -> explicitPorositySource options (reference:
     src/finiteVolume/cfdTools/general/porousMedia/porousZone.C;
-    coordinateSystem rotation not applied — diagonal coefficients in
-    mesh axes; cellZone selection replaced by selectionMode
-    box/cylinder/all)."""
+    coordinateSystem rotation APPLIED via coordinateRotation e1/e2/e3;
+    cellZone selection replaced by selectionMode box/cylinder/all)."""
     opts: List[Option] = []
 
     def one(name, spec: FoamDict):
@@ -310,9 +360,13 @@ def from_porous_zones(mesh, d: FoamDict, nu: float) -> List[Option]:
         sel = spec if "selectionMode" in spec else FoamDict(
             {"selectionMode": "all"})
         mask = _zone_mask(mesh, sel)
+        R = _coord_rotation(spec)
         opts.append(Option(str(name), "explicitPorositySource", mask,
                            ("U",), {"d": _vec(dv), "f": _vec(fv),
-                                    "nu": nu}))
+                                    "nu": nu,
+                                    "D": _rotated_tensor(_vec(dv), R),
+                                    "F": _rotated_tensor(_vec(fv),
+                                                         R)}))
 
     def walk(obj, name="porousZone"):
         if isinstance(obj, FoamDict):

@@ -209,3 +209,73 @@ source = np.where(C[:, 0] > %g, 5.0, 0.0)
     v = np.asarray(mesh.v)
     assert np.allclose(ds[c[:, 0] > c0], 5.0 * v[c[:, 0] > c0])
     assert np.allclose(ds[c[:, 0] <= c0], 0.0)
+
+
+def test_anisotropic_porosity_rotation():
+    """DarcyForchheimer with a coordinateSystem rotated 45 degrees: the
+    resistance force on a uniform x-velocity picks up the analytic
+    off-axis component -R diag(d) R^T U (reference: porosityModel with
+    axesRotation)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from foamtpu.core.dictionary import parse_string
+    from foamtpu.core.fields import vol_vector
+    from foamtpu.mesh import blockmesh, to_device
+    from foamtpu.models import fvoptions
+    from foamtpu.ops import fvm
+
+    BM = """
+convertToMeters 1;
+vertices
+(
+    (0 0 0) (1 0 0) (1 1 0) (0 1 0)
+    (0 0 1) (1 0 1) (1 1 1) (0 1 1)
+);
+blocks ( hex (0 1 2 3 4 5 6 7) (4 4 4) simpleGrading (1 1 1) );
+boundary
+(
+    walls { type wall; faces ((2 6 5 1) (0 4 7 3) (1 5 4 0)
+                              (3 7 6 2) (0 3 2 1) (4 5 6 7)); }
+);
+"""
+    mesh = to_device(blockmesh.generate(parse_string(BM)))
+    spec = parse_string("""
+porosity
+{
+    type explicitPorositySource;
+    active true;
+    explicitPorositySourceCoeffs
+    {
+        selectionMode all;
+        DarcyForchheimerCoeffs
+        {
+            d (100 1 1);
+            f (0 0 0);
+            coordinateSystem
+            {
+                coordinateRotation
+                {
+                    e1 (0.7071067811865476 0.7071067811865476 0);
+                    e3 (0 0 1);
+                }
+            }
+        }
+    }
+}
+""")
+    opts = fvoptions.from_dict(mesh, spec, nu=1.0)
+    U = vol_vector(mesh, (1.0, 0.0, 0.0), name="U")
+    eqn = fvm.ddt(mesh, U, U.data, jnp.asarray(1.0, mesh.v.dtype))
+    eqn2 = opts.add_to(mesh, eqn, "U", U, U=U)
+    # analytic C = R diag(100,1,1) R^T with nu=1, f=0:
+    # C = [[50.5, 49.5, 0], [49.5, 50.5, 0], [0, 0, 1]]
+    # iso = tr/3 = 34; source = -(C - iso I) U * V
+    v = np.asarray(mesh.v)[0]
+    d_diag = float((np.asarray(eqn2.diag) - np.asarray(eqn.diag))[0])
+    assert abs(d_diag - 34.0 * v) < 1e-6 * v
+    ds = np.asarray(eqn2.source - eqn.source)[0] / v
+    # -(C - iso I) @ (1,0,0) = -(50.5-34, 49.5, 0) = (-16.5, -49.5, 0)
+    assert abs(ds[0] + 16.5) < 1e-4
+    assert abs(ds[1] + 49.5) < 1e-4
+    assert abs(ds[2]) < 1e-6
