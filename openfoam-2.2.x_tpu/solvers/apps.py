@@ -2432,8 +2432,17 @@ def inter_phase_change_foam(case, max_steps: Optional[int] = None
     log.info("End\n")
 
 
+def _engine_extra_fields(mesh, state, spray):
+    if not spray:
+        return []
+    from ..core.fields import vol_scalar
+
+    return [vol_scalar(mesh, 0.0, name="Yvapour").with_data(
+        state["Yv"])]
+
+
 def _engine_foam(case, max_steps: Optional[int] = None,
-                 combustion: bool = False) -> None:
+                 combustion: bool = False, spray: bool = False) -> None:
     """engineFoam / coldEngineFoam (reference: applications/solvers/
     combustion/{engineFoam,coldEngineFoam}/ + src/engine/): in-cylinder
     compressible flow with slider-crank piston motion from
@@ -2470,9 +2479,69 @@ def _engine_foam(case, max_steps: Optional[int] = None,
                                              z_piston0=z_piston0)
     comb = (case.properties("combustionProperties")
             if combustion else FoamDict())
+
+    # sprayEngineFoam: injected evaporating cloud riding the moving
+    # mesh inside the jitted engine step (reference: applications/
+    # solvers/lagrangian/sprayFoam/sprayEngineFoam/)
+    spray_cfg = cloud = None
+    if spray:
+        import jax.numpy as _jnp
+
+        from .. import lagrangian as lag
+        from ..lagrangian import reactingcloud as rcloud
+
+        try:
+            props = case.properties("sprayCloudProperties")
+        except Exception:
+            try:
+                props = case.properties("reactingCloud1Properties")
+            except Exception:
+                props = FoamDict()
+        cp = props.get("constantProperties", FoamDict())
+        rho0p = _dim_scalar_of(cp, "rho0", 700.0)
+        d0 = _dim_scalar_of(cp, "d0", 50e-6)
+        T0p = _dim_scalar_of(cp, "T0", 320.0)
+        rho_f0 = float(np.asarray(p.data).mean()) / (
+            th.R * float(np.asarray(T.data).mean()))
+        lcfg = lag.CloudConfig(rho_f=rho_f0, mu_f=th.mu,
+                               g=_read_gravity(case), solve_T=True,
+                               cp_p=_dim_scalar_of(cp, "Cp0", 2000.0))
+        inj_d = props.get("injection", FoamDict())
+        c = np.asarray(mesh.c)
+        apex_default = list(c.mean(axis=0))
+        apex_default[geom.axis] = float(c[:, geom.axis].max())
+        apex = inj_d.get("position", apex_default)
+        direc_default = [0.0, 0.0, 0.0]
+        direc_default[geom.axis] = -1.0
+        direc = inj_d.get("direction", direc_default)
+        inj = lag.cone_injection(
+            mesh,
+            [float(x) for x in np.asarray(apex,
+                                          float).reshape(-1)[-3:]],
+            [float(x) for x in np.asarray(direc,
+                                          float).reshape(-1)[-3:]],
+            half_angle_deg=_dim_scalar_of(inj_d, "coneAngle", 10.0),
+            u_mag=_dim_scalar_of(inj_d, "Umag", 100.0), d0=d0,
+            rho0=rho0p,
+            rate=_dim_scalar_of(inj_d, "parcelsPerSecond", 20000.0))
+        n_slots = int(_dim_scalar_of(props, "maxParcels", 512))
+        cloud = lag.make_cloud(mesh, np.asarray(apex, float)
+                               .reshape(1, 3), [0.0, 0.0, 0.0],
+                               d0, rho0p, n_slots=n_slots, T0=T0p)
+        # the seed parcel is a placeholder slot; deactivate it
+        cloud = cloud._replace(active=_jnp.zeros_like(cloud.active))
+        spray_cfg = engine_solver.SprayConfig(
+            lcfg=lcfg,
+            ecfg=rcloud.EvapConfig(
+                K_evap=_dim_scalar_of(props, "Kevap", 1e-7),
+                L_vap=_dim_scalar_of(cp, "Lvap", 3.5e5)),
+            bcfg=rcloud.BreakupConfig(rho_f=rho_f0),
+            inj=inj, bt=_jnp.asarray(lag.face_boundary_types(mesh)))
+
     cfg = engine_solver.EngineConfig(
         thermo=th, pts_fn=pts_fn, umesh_fn=umesh_fn,
         s_per_cad=1.0 / eng_mod.deg_per_sec(geom),
+        spray=spray_cfg,
         n_correctors=int(case.pimple_controls("PIMPLE").get(
             "nCorrectors", 2)),
         p_ref_value=float(np.asarray(p.data).mean()),
@@ -2489,7 +2558,7 @@ def _engine_foam(case, max_steps: Optional[int] = None,
         except Exception:
             b = vol_scalar(mesh, 1.0, name="b")
     state = engine_solver.initial_state(case.poly_mesh, mesh, U, p,
-                                        T, th, cfg, b=b)
+                                        T, th, cfg, b=b, cloud=cloud)
     step = engine_solver.make_step(mesh, cfg)
 
     ign = comb.get("ignition", FoamDict()) if combustion else FoamDict()
@@ -2499,7 +2568,8 @@ def _engine_foam(case, max_steps: Optional[int] = None,
     ignited = not combustion or not isinstance(ign, FoamDict) or \
         "start" not in ign
 
-    name = "engineFoam" if combustion else "coldEngineFoam"
+    name = ("sprayEngineFoam" if spray else
+            "engineFoam" if combustion else "coldEngineFoam")
     log.info(f"Starting loop: {name}, rpm {geom.rpm}, "
              f"theta0 {geom.theta0} CAD\n")
     for t in case.time.loop():
@@ -2526,11 +2596,14 @@ def _engine_foam(case, max_steps: Optional[int] = None,
                  f"V = {float(diag['V_total']):.6g}\n")
         if t.write_time():
             case.write_fields([state["U"], state["p"], state["T"]]
-                              + ([state["b"]] if combustion else []))
+                              + ([state["b"]] if combustion else [])
+                              + _engine_extra_fields(mesh, state,
+                                                     spray))
         if max_steps is not None and t.index >= max_steps:
             break
     case.write_fields([state["U"], state["p"], state["T"]]
-                      + ([state["b"]] if combustion else []))
+                      + ([state["b"]] if combustion else [])
+                      + _engine_extra_fields(mesh, state, spray))
     case.final_state = {"state": state, "diag": diag}
     log.info("End\n")
 
@@ -2541,6 +2614,15 @@ def cold_engine_foam(case, max_steps: Optional[int] = None) -> None:
 
 def engine_foam(case, max_steps: Optional[int] = None) -> None:
     _engine_foam(case, max_steps, combustion=True)
+
+
+def spray_engine_foam(case, max_steps: Optional[int] = None) -> None:
+    """sprayEngineFoam (reference: applications/solvers/lagrangian/
+    sprayFoam/sprayEngineFoam/): the spray cloud of sprayFoam on the
+    crank-angle engine mesh; b-Xi heat release engages when
+    constant/combustionProperties exists."""
+    comb = os.path.exists(case.const_path("combustionProperties"))
+    _engine_foam(case, max_steps, combustion=comb, spray=True)
 
 
 def sonic_dym_foam(case, max_steps: Optional[int] = None) -> None:
@@ -3288,6 +3370,104 @@ def two_phase_euler_foam(case, max_steps: Optional[int] = None) -> None:
         log.info(
             f"Min(alpha) = {float(diag['alpha_min']):.6g}  "
             f"Max(alpha) = {float(diag['alpha_max']):.6g}\n")
+        cumulative = _log_step(case, t, diag, cumulative)
+        if t.write_time():
+            write(state)
+    write(state)
+    log.info("End\n")
+    case.final_state = state
+
+
+def multiphase_euler_foam(case, max_steps: Optional[int] = None) -> None:
+    """multiphaseEulerFoam: N interpenetrating phases, each with its
+    own velocity, pairwise blended drag, shared pressure (reference:
+    applications/solvers/multiphase/multiphaseEulerFoam/). Phases from
+    constant/transportProperties `phases (name {rho; nu; d;} ...)` or
+    `phases (name1 name2 ...)` with per-phase subdicts; fractions
+    from 0/alpha<name>, velocities from 0/U<name> (falling back to a
+    shared 0/U)."""
+    import dataclasses as _dc
+
+    from ..core.fields import VolField
+    from . import multiphaseeuler as mpe_mod
+
+    mesh = case.mesh
+    tp = case.transport_properties()
+    raw = tp.get("phases", [])
+    names, rhos, nus, ds = [], [], [], []
+    # two accepted layouts: inline subdicts inside the phases list, or
+    # a bare name list with top-level per-phase subdicts
+    idx = 0
+    while idx < len(raw):
+        n = str(raw[idx])
+        ph = FoamDict()
+        if idx + 1 < len(raw) and isinstance(raw[idx + 1],
+                                             (dict, FoamDict)):
+            ph = raw[idx + 1]
+            idx += 2
+        else:
+            ph = tp.get(n, FoamDict())
+            idx += 1
+        names.append(n)
+        rhos.append(_dim_scalar_of(ph, "rho", 1000.0))
+        nus.append(_dim_scalar_of(ph, "nu", 1e-6))
+        d_val = ph.get("d", None)
+        if d_val is None:
+            cc = ph.get("constantCoeffs", FoamDict())
+            d_val = cc.get("d", 1e-3)
+        _, d_num = dimensioned_scalar(d_val)
+        ds.append(d_num)
+    if not names:
+        raise ValueError("multiphaseEulerFoam needs transportProperties"
+                         " `phases (...)`")
+    flds = [case.read_field(f"alpha{n}") for n in names]
+    A = jnp.stack([f.data for f in flds], axis=1)
+    alphas = VolField(data=A, bcs=flds[0].bcs, name="alphas")
+    Us = []
+    for n in names:
+        try:
+            Us.append(case.read_field(f"U{n}"))
+        except Exception:
+            Us.append(case.read_field("U"))
+    p = case.read_field("p")
+    cdict = case.pimple_controls("PIMPLE")
+    cfg = mpe_mod.MultiphaseEulerConfig(
+        rhos=tuple(rhos), nus=tuple(nus), ds=tuple(ds),
+        g=_read_gravity(case),
+        n_correctors=int(cdict.get("nCorrectors", 2)),
+        n_non_orth=int(cdict.get("nNonOrthogonalCorrectors", 0)),
+        corrected=case.laplacian_corrected(),
+        p_ref_cell=int(cdict.get("pRefCell", 0)),
+        p_ref_value=float(cdict.get("pRefValue", 0.0)),
+        p_controls=case.solver_controls("p"),
+        u_controls=case.solver_controls("U")
+        if _has_solver(case, "U") else None)
+    state = mpe_mod.initial_state(mesh, Us, p, alphas)
+    step = mpe_mod.make_step(mesh, cfg)
+    log.info(f"Starting loop: multiphaseEulerFoam, {mesh.n_cells} "
+             f"cells, phases {names}\n")
+    cumulative = 0.0
+    t = case.time
+    max_iter = max(int(round((t.end_time - t.start_time) / t.delta_t)), 1)
+    if max_steps is not None:
+        max_iter = min(max_iter, max_steps)
+    dt = jnp.asarray(t.delta_t, mesh.v.dtype)
+
+    def write(state):
+        Adata = state["alphas"].data
+        fields = [state["p"]]
+        for i, n in enumerate(names):
+            fields.append(_dc.replace(flds[i], data=Adata[:, i],
+                                      name=f"alpha{n}"))
+            fields.append(_dc.replace(state[f"U{i}"], name=f"U{n}"))
+        case.write_fields(fields)
+
+    while (t.index < max_iter and not t.stop_now
+           and t.value < t.end_time - 1e-12):
+        state, diag = step(state, dt)
+        t.index += 1
+        t.value = t.start_time + t.index * t.delta_t
+        t.current_dt = float(dt)
         cumulative = _log_step(case, t, diag, cumulative)
         if t.write_time():
             write(state)
@@ -4107,6 +4287,7 @@ case_mod.register_application("pimpleDyMFoam", pimple_dym_foam)
 case_mod.register_application("compressibleInterFoam",
                               compressible_inter_foam)
 case_mod.register_application("twoPhaseEulerFoam", two_phase_euler_foam)
+case_mod.register_application("multiphaseEulerFoam", multiphase_euler_foam)
 case_mod.register_application("twoLiquidMixingFoam",
                               two_liquid_mixing_foam)
 case_mod.register_application("MRFMultiphaseInterFoam",
@@ -4133,6 +4314,7 @@ case_mod.register_application("adjointShapeOptimizationFoam",
 case_mod.register_application("potentialFreeSurfaceFoam",
                               potential_free_surface_foam)
 case_mod.register_application("engineFoam", engine_foam)
+case_mod.register_application("sprayEngineFoam", spray_engine_foam)
 case_mod.register_application("sonicDyMFoam", sonic_dym_foam)
 case_mod.register_application("coldEngineFoam", cold_engine_foam)
 case_mod.register_application("dsmcFoam", dsmc_foam)

@@ -43,11 +43,25 @@ from . import linear
 from .piso import boundary_flux
 
 
+class SprayConfig(NamedTuple):
+    """sprayEngineFoam (reference: applications/solvers/lagrangian/
+    sprayFoam/sprayEngineFoam/): the spray cloud evolves INSIDE the
+    jitted engine step on the current (moved) geometry; drag momentum
+    and latent heat react back on the NEXT step through the
+    mom_src/q_src hooks (explicit lagged coupling)."""
+    lcfg: Any                    # lagrangian CloudConfig
+    ecfg: Any                    # reactingcloud EvapConfig
+    bcfg: Any                    # reactingcloud BreakupConfig
+    inj: Any = None              # InjectionConfig or None
+    bt: Any = None               # [nB] face boundary types
+
+
 class EngineConfig(NamedTuple):
     thermo: Any
     pts_fn: Callable             # (points0, t_seconds) -> points
     umesh_fn: Callable           # (x, t_seconds) -> mesh velocity
     s_per_cad: float             # seconds per crank-angle degree
+    spray: Optional[SprayConfig] = None
     n_correctors: int = 2
     n_non_orth: int = 0
     div_scheme: str = "upwind"
@@ -162,6 +176,11 @@ def engine_step(mesh, state: Dict, dt_cad: Any, cfg: EngineConfig
                             gamma_slot=mu_slot)
             - fvm.Sp(mesh_t, mass_imb, U,
                      sp_dims=DimensionSet.of(1, -3, -1)))
+    # spray/parcel two-way coupling (sprayEngineFoam): momentum source
+    # density [N/m^3] lives inside UEqn so it also enters H in the
+    # pressure corrector (same placement as fvOptions in PISO)
+    if "mom_src" in state:
+        UEqn = UEqn.add_source(state["mom_src"], mesh_t)
     grad_p = fvc.grad_of(mesh_t, p, "Gauss linear")
     Udata, uperf = linear.solve(mesh_t, UEqn.add_source(-grad_p, mesh_t),
                                 U.data, u_ctrl)
@@ -300,6 +319,9 @@ def engine_step(mesh, state: Dict, dt_cad: Any, cfg: EngineConfig
     dpdt = (p.data - state.get("p_solved0", p0)) * rdt
     cp_c = th.Cp_of(T.data)
     TEqn = TEqn.add_source((dpdt - dKdt - div_phiK) / cp_c, mesh_t)
+    if "q_src" in state:
+        # parcel heat exchange [W/m^3] (latent sink / convective)
+        TEqn = TEqn.add_source(state["q_src"] / cp_c, mesh_t)
     Tdata, tperf = linear.solve(mesh_t, TEqn, T.data, u_ctrl)
     T = T.with_data(jnp.maximum(Tdata, 1.0))
     T = T.correct_boundary_conditions(mesh_t)
@@ -347,6 +369,56 @@ def engine_step(mesh, state: Dict, dt_cad: Any, cfg: EngineConfig
         diag["b_min"] = jnp.min(bdata)
         rho_star = jnp.maximum(th.rho(p.data, T.data), cfg.rho_min)
 
+    # -- spray cloud (sprayEngineFoam) -----------------------------------------
+    if cfg.spray is not None:
+        from .. import lagrangian as lag
+        from ..lagrangian import reactingcloud as rcloud
+
+        sp = cfg.spray
+        carry, counter = state["inj_carry"], state["inj_counter"]
+        c0 = state["cloud"]
+        if sp.inj is not None:
+            c0, carry, counter = lag.inject(c0, sp.inj, carry,
+                                            counter, dt)
+        # track on the CURRENT (moved) geometry
+        c1 = lag.evolve(mesh_t, c0, U.data, dt, sp.bt, sp.lcfg,
+                        T_cell=T.data)
+        c1 = rcloud.reitz_diwakar_breakup(c1, U.data, dt, sp.bcfg)
+        mom = lag.momentum_source(mesh_t, c0, c1, 1.0, dt, sp.lcfg)
+        c1, vap, hsink = rcloud.evaporate(c1, U.data, T.data, dt,
+                                          sp.lcfg, sp.ecfg,
+                                          mesh_t.n_cells)
+        # sources for the NEXT step's UEqn/TEqn (lagged explicit
+        # coupling; gravity does not react back — momentum_source
+        # already subtracts it)
+        mom_src = mom / mesh_t.v[:, None]          # N/m^3
+        q_src = -hsink / mesh_t.v                  # W/m^3 (latent sink)
+        # fuel-vapour fraction: explicit upwind advection by the
+        # relative mass flux + the evaporation source, conservative
+        # against the ALE density update
+        Yv = state["Yv"]
+        nbY = slot_mod.nbr_values(mesh_t, Yv)
+        up_sv = jnp.where(phi_slot.sv >= 0.0, Yv[:, None], nbY)
+        if mesh_t.fb_cells.shape[0]:
+            up_fb = jnp.where(phi_slot.fb >= 0.0, Yv[mesh_t.fb_cells],
+                              Yv[mesh_t.fb_nbrs])
+        else:
+            up_fb = phi_slot.fb
+        divY = slot_mod.surface_sum(
+            mesh_t, slot_mod.SlotFace(phi_slot.sv * up_sv,
+                                      phi_slot.fb * up_fb,
+                                      phi_slot.bv
+                                      * surface.owner_to_b(mesh_t, Yv)))
+        Yv = jnp.clip((state["rho0"] * v0 * Yv - dt * divY + vap)
+                      / jnp.maximum(rho_star * mesh_t.v, 1e-30),
+                      0.0, 1.0)
+        state = dict(state)
+        state.update(cloud=c1, inj_carry=carry, inj_counter=counter,
+                     mom_src=mom_src, q_src=q_src, Yv=Yv)
+        diag["n_parcels"] = jnp.sum(c1.active.astype(jnp.int32))
+        diag["Yv_mean"] = jnp.sum(Yv * rho_star * mesh_t.v) \
+            / jnp.sum(rho_star * mesh_t.v)
+
     # diagnostics: ALE continuity
     div_phi = slot_mod.surface_sum(mesh_t, phi_slot)
     cont = ((mesh_t.v * rho_star - v0 * rho0) * rdt + div_phi) \
@@ -367,7 +439,8 @@ def engine_step(mesh, state: Dict, dt_cad: Any, cfg: EngineConfig
 
 def initial_state(pm, mesh, U: VolField, p: VolField, T: VolField,
                   thermo, cfg: EngineConfig,
-                  b: Optional[VolField] = None) -> Dict:
+                  b: Optional[VolField] = None,
+                  cloud: Any = None) -> Dict:
     """pm: host PolyMesh. Initial relative flux from U and the t=0 mesh
     velocity."""
     topo = moving.topo_from_poly(pm, mesh.v.dtype)
@@ -390,6 +463,16 @@ def initial_state(pm, mesh, U: VolField, p: VolField, T: VolField,
     if b is not None:
         st["b"] = b
         st["b0"] = b.data
+    if cfg.spray is not None:
+        if cloud is None:
+            raise ValueError("EngineConfig.spray set but no cloud "
+                             "passed to initial_state")
+        st.update(cloud=cloud,
+                  inj_carry=jnp.zeros((), mesh.v.dtype),
+                  inj_counter=jnp.zeros((), jnp.int32),
+                  mom_src=jnp.zeros((mesh.n_cells, 3), mesh.v.dtype),
+                  q_src=jnp.zeros(mesh.n_cells, mesh.v.dtype),
+                  Yv=jnp.zeros(mesh.n_cells, mesh.v.dtype))
     return st
 
 

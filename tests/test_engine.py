@@ -337,3 +337,49 @@ def test_sonicdym_translating_freestream():
     p_dev = float(jnp.max(jnp.abs(state["p"].data - 1e5)))
     assert p_dev < 500.0, p_dev
     assert float(jnp.max(jnp.abs(state["T"].data - 300.0))) < 0.5
+
+
+def test_spray_engine_foam_case(tmp_path):
+    """sprayEngineFoam injects an evaporating cone spray into the
+    compressing cylinder: parcels appear, fuel vapour accumulates, and
+    the carrier stays finite (reference: applications/solvers/
+    lagrangian/sprayFoam/sprayEngineFoam/)."""
+    case = _mk_engine_case(tmp_path, "sprayEngineFoam", extra={
+        "constant/sprayCloudProperties": """
+constantProperties
+{
+    rho0            rho0 [1 -3 0 0 0 0 0] 700;
+    d0              d0 [0 1 0 0 0 0 0] 5e-5;
+    T0              T0 [0 0 0 1 0 0 0] 320;
+    Cp0             Cp0 [0 2 -2 -1 0 0 0] 2000;
+    Lvap            Lvap [0 2 -2 0 0 0 0] 3.5e5;
+}
+Kevap           1e-7;
+maxParcels      256;
+injection
+{
+    position        (0.025 0.09 0.0025);
+    direction       (0 -1 0);
+    coneAngle       15;
+    Umag            60;
+    parcelsPerSecond 200;
+}
+"""})
+    import foamtpu.solvers.apps  # noqa: F401
+    import foamtpu.core.case as case_mod
+    from foamtpu.core.case import Case
+
+    c = Case(case)
+    case_mod._APPLICATIONS["sprayEngineFoam"](c, max_steps=12)
+    st = c.final_state["state"]
+    d = c.final_state["diag"]
+    assert int(d["n_parcels"]) > 0
+    assert float(d["Yv_mean"]) > 0.0
+    import numpy as np
+
+    assert np.isfinite(np.asarray(st["U"].data)).all()
+    assert np.isfinite(np.asarray(st["T"].data)).all()
+    yv = np.asarray(st["Yv"])
+    assert yv.min() >= 0.0 and yv.max() <= 1.0
+    # compression still does its job with the spray active
+    assert float(d["p_mean"]) > 1.0e5
