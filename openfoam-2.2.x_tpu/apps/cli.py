@@ -1239,6 +1239,10 @@ COMMANDS = {
     "writeCellCentres": write_cell_centres,
 }
 
+from . import postutils as _postutils  # noqa: E402
+
+COMMANDS.update(_postutils.COMMANDS)
+
 
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
