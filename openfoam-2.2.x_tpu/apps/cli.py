@@ -1198,6 +1198,84 @@ def fluent_mesh_to_foam(argv) -> int:
     return 0
 
 
+def create_baffles_cmd(argv) -> int:
+    """createBaffles: faceSet internal faces -> twin baffle patches
+    (reference: applications/utilities/mesh/manipulation/
+    createBaffles/)."""
+    args = _case_arg(argv)
+    from . import meshutils3
+
+    out = meshutils3.create_baffles_cmd(args.case)
+    print(f"createBaffles: patches now "
+          f"{[(p.name, p.size) for p in out.patches]}")
+    return 0
+
+
+def sets_to_zones_cmd(argv) -> int:
+    """setsToZones: promote saved cellSets to cellZones (reference:
+    .../mesh/manipulation/setsToZones/)."""
+    args = _case_arg(argv)
+    from . import meshutils3
+
+    names = meshutils3.sets_to_zones(args.case)
+    print(f"setsToZones: promoted {names}")
+    return 0
+
+
+def foam_format_convert_cmd(argv) -> int:
+    """foamFormatConvert [-format ascii|binary] [-time t]: rewrite a
+    time directory's fields (reference: .../miscellaneous/
+    foamFormatConvert/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-format", dest="fmt", default="binary",
+                    choices=["ascii", "binary"])
+    ap.add_argument("-time", default=None)
+    a = ap.parse_args(argv)
+    from . import meshutils3
+
+    done = meshutils3.foam_format_convert(a.case, a.fmt, a.time)
+    print(f"foamFormatConvert: rewrote {done} as {a.fmt}")
+    return 0
+
+
+def deformed_geom_cmd(argv) -> int:
+    """deformedGeom <scale>: displace mesh points by the
+    point-interpolated U * scale (reference: .../mesh/manipulation/
+    deformedGeom/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("scale", type=float)
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-time", default=None)
+    a = ap.parse_args(argv)
+    from . import meshutils3
+
+    meshutils3.deformed_geom(a.case, a.scale, a.time)
+    print(f"deformedGeom: points displaced by {a.scale} * U")
+    return 0
+
+
+def post_channel_cmd(argv) -> int:
+    """postChannel: collapse U to wall-normal mean/rms profiles
+    (reference: .../postProcessing/channel/postChannel/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-time", default=None)
+    ap.add_argument("-normal", type=int, default=1)
+    a = ap.parse_args(argv)
+    from . import meshutils3
+
+    path = meshutils3.post_channel(a.case, a.time, a.normal)
+    print(f"postChannel: wrote {path}")
+    return 0
+
+
 COMMANDS = {
     "blockMesh": block_mesh,
     "snappyHexMesh": snappy_hex_mesh,
@@ -1237,6 +1315,12 @@ COMMANDS = {
     "patchAverage": patch_average,
     "foamCalc": foam_calc,
     "writeCellCentres": write_cell_centres,
+    "createBaffles": create_baffles_cmd,
+    "setsToZones": sets_to_zones_cmd,
+    "foamFormatConvert": foam_format_convert_cmd,
+    "deformedGeom": deformed_geom_cmd,
+    "postChannel": post_channel_cmd,
+    "objToVTK": surface_convert,
 }
 
 from . import postutils as _postutils  # noqa: E402

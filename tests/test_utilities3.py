@@ -1,0 +1,232 @@
+"""Utility batch 3 (apps/meshutils3.py; reference: applications/
+utilities/mesh/manipulation/{createBaffles,setsToZones,deformedGeom},
+miscellaneous/foamFormatConvert, postProcessing/channel/)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from foamtpu.apps import meshutils3
+from foamtpu.core.dictionary import parse_string
+from foamtpu.mesh import blockmesh
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+BOX = """
+convertToMeters 1;
+vertices
+(
+    (0 0 0) (1 0 0) (1 1 0) (0 1 0)
+    (0 0 1) (1 0 1) (1 1 1) (0 1 1)
+);
+blocks ( hex (0 1 2 3 4 5 6 7) (6 4 4) simpleGrading (1 1 1) );
+boundary
+(
+    walls { type wall; faces ((2 6 5 1) (0 4 7 3) (1 5 4 0)
+                              (3 7 6 2) (0 3 2 1) (4 5 6 7)); }
+);
+"""
+
+
+def _closed(pm):
+    acc = np.zeros((pm.n_cells, 3))
+    nif = pm.n_internal_faces
+    np.add.at(acc, pm.owner[:nif], pm.sf[:nif])
+    np.subtract.at(acc, pm.neighbour, pm.sf[:nif])
+    np.add.at(acc, pm.owner[nif:], pm.sf[nif:])
+    assert np.abs(acc).max() < 1e-10 * pm.mag_sf.max()
+
+
+def test_create_baffles_blocks_diffusion():
+    """Baffling the x=0.5 plane: mesh stays closed, internal face
+    count drops, and heat can no longer diffuse across the plane."""
+    import jax.numpy as jnp
+
+    from foamtpu.core.dimensions import dimViscosity
+    from foamtpu.core.fields import vol_scalar
+    from foamtpu.mesh import to_device
+    from foamtpu.ops import fvm
+    from foamtpu.solvers import linear
+
+    pm = blockmesh.generate(parse_string(BOX))
+    nif0 = pm.n_internal_faces
+    plane = np.nonzero(
+        (np.abs(pm.cf[:nif0, 0] - 0.5) < 1e-9))[0]
+    assert plane.size == 16
+    out = meshutils3.create_baffles(pm, plane, "baffle")
+    assert out.n_internal_faces == nif0 - plane.size
+    assert out.patches[-1].name == "baffle_slave"
+    assert out.patches[-2].name == "baffle_master"
+    assert out.patches[-1].size == plane.size
+    _closed(out)
+
+    def diffuse(p_mesh, nsteps=20):
+        mesh = to_device(p_mesh)
+        T = vol_scalar(mesh, 0.0, name="T").with_data(
+            jnp.where(jnp.asarray(p_mesh.c[:, 0]) < 0.5, 1.0, 0.0))
+        dt = 5e-3
+        ctl = {"solver": "PCG", "preconditioner": "polynomial",
+               "tolerance": 1e-9, "relTol": 0.0, "maxIter": 500}
+        for _ in range(nsteps):
+            eqn = (fvm.ddt(mesh, T, T.data, 1.0 / dt)
+                   - fvm.laplacian(mesh, 1e-0, T,
+                                   gamma_dims=dimViscosity))
+            data, _ = linear.solve(mesh, eqn, T.data, ctl)
+            T = T.with_data(data)
+        d = np.asarray(T.data)
+        left = d[p_mesh.c[:, 0] < 0.5].mean()
+        right = d[p_mesh.c[:, 0] > 0.5].mean()
+        return left, right
+
+    l0, r0 = diffuse(pm)
+    l1, r1 = diffuse(out)
+    # unbaffled: strong mixing; baffled: the jump survives
+    assert r0 > 0.2
+    assert r1 < 1e-6
+    assert l1 > 1.0 - 1e-6
+
+
+def test_create_baffles_cli(tmp_path):
+    """topoSet(boxToFace) -> createBaffles through the CLI."""
+    case = str(tmp_path / "c")
+    os.makedirs(os.path.join(case, "system"))
+    os.makedirs(os.path.join(case, "constant"))
+    hdr = ("FoamFile { version 2.0; format ascii; class dictionary; "
+           "object %s; }\n")
+    with open(os.path.join(case, "system", "blockMeshDict"), "w") as f:
+        f.write(hdr % "blockMeshDict" + BOX)
+    with open(os.path.join(case, "system", "topoSetDict"), "w") as f:
+        f.write(hdr % "topoSetDict" + """
+actions
+(
+    { name baffleFaces; type faceSet; action new; source boxToFace;
+      sourceInfo { box (0.49 -1 -1) (0.51 2 2); } }
+);
+""")
+    with open(os.path.join(case, "system", "createBafflesDict"),
+              "w") as f:
+        f.write(hdr % "createBafflesDict" + """
+internalFacesOnly true;
+baffles
+{
+    b1 { type faceSet; set baffleFaces; patchName baffle;
+         patchType wall; }
+}
+""")
+    from foamtpu.apps.cli import main
+
+    assert main(["blockMesh", "-case", case]) == 0
+    assert main(["topoSet", "-case", case]) == 0
+    assert main(["createBaffles", "-case", case]) == 0
+    from foamtpu.io import polymesh as mesh_io
+
+    pm = mesh_io.read(os.path.join(case, "constant", "polyMesh"))
+    assert any(p.name == "baffle_master" for p in pm.patches)
+    _closed(pm)
+
+
+def test_sets_to_zones(tmp_path):
+    case = str(tmp_path / "c")
+    os.makedirs(os.path.join(case, "system"))
+    os.makedirs(os.path.join(case, "constant"))
+    hdr = ("FoamFile { version 2.0; format ascii; class dictionary; "
+           "object %s; }\n")
+    with open(os.path.join(case, "system", "blockMeshDict"), "w") as f:
+        f.write(hdr % "blockMeshDict" + BOX)
+    with open(os.path.join(case, "system", "topoSetDict"), "w") as f:
+        f.write(hdr % "topoSetDict" + """
+actions
+(
+    { name leftCells; type cellSet; action new; source boxToCell;
+      sourceInfo { box (-1 -1 -1) (0.5 2 2); } }
+);
+""")
+    from foamtpu.apps.cli import main
+
+    assert main(["blockMesh", "-case", case]) == 0
+    assert main(["topoSet", "-case", case]) == 0
+    assert main(["setsToZones", "-case", case]) == 0
+    from foamtpu.io import polymesh as mesh_io
+
+    pm = mesh_io.read(os.path.join(case, "constant", "polyMesh"))
+    assert "leftCells" in pm.cell_zones
+    assert pm.cell_zones["leftCells"].size == 48   # half of 6*4*4
+
+
+@pytest.fixture(scope="module")
+def cavity_done(tmp_path_factory):
+    src = os.path.join(REPO, "tutorials", "incompressible", "icoFoam",
+                       "cavity")
+    dst = str(tmp_path_factory.mktemp("u3") / "cavity")
+    shutil.copytree(src, dst)
+    from foamtpu.apps.cli import main
+    from foamtpu.core.case import run_case
+
+    assert main(["blockMesh", "-case", dst]) == 0
+    run_case(dst, max_steps=3)
+    return dst
+
+
+def test_foam_format_convert_roundtrip(cavity_done):
+    from foamtpu.apps.cli import main
+    from foamtpu.core.case import Case
+
+    c = Case(cavity_done)
+    t = c.latest_time_name()
+    U0 = np.asarray(c.read_field("U", time=t).data).copy()
+    assert main(["foamFormatConvert", "-format", "binary",
+                 "-case", cavity_done]) == 0
+    raw = open(os.path.join(cavity_done, t, "U"), "rb").read()
+    assert b"format      binary" in raw or b"format binary" in raw \
+        or b"binary" in raw[:400]
+    U1 = np.asarray(Case(cavity_done).read_field("U", time=t).data)
+    np.testing.assert_allclose(U1, U0, rtol=0, atol=0)
+    assert main(["foamFormatConvert", "-format", "ascii",
+                 "-case", cavity_done]) == 0
+    U2 = np.asarray(Case(cavity_done).read_field("U", time=t).data)
+    np.testing.assert_allclose(U2, U0, rtol=1e-6)
+
+
+def test_post_channel(cavity_done):
+    from foamtpu.apps.cli import main
+
+    assert main(["postChannel", "-case", cavity_done]) == 0
+    from foamtpu.core.case import Case
+
+    t = Case(cavity_done).latest_time_name()
+    path = os.path.join(cavity_done, "postProcessing", "channel", t,
+                        "Uf.xy")
+    arr = np.loadtxt(path)
+    assert arr.shape[1] == 7
+    assert arr.shape[0] == 20          # 20 y-rows in the 20x20 cavity
+    # the lid row has the largest mean Ux
+    assert arr[-1, 1] == arr[:, 1].max()
+
+
+def test_deformed_geom(cavity_done):
+    from foamtpu.apps.cli import main
+    from foamtpu.io import polymesh as mesh_io
+
+    mdir = os.path.join(cavity_done, "constant", "polyMesh")
+    pts0 = mesh_io.read(mdir).points.copy()
+    assert main(["deformedGeom", "0.001", "-case", cavity_done]) == 0
+    pm = mesh_io.read(mdir)
+    assert pm.points.shape == pts0.shape
+    d = np.linalg.norm(pm.points - pts0, axis=1)
+    assert d.max() > 0.0
+    assert d.max() < 0.01      # small, bounded deformation
+    assert pm.v.min() > 0      # still a valid mesh
+
+
+def test_obj_to_vtk(tmp_path):
+    obj = str(tmp_path / "t.obj")
+    vtk = str(tmp_path / "t.vtk")
+    with open(obj, "w") as f:
+        f.write("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    from foamtpu.apps.cli import main
+
+    assert main(["objToVTK", obj, vtk]) == 0
+    txt = open(vtk).read()
+    assert "POLYGONS 1" in txt
