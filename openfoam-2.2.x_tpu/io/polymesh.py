@@ -17,6 +17,7 @@ import numpy as np
 
 from ..core.dictionary import FoamDict, Word, parse_string, write_string
 from ..mesh.core import Patch, PolyMesh
+from . import native as native_io
 
 
 def _read_text(path: str) -> str:
@@ -31,6 +32,19 @@ def _read_text(path: str) -> str:
 
 def _strip_header(text: str) -> str:
     """Remove comments and the FoamFile block, return the data part."""
+    if len(text) > 1 << 20:
+        # fast path for big data files: the banner comment and the
+        # FoamFile block live in the first few KB; list bodies contain
+        # no comments (blockMesh/snappy/our writer never emit them),
+        # so only the prefix needs the comment-stripping regexes. The
+        # trailing `// ***` footer parses as separators downstream.
+        head = text[:8192]
+        head = re.sub(r"/\*.*?\*/", " ", head, flags=re.S)
+        head = re.sub(r"//[^\n]*", " ", head)
+        m = re.search(r"FoamFile\s*\{[^}]*\}", head, flags=re.S)
+        if m:
+            head = head[m.end():]
+        return head + text[8192:]
     text = re.sub(r"/\*.*?\*/", " ", text, flags=re.S)
     text = re.sub(r"//[^\n]*", " ", text)
     m = re.search(r"FoamFile\s*\{[^}]*\}", text, flags=re.S)
@@ -42,12 +56,18 @@ def _strip_header(text: str) -> str:
 def _parse_scalar_list(text: str) -> np.ndarray:
     """Parse `N ( v v v ... )` (flat numbers)."""
     body = text[text.index("(") + 1 : text.rindex(")")]
+    nat = native_io.parse_doubles(body)
+    if nat is not None:
+        return nat
     return np.fromstring(body, sep=" ")
 
 
 def _parse_vector_list(text: str) -> np.ndarray:
     body = text[text.index("(") + 1 : text.rindex(")")]
-    nums = np.fromstring(body.replace("(", " ").replace(")", " "), sep=" ")
+    nums = native_io.parse_doubles(body)
+    if nums is None:
+        nums = np.fromstring(body.replace("(", " ").replace(")", " "),
+                             sep=" ")
     return nums.reshape(-1, 3)
 
 
@@ -55,6 +75,9 @@ def _parse_face_list(text: str) -> Tuple[np.ndarray, np.ndarray]:
     """faces file: `N ( 4(a b c d) 3(a b c) ... )` -> padded array."""
     start = text.index("(")
     body = text[start + 1 : text.rindex(")")]
+    nat = native_io.parse_faces(body)
+    if nat is not None:
+        return nat
     # tokens like `4(1 2 3 4)` possibly with whitespace/newlines inside
     nums = np.fromstring(
         body.replace("(", " ").replace(")", " "), sep=" "
@@ -194,13 +217,28 @@ def write(mesh: PolyMesh, mesh_dir: str) -> None:
             f.write(_FILE_HEADER.format(cls=cls, obj=obj))
             f.write(body)
 
-    emit("points", "vectorField", _fmt_big_vector_list(mesh.points))
-    lines = []
-    for f, n in zip(mesh.face_pts, mesh.face_npts):
-        lines.append(f"{int(n)}(" + " ".join(str(int(x)) for x in f[:n]) + ")")
-    emit("faces", "faceList", f"{mesh.n_faces}\n(\n" + "\n".join(lines) + "\n)\n")
-    emit("owner", "labelList", _fmt_big_scalar_list(mesh.owner, as_int=True))
-    emit("neighbour", "labelList", _fmt_big_scalar_list(mesh.neighbour, as_int=True))
+    def hdr(obj, cls):
+        return _FILE_HEADER.format(cls=cls, obj=obj)
+
+    def path(obj):
+        return os.path.join(mesh_dir, obj)
+
+    if not native_io.write_vector_list(
+            path("points"), hdr("points", "vectorField"),
+            np.asarray(mesh.points, np.float64)):
+        emit("points", "vectorField", _fmt_big_vector_list(mesh.points))
+    if not native_io.write_face_list(
+            path("faces"), hdr("faces", "faceList"),
+            np.asarray(mesh.face_pts), np.asarray(mesh.face_npts)):
+        lines = []
+        for f, n in zip(mesh.face_pts, mesh.face_npts):
+            lines.append(f"{int(n)}(" + " ".join(str(int(x)) for x in f[:n]) + ")")
+        emit("faces", "faceList", f"{mesh.n_faces}\n(\n" + "\n".join(lines) + "\n)\n")
+    for obj, arr in (("owner", mesh.owner), ("neighbour", mesh.neighbour)):
+        if not native_io.write_label_list(
+                path(obj), hdr(obj, "labelList"),
+                np.asarray(arr, np.int64)):
+            emit(obj, "labelList", _fmt_big_scalar_list(arr, as_int=True))
 
     plines = [f"{len(mesh.patches)}", "("]
     for p in mesh.patches:

@@ -84,8 +84,16 @@ def face_centres_areas(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Face centres and area vectors by fan triangulation about the
     point-average centre (the reference's algorithm, exact for planar
-    and consistent for warped faces)."""
+    and consistent for warped faces). Large meshes route through the
+    native accelerator (native/foamtpu_io.cpp::face_geometry, same
+    formula) when it is available."""
     n_faces, max_pts = face_pts.shape
+    if n_faces > 20000:
+        from ..io import native as native_io
+
+        nat = native_io.face_geometry(points, face_pts, face_npts)
+        if nat is not None:
+            return nat
     idx = np.arange(max_pts)
     valid = idx[None, :] < face_npts[:, None]  # [nF, maxPts]
     fpts = np.clip(face_pts, 0, None)
