@@ -90,6 +90,33 @@ long long parse_longs(const char* buf, long long len, long long* out,
     return n;
 }
 
+// parse_doubles that also reports the consumed byte offset — used by
+// the field-file fast path to cut the big list out of the text before
+// handing the remainder to the dictionary parser.
+long long parse_doubles_off(const char* buf, long long len,
+                            double* out, long long cap,
+                            long long* end_off) {
+    long long n = 0;
+    const char* p = buf;
+    const char* end = buf + len;
+    while (p < end && n < cap) {
+        char c = *p;
+        if (isdigit((unsigned char)c) ||
+            ((c == '-' || c == '+' || c == '.') && p + 1 < end &&
+             (isdigit((unsigned char)p[1]) || p[1] == '.'))) {
+            char* q;
+            double v = strtod(p, &q);
+            if (q == p) { ++p; continue; }
+            out[n++] = v;
+            p = q;
+        } else {
+            ++p;
+        }
+    }
+    *end_off = p - buf;
+    return n;
+}
+
 // Split a parsed [n0 p... n1 p...] label stream into counts + flat
 // points. Returns nFaces (or -1 if the stream is inconsistent).
 long long split_faces(const long long* nums, long long total,

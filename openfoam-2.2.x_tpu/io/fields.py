@@ -94,7 +94,48 @@ def load_field_dict(path: str) -> FoamDict:
         text, arrays = _debinarize(raw)
         d = parse_string(text, src_dir=src_dir)
         return _subst_blobs(d, arrays)
-    return parse_string(raw.decode("latin-1"), src_dir=src_dir)
+    text = raw.decode("latin-1")
+    # fast path for big ASCII fields: cut the internalField list out of
+    # the text and parse its numbers natively (native/foamtpu_io.cpp)
+    # instead of tokenizing them through the dictionary parser
+    if len(text) > 1 << 20:
+        fast = _fast_internal_field(text)
+        if fast is not None:
+            text2, arr = fast
+            d = parse_string(text2, src_dir=src_dir)
+            from ..core.dictionary import Word as _Word
+
+            d["internalField"] = [_Word("nonuniform"), arr]
+            return d
+    return parse_string(text, src_dir=src_dir)
+
+
+_IF_RE = re.compile(
+    r"internalField\s+nonuniform\s+List<(scalar|vector)>"
+    r"\s*(\d+)\s*\(", re.S)
+
+
+def _fast_internal_field(text):
+    """-> (text with the internalField list replaced, np array) or
+    None when the native parser is unavailable / format unexpected."""
+    from . import native as native_io
+
+    m = _IF_RE.search(text)
+    if m is None:
+        return None
+    kind, n = m.group(1), int(m.group(2))
+    per = 3 if kind == "vector" else 1
+    got = native_io.parse_doubles_n(text[m.end():], n * per)
+    if got is None:
+        return None
+    vals, off = got
+    # the entry terminates at the first ';' after the list body
+    end = text.find(";", m.end() + off)
+    if end < 0:
+        return None
+    arr = vals.reshape(-1, 3) if per == 3 else vals
+    return (text[:m.start()] + "internalField uniform 0;"
+            + text[end + 1:], arr)
 
 
 def read_field(path: str, mesh, name: Optional[str] = None) -> VolField:
@@ -146,6 +187,18 @@ def _list_parts(arr: np.ndarray, binary: bool):
     if binary:
         raw = np.ascontiguousarray(arr, dtype="<f8").tobytes()
         return [f"List<{kind}> {n}(", raw, ")"]
+    if n > 20000:
+        # vectorised %.17g formatting (round-trips exactly like repr)
+        import io as _io
+
+        buf = _io.StringIO()
+        if arr.ndim == 1:
+            np.savetxt(buf, arr, fmt="%.17g")
+            body = buf.getvalue()
+        else:
+            np.savetxt(buf, arr, fmt="(%.17g %.17g %.17g)")
+            body = buf.getvalue()
+        return [f"List<{kind}>\n{n}\n(\n{body})"]
     if arr.ndim == 1:
         body = "\n".join(repr(float(x)) for x in arr)
     else:

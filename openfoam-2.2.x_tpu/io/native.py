@@ -80,6 +80,8 @@ def lib() -> Optional[ctypes.CDLL]:
         L.write_face_list.argtypes = [CP, CP, LP, LP, LL, LL]
         L.face_geometry.restype = None
         L.face_geometry.argtypes = [DP, LP, LP, LL, LL, DP, DP]
+        L.parse_doubles_off.restype = LL
+        L.parse_doubles_off.argtypes = [CP, LL, DP, LL, LP]
         _LIB = L
         return _LIB
 
@@ -187,3 +189,20 @@ def face_geometry(points: np.ndarray, face_pts: np.ndarray,
     L.face_geometry(_dp(pts), _lp(fp), _lp(fn), n, mx, _dp(ctr),
                     _dp(area))
     return ctr, area
+
+
+def parse_doubles_n(text: str, n: int
+                    ) -> Optional[Tuple[np.ndarray, int]]:
+    """Parse exactly n doubles from the start of text; returns
+    (values, consumed_chars) or None. The consumed offset lets the
+    field fast path cut the big list out of the file text."""
+    L = lib()
+    if L is None:
+        return None
+    raw = text.encode()
+    out = np.empty(n, np.float64)
+    off = np.zeros(1, np.int64)
+    got = L.parse_doubles_off(raw, len(raw), _dp(out), n, _lp(off))
+    if got != n:
+        return None
+    return out, int(off[0])
