@@ -137,7 +137,7 @@ def register(name: str, cls) -> None:
 def select(props: FoamDict, nu: float, kind: str = "RAS") -> TurbulenceModel:
     """turbulenceModel::New — dispatch on RASModel/LESModel keyword
     (reference: RASProperties/LESProperties in constant/)."""
-    from . import les, les2, ras, ras2  # ensure registration
+    from . import les, les2, les3, ras, ras2, ras3  # ensure registration
 
     if str(props.get("simulationType", kind)) == "laminar":
         return TurbulenceModel(nu)

@@ -189,13 +189,17 @@ class KEpsilon(TurbulenceModel):
 
     def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
                 controls=None, c1_field=None, phi_slot=None,
-                c2_field=None, fmu_field=None, extra_eps_src=None):
+                c2_field=None, fmu_field=None, extra_eps_src=None,
+                G_extra=None):
         """c1_field: optional per-cell override of C1 (used by RNG's
         strain-dependent C1eff) — passed explicitly instead of mutating
         self, which is static jit config shared across traces.
         c2_field / fmu_field: per-cell overrides of C2 and of the nut
         damping multiplier (low-Re variants: LamBremhorst, qZeta).
-        extra_eps_src: additional explicit epsilon source [nC]."""
+        extra_eps_src: additional explicit epsilon source [nC].
+        G_extra: additional production [m^2/s^3] (nonlinear-stress
+        models: -(nonlinearStress && grad U)), added before the
+        limiter."""
         k_f: VolField = tstate["k"]
         eps_f: VolField = tstate["epsilon"]
         nut_f: VolField = tstate["nut"]
@@ -205,6 +209,8 @@ class KEpsilon(TurbulenceModel):
         phi_sl = _phi_slotform(mesh, phi, phi_slot)
 
         G, S2 = production(mesh, nut, U)
+        if G_extra is not None:
+            G = G + G_extra
         # production limiter (Menter-style, as in the SST k-equation):
         # bounds the unphysical spike at singular corners/stagnation
         # points; inactive in equilibrium layers where G ~= eps.
