@@ -86,6 +86,19 @@ _ALIASES = {
     "supersonicFreestream": "supersonicFreestream",
     "variableHeightFlowRate": "variableHeightFlowRate",
     "cyclicAMI": "cyclicAMI",
+    "cylindricalInletVelocity": "cylindricalInletVelocity",
+    "swirlFlowRateInletVelocity": "swirlFlowRateInletVelocity",
+    "uniformFixedValue": "uniformFixedValue",
+    "oscillatingFixedValue": "oscillatingFixedValue",
+    # fluxCorrectedVelocity: zeroGradient + normal flux correction —
+    # same closure as pressureInletOutletVelocity (documented mapping)
+    "fluxCorrectedVelocity": "pressureInletOutletVelocity",
+    "externalWallHeatFluxTemperature": "externalWallHeatFluxTemperature",
+    "pressureDirectedInletVelocity": "pressureDirectedInletVelocity",
+    # totalTemperature: reservoir temperature at inflow (static
+    # T = T0 approximation of the compressible total-T relation —
+    # documented deviation; exact for low-Mach inlets)
+    "totalTemperature": "totalTemperature",
     # potentialFreeSurfaceFoam: dynamic surface-elevation pressure —
     # mapped to mixed; the solver rewrites ref_value from zeta each
     # step (solvers/potentialfreesurface.py)
@@ -220,4 +233,139 @@ def from_dict(spec: FoamDict, patch, rank: int, dtype,
         kw["upperBound"] = float(spec.get("upperBound", 1.0))
     elif kind == "cyclicAMI":
         kw["vfrac"] = 0.0
+    elif kind == "cylindricalInletVelocity":
+        # U = Ua a + Ur r^ + (rpm 2pi/60)(a x r) (reference:
+        # fvPatchFields/derived/cylindricalInletVelocity/) — static
+        # geometry-derived fixedValue
+        origin = np.asarray(spec.get("centre",
+                                     spec.get("origin", (0, 0, 0))),
+                            dtype=float).reshape(3)
+        axis = np.asarray(spec.get("axis", (0, 0, 1)),
+                          dtype=float).reshape(3)
+        axis = axis / max(np.linalg.norm(axis), 1e-30)
+        ua = _num(spec.get("axialVelocity", 0.0))
+        ur = _num(spec.get("radialVelocity", 0.0))
+        rpm = _num(spec.get("rpm", 0.0))
+        if mesh is not None:
+            cf = np.asarray(mesh.cf)[patch.slice]
+            d = cf - origin
+            d = d - np.outer(d @ axis, axis)
+            r = np.linalg.norm(d, axis=1, keepdims=True)
+            rhat = d / np.maximum(r, 1e-30)
+            u = (ua * axis[None, :] + ur * rhat
+                 + rpm * np.pi / 30.0 * np.cross(axis[None, :], d))
+            kw["ref_value"] = jnp.asarray(u, dtype)
+        else:
+            kw["ref_value"] = 0.0
+        kw["vfrac"] = 1.0
+        kind = "fixedValue"
+    elif kind == "swirlFlowRateInletVelocity":
+        # normal velocity from flowRate/patch area + rpm swirl
+        # (reference: derived/swirlFlowRateInletVelocity/)
+        origin = np.asarray(spec.get("origin", (0, 0, 0)),
+                            dtype=float).reshape(3)
+        axis = np.asarray(spec.get("axis", (0, 0, 1)),
+                          dtype=float).reshape(3)
+        axis = axis / max(np.linalg.norm(axis), 1e-30)
+        qdot = _num(spec.get("flowRate", 0.0))
+        rpm = _num(spec.get("rpm", 0.0))
+        if mesh is not None:
+            sl = patch.slice
+            sf = np.asarray(mesh.sf)[sl]
+            area = float(np.linalg.norm(sf, axis=1).sum())
+            nrm = sf / np.maximum(
+                np.linalg.norm(sf, axis=1, keepdims=True), 1e-30)
+            cf = np.asarray(mesh.cf)[sl]
+            d = cf - origin
+            d = d - np.outer(d @ axis, axis)
+            u = (-qdot / max(area, 1e-30) * nrm
+                 + rpm * np.pi / 30.0 * np.cross(axis[None, :], d))
+            kw["ref_value"] = jnp.asarray(u, dtype)
+        else:
+            kw["ref_value"] = 0.0
+        kw["vfrac"] = 1.0
+        kind = "fixedValue"
+    elif kind == "uniformFixedValue":
+        # constant or table form, evaluated at the start time (static
+        # — time-varying tables are sampled at t=0; documented)
+        uv = spec.get("uniformValue")
+        kw["ref_value"] = _uniform_entry(uv, size, rank, dtype, val)
+        kw["vfrac"] = 1.0
+        kind = "fixedValue"
+    elif kind == "oscillatingFixedValue":
+        # refValue (1 + amplitude sin(2 pi f t)) at t=0 -> refValue
+        rv = parse_value(spec.get("refValue"), size, rank, dtype)
+        kw["ref_value"] = rv if rv is not None else (
+            val if val is not None else 0.0)
+        kw["vfrac"] = 1.0
+        kind = "fixedValue"
+    elif kind == "externalWallHeatFluxTemperature":
+        # q-mode: fixedGradient q/kappa; h-mode: Robin (mixed) with
+        # vfrac = h/(h + kappa dc) per face (reference:
+        # derived/externalWallHeatFluxTemperature/; kappa is a plain
+        # dictionary value here instead of a thermo lookup)
+        kappa = _num(spec.get("kappaValue", spec.get("kappa", 1.0)))
+        kappa = max(kappa, 1e-30)
+        if "q" in spec:
+            kw["ref_grad"] = _num(spec.get("q", 0.0)) / kappa
+            kw["vfrac"] = 0.0
+            kind = "fixedGradient"
+        else:
+            h = _num(spec.get("h", 0.0))
+            Ta = _num(spec.get("Ta", 300.0))
+            if mesh is not None:
+                dc = np.asarray(mesh.delta_coeffs)[patch.slice]
+                f = h / (h + kappa * np.maximum(dc, 1e-30))
+                kw["vfrac"] = jnp.asarray(f, dtype)
+            else:
+                kw["vfrac"] = 1.0
+            kw["ref_value"] = Ta
+            kw["ref_grad"] = 0.0
+            kind = "mixed"
+    elif kind == "pressureDirectedInletVelocity":
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 1.0
+        d = np.asarray(spec.get("inletDirection", [(1.0, 0.0, 0.0)]),
+                       dtype=float).reshape(-1)[-3:]
+        kw["inletDir"] = tuple(float(x) for x in d)
+    elif kind == "totalTemperature":
+        t0 = parse_value(spec.get("T0"), size, 0, dtype)
+        kw["ref_value"] = t0 if t0 is not None else (
+            val if val is not None else 300.0)
+        kw["vfrac"] = 1.0
+        kind = "fixedValue"
     return make(kind, **kw)
+
+
+def _num(x) -> float:
+    """Last numeric token of a possibly dimensioned entry."""
+    if isinstance(x, (list, tuple)):
+        x = x[-1]
+    return float(np.asarray(x, dtype=float).reshape(-1)[-1])
+
+
+def _uniform_entry(uv, size, rank, dtype, fallback):
+    """uniformValue: bare number/vector, `constant v`, or
+    `table ((t0 v0) (t1 v1) ...)` sampled at t=0."""
+    if uv is None:
+        return fallback if fallback is not None else 0.0
+    items = uv if isinstance(uv, list) else [uv]
+    words = [str(x) for x in items if isinstance(x, (Word, str))]
+    nums = [x for x in items if isinstance(x, (int, float, np.ndarray))]
+    if "table" in words and nums:
+        rows = np.asarray(nums[-1], dtype=float)
+        rows = rows.reshape(-1, rows.shape[-1]) if rows.ndim > 1 \
+            else rows.reshape(1, -1)
+        first = rows[0]
+        v = first[1:] if first.shape[0] > 1 else first
+        if rank == 1:
+            return jnp.asarray(np.broadcast_to(v[-3:], (size, 3)),
+                               dtype)
+        return jnp.asarray(np.full(size, float(v[-1])), dtype)
+    if nums:
+        v = np.asarray(nums[-1], dtype=float).reshape(-1)
+        if rank == 1:
+            return jnp.asarray(np.broadcast_to(v[-3:], (size, 3)),
+                               dtype)
+        return jnp.asarray(np.full(size, float(v[-1])), dtype)
+    return fallback if fallback is not None else 0.0

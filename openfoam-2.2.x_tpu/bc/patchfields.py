@@ -225,6 +225,7 @@ _VALUE_COEFFS: Dict[str, Callable] = {
     # supersonic-outlet limit)
     "supersonicFreestream": _vc_mixed,
     "variableHeightFlowRate": _vc_mixed,
+    "pressureDirectedInletVelocity": _vc_fixed_value,
 }
 
 
@@ -449,6 +450,26 @@ def _up_supersonic_freestream(bc, mesh, patch, internal, *, phi=None,
     return bc.replace(vfrac=f.astype(jnp.asarray(internal).dtype))
 
 
+def _up_pressure_directed_inlet_velocity(bc, mesh, patch, internal, *,
+                                         phi=None, **ctx):
+    """pressureDirectedInletVelocity (reference: fvPatchFields/derived/
+    pressureDirectedInletVelocity/): velocity along the prescribed
+    inletDirection d scaled so the face flux matches, U = d phi/(Sf.d)."""
+    if phi is None:
+        return bc
+    d = jnp.asarray(bc.opt("inletDir", (1.0, 0.0, 0.0)),
+                    jnp.asarray(internal).dtype)
+    d = d / jnp.maximum(jnp.linalg.norm(d), 1e-30)
+    sl = patch.slice
+    sfd = jnp.maximum(jnp.abs(mesh.sf[sl] @ d), 1e-30) \
+        * jnp.sign(mesh.sf[sl] @ d + 1e-300)
+    u = (phi[sl] / sfd)[:, None] * d[None, :]
+    return bc.replace(ref_value=u, vfrac=jnp.ones(patch.size,
+                                                  internal.dtype))
+
+
+_UPDATE["pressureDirectedInletVelocity"] = \
+    _up_pressure_directed_inlet_velocity
 _UPDATE["fixedFluxPressure"] = _up_fixed_flux_pressure
 _UPDATE["waveTransmissive"] = _up_wave_transmissive
 _UPDATE["pressureInletVelocity"] = _up_pressure_inlet_velocity

@@ -123,3 +123,111 @@ def test_supersonic_freestream_switches():
     bc2 = pf.update(bc, mesh, p, T, phi=phi)
     f = np.asarray(bc2.vfrac)
     assert f[0] == 1.0 and (f[1:] == 0.0).all()
+
+
+def test_cylindrical_inlet_velocity_factory():
+    mesh = _mesh()
+    p = _patch(mesh)
+    spec = FoamDict([("type", "cylindricalInletVelocity"),
+                     ("centre", (0.05, 0.05, 0.0)),
+                     ("axis", (0.0, 0.0, 1.0)),
+                     ("axialVelocity", 2.0),
+                     ("radialVelocity", 0.5),
+                     ("rpm", 60.0)])
+    bc = factory.from_dict(spec, p, rank=1, dtype=jnp.float32,
+                           mesh=mesh)
+    assert bc.kind == "fixedValue"
+    cf = np.asarray(mesh.cf)[p.slice]
+    d = cf - [0.05, 0.05, 0.0]
+    d[:, 2] = 0.0
+    rhat = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True),
+                          1e-30)
+    expect = (2.0 * np.array([0, 0, 1.0])[None, :] + 0.5 * rhat
+              + 2.0 * np.pi * np.cross([0, 0, 1.0], d))
+    assert np.allclose(np.asarray(bc.ref_value), expect, atol=1e-5)
+
+
+def test_swirl_flow_rate_inlet_velocity_factory():
+    mesh = _mesh()
+    p = _patch(mesh)
+    spec = FoamDict([("type", "swirlFlowRateInletVelocity"),
+                     ("origin", (0.05, 0.05, 0.0)),
+                     ("axis", (0.0, 0.0, 1.0)),
+                     ("flowRate", 0.002),
+                     ("rpm", 0.0)])
+    bc = factory.from_dict(spec, p, rank=1, dtype=jnp.float32,
+                           mesh=mesh)
+    # flux through the patch must equal -flowRate (inward)
+    sf = np.asarray(mesh.sf)[p.slice]
+    q = float((np.asarray(bc.ref_value) * sf).sum())
+    assert abs(q + 0.002) < 1e-8
+
+
+def test_uniform_fixed_value_table():
+    mesh = _mesh()
+    p = _patch(mesh)
+    spec = FoamDict([("type", "uniformFixedValue"),
+                     ("uniformValue",
+                      ["table", np.asarray([[0.0, 3.5], [1.0, 7.0]])])])
+    bc = factory.from_dict(spec, p, rank=0, dtype=jnp.float32,
+                           mesh=mesh)
+    assert bc.kind == "fixedValue"
+    assert np.allclose(np.asarray(bc.ref_value), 3.5)
+
+
+def test_external_wall_heat_flux_modes():
+    mesh = _mesh()
+    p = _patch(mesh)
+    # q-mode: fixedGradient q/kappa
+    spec = FoamDict([("type", "externalWallHeatFluxTemperature"),
+                     ("q", 1000.0), ("kappaValue", 10.0)])
+    bc = factory.from_dict(spec, p, rank=0, dtype=jnp.float32,
+                           mesh=mesh)
+    assert bc.kind == "fixedGradient"
+    assert abs(float(np.asarray(bc.ref_grad)) - 100.0) < 1e-8
+    # h-mode: Robin; f -> 1 as h -> inf, -> 0 as h -> 0
+    spec_h = FoamDict([("type", "externalWallHeatFluxTemperature"),
+                       ("h", 1e9), ("Ta", 350.0),
+                       ("kappaValue", 1.0)])
+    bc_h = factory.from_dict(spec_h, p, rank=0, dtype=jnp.float32,
+                             mesh=mesh)
+    assert bc_h.kind == "mixed"
+    assert np.asarray(bc_h.vfrac).min() > 0.999
+    assert abs(float(np.asarray(bc_h.ref_value)) - 350.0) < 1e-8
+
+
+def test_pressure_directed_inlet_velocity_update():
+    mesh = _mesh()
+    p = _patch(mesh)
+    spec = FoamDict([("type", "pressureDirectedInletVelocity"),
+                     ("inletDirection", [(0.0, -1.0, 0.0)])])
+    bc = factory.from_dict(spec, p, rank=1, dtype=jnp.float32,
+                           mesh=mesh)
+    assert bc.kind == "pressureDirectedInletVelocity"
+    phi = jnp.full(mesh.n_faces, -0.004)
+    U = jnp.zeros((mesh.n_cells, 3))
+    bc2 = pf.update(bc, mesh, p, U, phi=phi)
+    u = np.asarray(bc2.ref_value)
+    # movingWall is the y=max wall: Sf ~ (0, +A, 0); d = (0,-1,0):
+    # U = d*phi/(Sf.d) = (0,-1,0)*(-0.004)/(-A) -> Uy negative inflow
+    sfy = np.asarray(mesh.sf)[p.slice][:, 1]
+    expect_uy = -(-0.004) / (-sfy)
+    assert np.allclose(u[:, 1], expect_uy, rtol=1e-5)
+    assert np.allclose(u[:, [0, 2]], 0.0, atol=1e-7)
+    # face flux reproduced: (U . Sf) == phi
+    rec = (u * np.asarray(mesh.sf)[p.slice]).sum(axis=1)
+    assert np.allclose(rec, -0.004, rtol=1e-5)
+
+
+def test_flux_corrected_and_total_temperature_aliases():
+    mesh = _mesh()
+    p = _patch(mesh)
+    bc = factory.from_dict(FoamDict([("type", "fluxCorrectedVelocity")]),
+                           p, rank=1, dtype=jnp.float32, mesh=mesh)
+    assert bc.kind == "pressureInletOutletVelocity"
+    bc2 = factory.from_dict(
+        FoamDict([("type", "totalTemperature"),
+                  ("T0", ["uniform", 400.0])]),
+        p, rank=0, dtype=jnp.float32, mesh=mesh)
+    assert bc2.kind == "fixedValue"
+    assert np.allclose(np.asarray(bc2.ref_value), 400.0)
