@@ -1276,8 +1276,79 @@ def post_channel_cmd(argv) -> int:
     return 0
 
 
+def particle_tracks_cmd(argv) -> int:
+    """particleTracks: join each parcel's positions across saved
+    times into polylines, written as legacy-VTK (reference:
+    applications/utilities/postProcessing/lagrangian/particleTracks/).
+    Parcels are correlated by the origId written next to positions."""
+    import argparse as _ap
+    import re as _re
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-cloud", default="kinematicCloud")
+    a = ap.parse_args(argv)
+    times = []
+    for dname in os.listdir(a.case):
+        try:
+            tval = float(dname)
+        except ValueError:
+            continue
+        if os.path.isdir(os.path.join(a.case, dname)):
+            times.append((tval, dname))
+    times = [d for _, d in sorted(times)]
+    tracks = {}
+    for t in times:
+        d = os.path.join(a.case, t, "lagrangian", a.cloud)
+        ppath = os.path.join(d, "positions")
+        if not os.path.exists(ppath):
+            continue
+        txt = open(ppath).read()
+        pts = [[float(x) for x in m.groups()]
+               for m in _re.finditer(
+                   r"\(([-\d.eE+]+)\s+([-\d.eE+]+)\s+([-\d.eE+]+)\)",
+                   txt)]
+        idpath = os.path.join(d, "origId")
+        if os.path.exists(idpath):
+            ids = [int(x) for x in _re.findall(
+                r"^\s*(\d+)\s*$", open(idpath).read(), _re.M)]
+            if len(ids) == len(pts) + 1:   # first match is the count
+                ids = ids[1:]
+        else:
+            ids = list(range(len(pts)))
+        for i, p in zip(ids, pts):
+            tracks.setdefault(i, []).append(p)
+    tracks = {i: p for i, p in tracks.items() if len(p) >= 2}
+    if not tracks:
+        print("particleTracks: no parcel positions found",
+              file=sys.stderr)
+        return 1
+    out_dir = os.path.join(a.case, "postProcessing", "particleTracks")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "tracks.vtk")
+    pts_all, lines = [], []
+    for i in sorted(tracks):
+        start = len(pts_all)
+        pts_all.extend(tracks[i])
+        lines.append(list(range(start, len(pts_all))))
+    with open(out, "w") as f:
+        f.write("# vtk DataFile Version 2.0\nparticleTracks\nASCII\n"
+                "DATASET POLYDATA\n")
+        f.write(f"POINTS {len(pts_all)} float\n")
+        for p in pts_all:
+            f.write(f"{p[0]:g} {p[1]:g} {p[2]:g}\n")
+        total = sum(len(l) + 1 for l in lines)
+        f.write(f"LINES {len(lines)} {total}\n")
+        for l in lines:
+            f.write(str(len(l)) + " " + " ".join(map(str, l)) + "\n")
+    print(f"particleTracks: {len(lines)} tracks, {len(pts_all)} "
+          f"points -> {out}")
+    return 0
+
+
 COMMANDS = {
     "blockMesh": block_mesh,
+    "particleTracks": particle_tracks_cmd,
     "snappyHexMesh": snappy_hex_mesh,
     "topoSet": topo_set_cmd,
     "createPatch": create_patch_cmd,

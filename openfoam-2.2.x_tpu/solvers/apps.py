@@ -1806,6 +1806,16 @@ def ico_uncoupled_kinematic_parcel_foam(case,
             for p in u:
                 f.write(f"({p[0]:.8g} {p[1]:.8g} {p[2]:.8g})\n")
             f.write(")\n")
+        # origId: stable slot index per parcel so particleTracks can
+        # correlate positions across times (reference: the parcel's
+        # origProc/origId pair in Cloud<particle> IO)
+        ids = np.nonzero(act)[0]
+        with open(os.path.join(d, "origId"), "w") as f:
+            f.write("FoamFile { version 2.0; format ascii; "
+                    "class labelField; object origId; }\n")
+            f.write(f"{len(ids)}\n(\n")
+            f.write("\n".join(str(int(i)) for i in ids))
+            f.write("\n)\n")
 
     log.info(f"Starting loop: icoUncoupledKinematicParcelFoam, "
              f"{len(pos)} parcels\n")

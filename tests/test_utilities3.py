@@ -230,3 +230,31 @@ def test_obj_to_vtk(tmp_path):
     assert main(["objToVTK", obj, vtk]) == 0
     txt = open(vtk).read()
     assert "POLYGONS 1" in txt
+
+
+def test_particle_tracks(tmp_path):
+    """particleTracks joins parcel positions across write times into
+    VTK polylines, correlated by origId."""
+    import shutil as _sh
+
+    src = os.path.join(REPO, "tutorials", "lagrangian",
+                       "icoUncoupledKinematicParcelFoam",
+                       "fallingCloud")
+    dst = str(tmp_path / "fc")
+    _sh.copytree(src, dst)
+    from foamtpu.apps.cli import main
+    from foamtpu.core.case import run_case
+
+    assert main(["blockMesh", "-case", dst]) == 0
+    run_case(dst)
+    assert main(["particleTracks", "-case", dst]) == 0
+    vtk = os.path.join(dst, "postProcessing", "particleTracks",
+                       "tracks.vtk")
+    txt = open(vtk).read()
+    assert "LINES 16" in txt
+    # every track has >= 2 points and tracks fall (y decreases)
+    pts = np.array([[float(v) for v in ln.split()]
+                    for ln in txt.split("POINTS")[1].splitlines()[1:33]])
+    first = pts[0]
+    second = pts[1]
+    assert second[1] < first[1]   # gravity pulls the track down
