@@ -1373,6 +1373,7 @@ COMMANDS = {
     "fluentMeshToFoam": fluent_mesh_to_foam,
     "splitMeshRegions": split_mesh_regions_cmd,
     "postProcess": post_process,
+    "execFlowFunctionObjects": post_process,
     "renumberMesh": renumber_mesh,
     "checkMesh": check_mesh,
     "run": run,

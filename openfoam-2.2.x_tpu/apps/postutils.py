@@ -13,6 +13,7 @@ volSymmTensorField writer."""
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -445,6 +446,118 @@ def applyboundarylayer_cmd(argv) -> int:
     return 0
 
 
+def wallshearstress_cmd(argv) -> int:
+    """wallShearStress: tau_w = -(nu+nut) snGrad(U) per wall patch
+    (reference: postProcessing/wall/wallShearStress/ — the utility
+    twin of the functionObject)."""
+    args, case, mesh, t = _open_case(argv)
+    from ..core.dimensions import DimensionSet
+
+    U = case.read_field("U", time=t)
+    nu = _nu(case)
+    try:
+        nut = np.asarray(case.read_field("nut", time=t).data)
+    except Exception:
+        nut = np.zeros(mesh.n_cells)
+    bv = np.asarray(U.boundary_values(mesh))
+    dc = np.asarray(mesh.delta_coeffs)
+    Ud = np.asarray(U.data)
+    out = np.zeros_like(Ud)
+    for p, own, bsl in _wall_patches(mesh):
+        tau = -(nu + nut[own])[:, None] * (bv[bsl] - Ud[own]) \
+            * dc[p.slice][:, None]
+        mag = np.linalg.norm(tau, axis=1)
+        print(f"wallShearStress: patch {p.name}: min = "
+              f"{mag.min():.6g}, max = {mag.max():.6g} m^2/s^2")
+        np.add.at(out, own, tau)
+    _write(case, mesh, t, "wallShearStress", out,
+           dims=DimensionSet.of(0, 2, -2))
+    return 0
+
+
+def engine_comp_ratio_cmd(argv) -> int:
+    """engineCompRatio: (Vbdc = Vc + Vs) / Vtdc from
+    constant/engineGeometry (reference: postProcessing/miscellaneous/
+    engineCompRatio/ — there from meshed volumes; here from the
+    slider-crank geometry the engine mesh motion uses)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("-case", default=".")
+    a = ap.parse_args(argv)
+    from ..core.case import Case
+    from ..mesh import engine as eng_mod
+
+    case = Case(a.case)
+    geom = eng_mod.from_dict(case.properties("engineGeometry"))
+    eps = (geom.clearance + geom.stroke) / geom.clearance
+    print(f"engineCompRatio: clearance = {geom.clearance} m, "
+          f"stroke = {geom.stroke} m")
+    print(f"Geometric compression ratio: {eps:.6g}")
+    return 0
+
+
+def pdf_plot_cmd(argv) -> int:
+    """pdfPlot <field> [-nBins N]: volume-weighted histogram of a
+    scalar field -> postProcessing/pdfPlot/<t>/<field>.xy (reference:
+    postProcessing/miscellaneous/pdfPlot/)."""
+    args, case, mesh, t = _open_case(
+        argv, extra=[("field", {}),
+                     ("-nBins", {"type": int, "default": 32})])
+    f = case.read_field(args.field, time=t)
+    data = np.asarray(f.data)
+    if data.ndim == 2:
+        data = np.linalg.norm(data, axis=1)
+    v = np.asarray(mesh.v)
+    hist, edges = np.histogram(data, bins=args.nBins, weights=v)
+    hist = hist / (v.sum() * np.diff(edges))
+    out_dir = os.path.join(case.dir, "postProcessing", "pdfPlot", t)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{args.field}.xy")
+    with open(path, "w") as fh:
+        fh.write(f"# {args.field} pdf (volume-weighted)\n")
+        for c, h in zip(0.5 * (edges[:-1] + edges[1:]), hist):
+            fh.write(f"{c:.8g} {h:.8g}\n")
+    print(f"pdfPlot: wrote {path}")
+    return 0
+
+
+def probe_locations_cmd(argv) -> int:
+    """probeLocations: sample fields at system/probesDict points over
+    the chosen time (reference: postProcessing/sampling/
+    probeLocations/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-time", default=None)
+    a = ap.parse_args(argv)
+    from ..core.case import Case
+    from ..core.dictionary import parse_file
+
+    case = Case(a.case)
+    t = a.time or case.latest_time_name()
+    mesh = case.mesh
+    import os as _os
+
+    d = parse_file(_os.path.join(a.case, "system", "probesDict"))
+    pts = np.asarray(d.get("probeLocations", []),
+                     dtype=float).reshape(-1, 3)
+    fields = [str(x) for x in d.get("fields", [])]
+    c = np.asarray(mesh.c)
+    cells = [int(np.argmin(((c - p) ** 2).sum(axis=1))) for p in pts]
+    for name in fields:
+        f = case.read_field(name, time=t)
+        data = np.asarray(f.data)
+        for p, ci in zip(pts, cells):
+            val = data[ci]
+            s = (f"({val[0]:.6g} {val[1]:.6g} {val[2]:.6g})"
+                 if data.ndim == 2 else f"{val:.6g}")
+            print(f"probeLocations: {name} @ ({p[0]:g} {p[1]:g} "
+                  f"{p[2]:g}) = {s}")
+    return 0
+
+
 COMMANDS = {
     "vorticity": vorticity_cmd,
     "enstrophy": enstrophy_cmd,
@@ -464,4 +577,8 @@ COMMANDS = {
     "stressComponents": stresscomponents_cmd,
     "patchIntegrate": patchintegrate_cmd,
     "applyBoundaryLayer": applyboundarylayer_cmd,
+    "wallShearStress": wallshearstress_cmd,
+    "engineCompRatio": engine_comp_ratio_cmd,
+    "pdfPlot": pdf_plot_cmd,
+    "probeLocations": probe_locations_cmd,
 }

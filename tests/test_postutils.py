@@ -149,3 +149,34 @@ def test_mach_on_compressible_case(tmp_path):
     ma = np.asarray(Case(dst).read_field("Ma", time="0").data)
     assert np.isfinite(ma).all()
     assert ma.max() < 1.0   # subsonic duct inlet
+
+
+def test_wallshearstress_pdfplot_probes(cavity_done, capsys):
+    from foamtpu.core.case import Case
+
+    assert _main("wallShearStress", "-case", cavity_done) == 0
+    case = Case(cavity_done)
+    t = case.latest_time_name()
+    tau = np.asarray(case.read_field("wallShearStress", time=t).data)
+    assert np.isfinite(tau).all() and np.abs(tau).max() > 0
+
+    assert _main("pdfPlot", "p", "-case", cavity_done) == 0
+    path = os.path.join(cavity_done, "postProcessing", "pdfPlot", t,
+                        "p.xy")
+    arr = np.loadtxt(path)
+    assert arr.shape[1] == 2
+    # pdf integrates to ~1
+    dx = arr[1, 0] - arr[0, 0]
+    assert abs(arr[:, 1].sum() * dx - 1.0) < 1e-3
+
+    with open(os.path.join(cavity_done, "system", "probesDict"),
+              "w") as f:
+        f.write("FoamFile { version 2.0; format ascii; "
+                "class dictionary; object probesDict; }\n"
+                "fields ( p U );\n"
+                "probeLocations ( (0.05 0.05 0.005) );\n")
+    capsys.readouterr()
+    assert _main("probeLocations", "-case", cavity_done) == 0
+    out = capsys.readouterr().out
+    assert "p @ (0.05 0.05 0.005)" in out
+    assert "U @" in out
