@@ -137,7 +137,21 @@ class Case:
         if str(d.get("solver", "")) == "GAMG" and "_gamg" not in d:
             from ..solvers.linear.gamg import GAMG
 
-            d["_gamg"] = GAMG(self.mesh)
+            # honour the fvSolution smoother/sweep menu: Chebyshev is
+            # the TPU-parallel stand-in for (sym)GaussSeidel
+            # (documented deviation, SURVEY.md §7 decision 4);
+            # FOAMTPU_GAMG_SMOOTHER overrides for experiments
+            import os as _os
+
+            sm = str(d.get("smoother", "Jacobi"))
+            sm = {"GaussSeidel": "Chebyshev", "symGaussSeidel":
+                  "Chebyshev", "DIC": "Chebyshev",
+                  "DICGaussSeidel": "Chebyshev"}.get(sm, sm)
+            sm = _os.environ.get("FOAMTPU_GAMG_SMOOTHER", sm)
+            d["_gamg"] = GAMG(
+                self.mesh, smoother=sm,
+                n_pre=int(d.get("nPreSweeps", 2)),
+                n_post=int(d.get("nPostSweeps", 2)))
         return d
 
     def pimple_controls(self, name: str = "PISO") -> FoamDict:
