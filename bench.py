@@ -137,6 +137,10 @@ def main():
     except Exception as e:
         out["detail"]["tight_tol"] = {"error": f"{type(e).__name__}: {e}"}
     try:
+        out["detail"]["ensemble"] = bench_ensemble()
+    except Exception as e:
+        out["detail"]["ensemble"] = {"error": f"{type(e).__name__}: {e}"}
+    try:
         out["detail"]["pitzDaily"] = bench_pitz()
     except Exception as e:  # keep the primary metric robust
         out["detail"]["pitzDaily"] = {"error": f"{type(e).__name__}: {e}"}
@@ -298,3 +302,54 @@ def bench_pitz():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_ensemble():
+    """Ensemble (vmapped-case) throughput: 8 cavity replicas with
+    different lid speeds advance in ONE batched PISO step — the
+    TPU-native parameter-sweep mode (parallel/ensemble.py). Reported
+    as aggregate cell-updates/s vs the single-case rate on the same
+    mesh."""
+    import jax.numpy as jnp
+
+    from foamtpu.apps.cases import make_cavity
+    from foamtpu.parallel import ensemble
+    from foamtpu.solvers import piso
+
+    n = int(os.environ.get("BENCH_ENS_N", "128"))
+    nmem = int(os.environ.get("BENCH_ENS_M", "8"))
+    mesh, state, cfg = make_cavity(n)
+    dt = jnp.asarray(0.5 * (0.1 / n), mesh.v.dtype)
+
+    step1 = piso.make_step(mesh, cfg)
+    s1, diag = step1(state, dt)
+    _ = _sync_scalar(s1["U"].data)
+    sec1, _, s1, diag = median_trials(step1, s1, dt, 10, 3)
+
+    import jax
+
+    states = ensemble.stack([state] * nmem)
+    # vary the lid speed per lane so the lanes genuinely differ
+    scale = jnp.linspace(0.5, 2.0, nmem)
+    U = states["U"]
+    bcs = list(U.bcs)
+    for i, (p_, bc) in enumerate(zip(mesh.patches, bcs)):
+        if p_.name in ("movingWall", "lid"):
+            rv = jnp.asarray(bc.ref_value)
+            rv = rv * scale[:, None, None] if rv.ndim == 3 else \
+                rv * scale[:, None]
+            bcs[i] = bc.replace(ref_value=rv)
+    states["U"] = U.replace(bcs=tuple(bcs))
+    estep = ensemble.make_step(mesh, piso.piso_step, cfg,
+                               (cfg.p_controls, cfg.u_controls))
+    states, diags = estep(states, dt)
+    _ = _sync_scalar(states["U"].data)
+    secN, _, states, diags = median_trials(estep, states, dt, 10, 3)
+
+    return {"case": f"icoFoam cavity {n}x{n} ensemble x{nmem}",
+            "n_cells": mesh.n_cells, "members": nmem,
+            "single_sec_per_step": round(sec1, 5),
+            "ensemble_sec_per_step": round(secN, 5),
+            "aggregate_cells_per_sec":
+                round(nmem * mesh.n_cells / secN, 1),
+            "speedup_vs_serial_sweep": round(nmem * sec1 / secN, 2)}
