@@ -1346,9 +1346,106 @@ def particle_tracks_cmd(argv) -> int:
     return 0
 
 
+def stitch_mesh_cmd(argv) -> int:
+    """stitchMesh <master> <slave>: merge two coincident boundary
+    patches into internal faces (reference: .../mesh/manipulation/
+    stitchMesh/, perfect-match mode)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("master")
+    ap.add_argument("slave")
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-tol", type=float, default=1e-7)
+    a = ap.parse_args(argv)
+    from ..io import polymesh as mesh_io
+    from . import meshutils3
+
+    mdir = os.path.join(a.case, "constant", "polyMesh")
+    pm = mesh_io.read(mdir)
+    out = meshutils3.stitch_mesh(pm, a.master, a.slave, a.tol)
+    mesh_io.write(out, mdir)
+    print(f"stitchMesh: merged {a.master}/{a.slave}; "
+          f"{out.n_internal_faces} internal faces, patches "
+          f"{[p.name for p in out.patches]}")
+    return 0
+
+
+def temporal_interpolate_cmd(argv) -> int:
+    """temporalInterpolate -time t -fields '(U p)': linear field
+    interpolation between the bracketing saved times (reference:
+    .../postProcessing/miscellaneous/temporalInterpolate/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-time", type=float, required=True)
+    ap.add_argument("-fields", default="U p")
+    a = ap.parse_args(argv)
+    from . import meshutils3
+
+    names = [x for x in a.fields.replace("(", " ").replace(")", " ")
+             .split() if x]
+    done = meshutils3.temporal_interpolate(a.case, a.time, names)
+    print(f"temporalInterpolate: wrote {done} at t={a.time:g}")
+    return 0
+
+
+def write_cell_volumes(argv) -> int:
+    """writeCellVolumes (reference: .../postProcessing/miscellaneous/
+    writeCellVolumes/)."""
+    args = _case_arg(argv)
+    import jax.numpy as jnp
+
+    from ..core.case import Case
+    from ..core.dimensions import DimensionSet
+    from ..core.fields import vol_scalar
+    from ..io import fields as field_io
+
+    case = Case(args.case)
+    mesh = case.mesh
+    t = args.time or case.latest_time_name()
+    out = vol_scalar(mesh, 0.0, name="V",
+                     dims=DimensionSet.of(0, 3, 0)).with_data(
+        jnp.asarray(mesh.v))
+    field_io.write_field(out, mesh, case.dir, t)
+    print(f"writeCellVolumes: wrote V at {t} "
+          f"(total {float(jnp.sum(mesh.v)):.6g} m^3)")
+    return 0
+
+
+def surface_subset(argv) -> int:
+    """surfaceSubset <in> <out> -box 'x0 y0 z0 x1 y1 z1': keep the
+    triangles whose centroid is inside the box (reference:
+    applications/utilities/surface/surfaceSubset/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("infile")
+    ap.add_argument("outfile")
+    ap.add_argument("-box", required=True)
+    a = ap.parse_args(argv)
+    from ..mesh.snappy import read_stl, write_stl
+
+    vals = [float(x) for x in a.box.replace("(", " ")
+            .replace(")", " ").split()]
+    lo, hi = np.asarray(vals[:3]), np.asarray(vals[3:6])
+    tris = read_stl(a.infile)
+    c = tris.mean(axis=1)
+    keep = np.all((c >= lo) & (c <= hi), axis=1)
+    write_stl(a.outfile, tris[keep])
+    print(f"surfaceSubset: kept {int(keep.sum())}/{len(tris)} "
+          f"triangles -> {a.outfile}")
+    return 0
+
+
 COMMANDS = {
     "blockMesh": block_mesh,
     "particleTracks": particle_tracks_cmd,
+    "stitchMesh": stitch_mesh_cmd,
+    "temporalInterpolate": temporal_interpolate_cmd,
+    "writeCellVolumes": write_cell_volumes,
+    "surfaceSubset": surface_subset,
     "snappyHexMesh": snappy_hex_mesh,
     "topoSet": topo_set_cmd,
     "createPatch": create_patch_cmd,

@@ -221,3 +221,110 @@ def post_channel(case: str, time_name: str = None,
                     + " " + " ".join(f"{v:.8g}" for v in uprime[i])
                     + "\n")
     return path
+
+
+# ---------------------------------------------------------------------------
+# stitchMesh (reference: .../mesh/manipulation/stitchMesh/): merge two
+# boundary patches whose faces coincide geometrically into internal
+# faces — the perfect-match (integral) mode
+# ---------------------------------------------------------------------------
+
+def stitch_mesh(pm: PolyMesh, master: str, slave: str,
+                tol: float = 1e-7) -> PolyMesh:
+    mp = next(p for p in pm.patches if p.name == master)
+    sp = next(p for p in pm.patches if p.name == slave)
+    if mp.size != sp.size:
+        raise ValueError(f"stitchMesh: patch sizes differ "
+                         f"({mp.size} vs {sp.size})")
+    scale = float(np.abs(pm.points).max()) or 1.0
+    mc = pm.cf[mp.start:mp.start + mp.size]
+    sc = pm.cf[sp.start:sp.start + sp.size]
+    # match slave faces to master faces by centre
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(sc)
+    d, j = tree.query(mc)
+    if d.max() > tol * scale:
+        raise ValueError(f"stitchMesh: faces do not coincide "
+                         f"(max gap {d.max():.3g})")
+    if len(set(j.tolist())) != mp.size:
+        raise ValueError("stitchMesh: non-bijective face match")
+
+    faces = _face_list(pm)
+    nif = pm.n_internal_faces
+    new_faces = [faces[i] for i in range(nif)]
+    new_owner = list(pm.owner[:nif])
+    new_neigh = list(pm.neighbour)
+    # new internal faces: master geometry, owner = master owner,
+    # neighbour = slave owner (flip if owner > neighbour to keep the
+    # owner < neighbour convention)
+    for k in range(mp.size):
+        fm = mp.start + k
+        fs = sp.start + int(j[k])
+        o, n = int(pm.owner[fm]), int(pm.owner[fs])
+        if o <= n:
+            new_faces.append(faces[fm])
+            new_owner.append(o)
+            new_neigh.append(n)
+        else:
+            new_faces.append(list(reversed(faces[fm])))
+            new_owner.append(n)
+            new_neigh.append(o)
+    patches: List[Patch] = []
+    start = len(new_faces)
+    drop = {master, slave}
+    for p in pm.patches:
+        if p.name in drop:
+            continue
+        for f in range(p.start, p.start + p.size):
+            new_faces.append(faces[f])
+            new_owner.append(pm.owner[f])
+        patches.append(Patch(name=p.name, type=p.type, start=start,
+                             size=p.size))
+        start += p.size
+    out = _build(pm.points, new_faces, new_owner, new_neigh, patches)
+    if pm.cell_zones:
+        out.cell_zones.update(pm.cell_zones)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# temporalInterpolate (reference: .../postProcessing/miscellaneous/
+# temporalInterpolate/): linear interpolation of fields between two
+# saved times
+# ---------------------------------------------------------------------------
+
+def temporal_interpolate(case: str, t_target: float,
+                         fields: List[str]) -> List[str]:
+    from ..core.case import Case
+    from ..core import runtime
+    from ..io import fields as field_io
+
+    c = Case(case)
+    times = []
+    for dname in os.listdir(case):
+        try:
+            times.append((float(dname), dname))
+        except ValueError:
+            continue
+    times.sort()
+    lo = max((t for t in times if t[0] <= t_target),
+             default=None)
+    hi = min((t for t in times if t[0] >= t_target),
+             default=None)
+    if lo is None or hi is None:
+        raise ValueError("temporalInterpolate: target outside the "
+                         "saved time range")
+    w = 0.0 if hi[0] == lo[0] else \
+        (t_target - lo[0]) / (hi[0] - lo[0])
+    tname = runtime.time_name(t_target, c.time.time_precision)
+    done = []
+    import jax.numpy as jnp
+
+    for name in fields:
+        f0 = c.read_field(name, time=lo[1])
+        f1 = c.read_field(name, time=hi[1])
+        f = f0.with_data((1.0 - w) * f0.data + w * f1.data)
+        field_io.write_field(f, c.mesh, case, tname)
+        done.append(name)
+    return done

@@ -258,3 +258,77 @@ def test_particle_tracks(tmp_path):
     first = pts[0]
     second = pts[1]
     assert second[1] < first[1]   # gravity pulls the track down
+
+
+def test_stitch_mesh_inverts_baffles():
+    """stitchMesh merges two coincident patches back into internal
+    faces: baffling then stitching restores the internal face count
+    and diffusion flows across the plane again."""
+    from foamtpu.apps.meshutils3 import create_baffles, stitch_mesh
+
+    pm = blockmesh.generate(parse_string(BOX))
+    nif0 = pm.n_internal_faces
+    plane = np.nonzero(np.abs(pm.cf[:nif0, 0] - 0.5) < 1e-9)[0]
+    baffled = create_baffles(pm, plane, "baffle")
+    assert baffled.n_internal_faces == nif0 - plane.size
+    stitched = stitch_mesh(baffled, "baffle_master", "baffle_slave")
+    assert stitched.n_internal_faces == nif0
+    assert not any(p.name.startswith("baffle")
+                   for p in stitched.patches)
+    _closed(stitched)
+    # volumes identical to the original mesh
+    np.testing.assert_allclose(np.sort(stitched.v), np.sort(pm.v),
+                               rtol=1e-12)
+
+
+def test_temporal_interpolate(cavity_done):
+    from foamtpu.apps.cli import main
+    from foamtpu.core.case import Case
+
+    c = Case(cavity_done)
+    # two consecutive saved times from the earlier run
+    times = sorted(float(d) for d in os.listdir(cavity_done)
+                   if d.replace(".", "").isdigit()
+                   and os.path.isdir(os.path.join(cavity_done, d)))
+    t0, t1 = times[-2], times[-1]
+    mid = 0.5 * (t0 + t1)
+    assert main(["temporalInterpolate", "-time", str(mid),
+                 "-fields", "(U p)", "-case", cavity_done]) == 0
+    from foamtpu.core import runtime as rt
+
+    tname = rt.time_name(mid, c.time.time_precision)
+    Um = np.asarray(Case(cavity_done).read_field("U",
+                                                 time=tname).data)
+    U0 = np.asarray(c.read_field("U", time=rt.time_name(
+        t0, c.time.time_precision)).data)
+    U1 = np.asarray(c.read_field("U", time=rt.time_name(
+        t1, c.time.time_precision)).data)
+    np.testing.assert_allclose(Um, 0.5 * (U0 + U1), rtol=1e-5,
+                               atol=1e-8)
+
+
+def test_write_cell_volumes_and_surface_subset(cavity_done, tmp_path):
+    from foamtpu.apps.cli import main
+    from foamtpu.core.case import Case
+
+    assert main(["writeCellVolumes", "-case", cavity_done]) == 0
+    c = Case(cavity_done)
+    t = c.latest_time_name()
+    V = np.asarray(c.read_field("V", time=t).data)
+    # the shared fixture was deformedGeom'ed by an earlier test: a
+    # ~3e-5 relative volume change is expected
+    np.testing.assert_allclose(V.sum(), 0.1 * 0.1 * 0.01, rtol=1e-3)
+
+    # surfaceSubset on a 2-triangle square: keep one half
+    stl = str(tmp_path / "sq.stl")
+    out = str(tmp_path / "half.stl")
+    from foamtpu.mesh.snappy import write_stl
+
+    tris = np.asarray([[[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+                       [[1, 0, 0], [1, 1, 0], [0, 1, 0]]], float)
+    write_stl(stl, tris)
+    assert main(["surfaceSubset", stl, out,
+                 "-box", "0 0 -1 0.5 0.5 1"]) == 0
+    from foamtpu.mesh.snappy import read_stl
+
+    assert read_stl(out).shape[0] == 1
