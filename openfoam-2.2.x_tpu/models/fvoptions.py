@@ -162,6 +162,42 @@ class Option:
             wxu = jnp.cross(jnp.broadcast_to(omega, U.data.shape), U.data)
             add = -(mesh.v * m)[:, None] * wxu
             return eqn.replace_fields(source=eqn.source + add)
+        if k == "fixedTemperatureConstraint":
+            # exact row replacement in the zone (reference:
+            # fvOptions/constraints/fixedTemperatureConstraint)
+            tset = jnp.full(mesh.n_cells, float(d["temperature"]),
+                            mesh.v.dtype)
+            return eqn.set_values(m, tset, mesh)
+        if k == "temperatureLimitsConstraint":
+            # constrain only the cells currently OUTSIDE the limits to
+            # the clipped value (reference: fvOptions/constraints/
+            # temperatureLimitsConstraint — there applied post-solve;
+            # the in-matrix form converges to the same fixed point)
+            tmin, tmax = float(d["Tmin"]), float(d["Tmax"])
+            cur = field.data if hasattr(field, "data") else field
+            viol = m * jnp.where((cur < tmin) | (cur > tmax), 1.0, 0.0)
+            return eqn.set_values(viol,
+                                  jnp.clip(cur, tmin, tmax), mesh)
+        if k == "radialActuationDiskSource":
+            Cp, Ct = float(d["Cp"]), float(d["Ct"])
+            area = float(d["diskArea"])
+            ddir = _vec(d["diskDir"])
+            ddir = ddir / max(np.linalg.norm(ddir), 1e-30)
+            a = 1.0 - Cp / max(Ct, 1e-30)
+            upstream = jnp.asarray(d.get("upstreamU", 1.0),
+                                   mesh.v.dtype)
+            T = 2.0 * area * upstream ** 2 * a * (1.0 - a)
+            # radial profile Tr(r) = T (c0 + c1 r^2 + c2 r^4),
+            # normalised so the zone-integrated thrust equals T
+            # (reference: radialActuationDiskSource::addRadialActuationDiskAxialInertialResistance)
+            r = jnp.asarray(d["r_cell"], mesh.v.dtype)
+            c0, c1, c2 = (float(x) for x in d["coeffs"])
+            prof = c0 + c1 * r ** 2 + c2 * r ** 4
+            wsum = jnp.maximum(jnp.sum(mesh.v * m * prof), 1e-30)
+            f_mag = T * prof / wsum
+            add = -(mesh.v * m * f_mag)[:, None] \
+                * jnp.asarray(ddir, mesh.v.dtype)[None, :]
+            return eqn.replace_fields(source=eqn.source + add)
         return eqn
 
     # ---- post-solve corrections (meanVelocityForce gradP update) -----------
@@ -317,6 +353,39 @@ def _parse_option(mesh, name: str, spec: FoamDict, nu: float) -> Option:
                              "assign `source`")
         return Option(name, "codedSource", mask, fields,
                       {"source": np.asarray(src, dtype=float)})
+    if kind == "fixedTemperatureConstraint":
+        t_ent = sub.get("temperature", 300.0)
+        if isinstance(t_ent, (list, tuple)):
+            t_ent = t_ent[-1]
+        fields = tuple(str(f) for f in sub.get("fieldNames", ["T"]))
+        return Option(name, kind, mask, fields or ("T",),
+                      {"temperature": float(np.asarray(
+                          t_ent, dtype=float).reshape(-1)[-1])})
+    if kind in ("temperatureLimitsConstraint", "limitTemperature"):
+        return Option(name, "temperatureLimitsConstraint", mask,
+                      ("T",),
+                      {"Tmin": float(sub.get("Tmin",
+                                             sub.get("min", 0.0))),
+                       "Tmax": float(sub.get("Tmax",
+                                             sub.get("max", 5000.0)))})
+    if kind == "radialActuationDiskSource":
+        ddir = _vec(sub.get("diskDir", (1.0, 0.0, 0.0)))
+        ddir = ddir / max(np.linalg.norm(ddir), 1e-30)
+        c = np.asarray(mesh.c)
+        zone_c = c[np.asarray(mask) > 0]
+        centre = zone_c.mean(axis=0) if zone_c.size else c.mean(axis=0)
+        rel = c - centre
+        r_cell = np.linalg.norm(rel - np.outer(rel @ ddir, ddir),
+                                axis=1)
+        coeffs = np.asarray(sub.get("coeffs", (0.1, 0.5, 0.01)),
+                            dtype=float).reshape(-1)[:3]
+        return Option(name, kind, mask, ("U",), {
+            "Cp": float(sub.get("Cp", 0.386)),
+            "Ct": float(sub.get("Ct", 0.58)),
+            "diskArea": float(sub.get("diskArea", 1.0)),
+            "diskDir": ddir,
+            "upstreamU": float(sub.get("upstreamU", 1.0)),
+            "r_cell": r_cell, "coeffs": tuple(coeffs)})
     if kind in ("MRFSource", "MRF"):
         axis = _vec(sub.get("axis", (0.0, 0.0, 1.0)))
         axis = axis / max(np.linalg.norm(axis), 1e-30)

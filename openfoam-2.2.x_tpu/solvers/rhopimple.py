@@ -221,6 +221,11 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
         dpdt = jnp.zeros_like(K) if cfg.steady else (p.data - p0) * rdt
         cp_c = _cp_of(T.data)   # janaf: Cp(T) field; hConst: scalar
         TEqn = TEqn.add_source((dpdt - dKdt - div_phiK) / cp_c, mesh)
+        if cfg.fv_options:
+            # energy constraints (fixedTemperatureConstraint,
+            # temperatureLimitsConstraint) + T-targeted sources
+            TEqn = cfg.fv_options.add_to(mesh, TEqn, "T", T, U=U,
+                                         rho=rho)
         if relax_now and cfg.alpha_e < 1.0:
             TEqn = TEqn.relax(mesh, cfg.alpha_e, T.data)
         if cfg.solve_energy:

@@ -279,3 +279,92 @@ porosity
     assert abs(ds[0] + 16.5) < 1e-4
     assert abs(ds[1] + 49.5) < 1e-4
     assert abs(ds[2]) < 1e-6
+
+
+def test_fixed_temperature_constraint():
+    """fixedTemperatureConstraint holds the zone at Tset through the
+    rhoPimple energy solve (reference: fvOptions/constraints/
+    fixedTemperatureConstraint)."""
+    from foamtpu.core.dictionary import FoamDict
+    from foamtpu.models.thermo import PerfectGas
+    from foamtpu.solvers import rhopimple as rp
+
+    mesh, U, p = _channel()
+    th = PerfectGas(R=287.0, Cv=717.5, mu=1.8e-5)
+    spec = FoamDict([("type", "fixedTemperatureConstraint"),
+                     ("selectionMode", "box"),
+                     ("box", np.asarray([[0.8, -1.0, -1.0],
+                                         [1.2, 2.0, 2.0]])),
+                     ("temperature", 400.0),
+                     ("fieldNames", ["T"])])
+    import foamtpu.models.fvoptions as fvo
+
+    c = np.asarray(mesh.c)
+    zone = np.nonzero((c[:, 0] > 0.8) & (c[:, 0] < 1.2))[0]
+    opts = fvo.from_dict(mesh, FoamDict([("heater", spec)]))
+    from foamtpu.core.fields import vol_scalar
+
+    T = vol_scalar(mesh, 300.0, name="T",
+                   dims=DimensionSet.of(0, 0, 0, 1),
+                   bcs=T_bcs(mesh))
+    p_abs = vol_scalar(mesh, 1e5, name="p",
+                       dims=DimensionSet.of(1, -1, -2),
+                       bcs=tuple(pf.zero_gradient()
+                                 if p_.type != "empty" else
+                                 pf.PatchField(kind="empty", vfrac=0.0)
+                                 for p_ in mesh.patches))
+    cfg = rp.RhoPimpleConfig(thermo=th, steady=False,
+                             n_correctors=2, fv_options=opts,
+                             p_ref_value=1e5)
+    state = rp.initial_state(mesh, U, p_abs, T, th)
+    state["fvopt"] = opts.init_state(mesh)
+    step = rp.make_step(mesh, cfg)
+    dt = jnp.asarray(1e-3, mesh.v.dtype)
+    for _ in range(5):
+        state, diag = step(state, dt)
+    Td = np.asarray(state["T"].data)
+    assert np.allclose(Td[zone], 400.0, atol=0.5)
+    # heat diffuses/advects out of the zone: neighbours warmed above
+    # the 300 K background
+    assert Td[np.setdiff1d(np.arange(mesh.n_cells), zone)].max() > 301.0
+
+
+def T_bcs(mesh):
+    out = []
+    for p_ in mesh.patches:
+        if p_.type == "empty":
+            out.append(pf.PatchField(kind="empty", vfrac=0.0))
+        else:
+            out.append(pf.zero_gradient())
+    return tuple(out)
+
+
+def test_radial_actuation_disk_total_thrust():
+    """radialActuationDiskSource distributes the same total thrust as
+    the uniform disk, weighted by the radial profile."""
+    from foamtpu.core.dictionary import FoamDict
+    import foamtpu.models.fvoptions as fvo
+    from foamtpu.ops.matrix import zero_matrix
+
+    mesh, U, p = _channel()
+    c = np.asarray(mesh.c)
+    zone = np.nonzero((c[:, 0] > 0.8) & (c[:, 0] < 1.2))[0]
+    common = [("selectionMode", "box"),
+              ("box", np.asarray([[0.8, -1.0, -1.0],
+                                  [1.2, 2.0, 2.0]])),
+              ("diskDir", [(1.0, 0.0, 0.0)]), ("Cp", 0.386),
+              ("Ct", 0.58), ("diskArea", 0.04), ("upstreamU", 1.0)]
+    uni = fvo.from_dict(mesh, FoamDict([
+        ("d1", FoamDict([("type", "actuationDiskSource")] + common))]))
+    rad = fvo.from_dict(mesh, FoamDict([
+        ("d2", FoamDict([("type", "radialActuationDiskSource"),
+                         ("coeffs", [(0.1, 0.5, 0.01)])] + common))]))
+    m0 = zero_matrix(mesh, 3, dims=DimensionSet.of(0, 4, -2))
+    e_uni = uni.add_to(mesh, m0, "U", U, U=U)
+    e_rad = rad.add_to(mesh, m0, "U", U, U=U)
+    f_uni = np.asarray(e_uni.source)[:, 0]
+    f_rad = np.asarray(e_rad.source)[:, 0]
+    np.testing.assert_allclose(f_uni.sum(), f_rad.sum(), rtol=1e-5)
+    # the radial profile is NOT uniform inside the zone
+    nz = f_rad[zone]
+    assert nz.std() > 1e-3 * np.abs(nz).mean()
