@@ -77,7 +77,16 @@ def from_dict(d: FoamDict) -> PerfectGas:
     """Build from a thermophysicalProperties dictionary (accepts both
     the 2.2 `thermoType` one-liner cases and explicit mixture dicts).
     A `janaf` thermoType (or explicit low/highCpCoeffs) selects the
-    NASA-polynomial JanafGas."""
+    NASA-polynomial JanafGas; the other 2.2 equations of state
+    (incompressiblePerfectGas, rhoConst, icoPolynomial,
+    adiabaticPerfectFluid) dispatch on the thermoType string."""
+    alt = _eos_from_dict(d)
+    if alt is not None:
+        return alt
+    return _parse_perfect_or_janaf(d)
+
+
+def _parse_perfect_or_janaf(d: FoamDict) -> PerfectGas:
     mix = d.get("mixture")
     tt = str(d.get("thermoType", ""))
     if isinstance(mix, FoamDict):
@@ -118,6 +127,12 @@ def from_dict(d: FoamDict) -> PerfectGas:
                 mu, Pr = nums[4], nums[5]
     return PerfectGas(R=R, Cv=Cv, mu=mu, Pr=Pr,
                       sutherland_As=As, sutherland_Ts=Ts)
+
+
+def from_dict_perfect(d: FoamDict) -> PerfectGas:
+    """The plain perfectGas parse (R/Cv/transport) without EOS
+    dispatch — the base the alternative EOS classes extend."""
+    return _parse_perfect_or_janaf(d)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -238,3 +253,126 @@ def _janaf_from_mixture(mix: FoamDict) -> JanafGas:
         Pr=float(tr.get("Pr", 0.7)),
         sutherland_As=float(tr.get("As", 0.0)),
         sutherland_Ts=float(tr.get("Ts", 110.4)))
+
+
+# ---------------------------------------------------------------------------
+# The remaining 2.2.x equations of state (reference:
+# src/thermophysicalModels/specie/equationOfState/{
+# incompressiblePerfectGas,rhoConst,icoPolynomial,
+# adiabaticPerfectFluid}). Each mirrors the PerfectGas interface so
+# every compressible solver accepts them unchanged; psi reflects
+# d(rho)/d(p) of the law (zero for the pressure-independent ones).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class IncompressiblePerfectGas(PerfectGas):
+    """rho = pRef/(R T): thermally expandable, pressure-incompressible
+    (the buoyantCavity standard)."""
+
+    p_ref: float = 1e5
+
+    def rho(self, p: Any, T: Any) -> Any:
+        return self.p_ref / (self.R * jnp.maximum(T, 1e-10))
+
+    def psi(self, T: Any) -> Any:
+        return jnp.zeros_like(jnp.asarray(T))
+
+
+@dataclasses.dataclass(frozen=True)
+class RhoConst(PerfectGas):
+    """rho = rho0 (liquid-like constant density)."""
+
+    rho0: float = 1000.0
+
+    def rho(self, p: Any, T: Any) -> Any:
+        return jnp.full_like(jnp.asarray(T), self.rho0)
+
+    def psi(self, T: Any) -> Any:
+        return jnp.zeros_like(jnp.asarray(T))
+
+
+@dataclasses.dataclass(frozen=True)
+class IcoPolynomial(PerfectGas):
+    """rho(T) = sum_i a_i T^i (pressure-independent polynomial)."""
+
+    rho_coeffs: tuple = (1000.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+    def rho(self, p: Any, T: Any) -> Any:
+        T = jnp.asarray(T)
+        out = jnp.zeros_like(T)
+        for a in reversed(self.rho_coeffs):
+            out = out * T + a
+        return out
+
+    def psi(self, T: Any) -> Any:
+        return jnp.zeros_like(jnp.asarray(T))
+
+
+@dataclasses.dataclass(frozen=True)
+class AdiabaticPerfectFluid(PerfectGas):
+    """rho = rho0 ((p + B)/(p0 + B))^(1/gamma) (Tait-like barotropic
+    liquid)."""
+
+    rho0: float = 1000.0
+    p0: float = 1e5
+    B: float = 3e8
+    gamma_f: float = 7.15
+
+    def rho(self, p: Any, T: Any) -> Any:
+        r = (jnp.maximum(jnp.asarray(p) + self.B, 1.0)
+             / (self.p0 + self.B))
+        return self.rho0 * r ** (1.0 / self.gamma_f)
+
+    def psi(self, T_or_p: Any, p: Any = None) -> Any:
+        """d(rho)/dp at the reference state (linearised; the pressure
+        solvers use psi as a constant compressibility factor)."""
+        x = jnp.asarray(T_or_p if p is None else p)
+        return jnp.full_like(
+            x, self.rho0 / (self.gamma_f * (self.p0 + self.B)))
+
+
+def _eos_from_dict(d: FoamDict):
+    """thermoType-driven EOS selection; None -> the perfectGas/janaf
+    path in from_dict."""
+    tt = str(d.get("thermoType", ""))
+    mix = d.get("mixture")
+    eos = FoamDict()
+    if isinstance(mix, FoamDict):
+        eos = mix.get("equationOfState", FoamDict())
+    base = from_dict_perfect(d)
+
+    def f(key, default):
+        v = eos.get(key, default) if isinstance(eos, FoamDict) \
+            else default
+        if isinstance(v, (list, tuple)):
+            v = v[-1]
+        import numpy as _np
+
+        return float(_np.asarray(v, dtype=float).reshape(-1)[-1])
+
+    if "incompressiblePerfectGas" in tt:
+        return IncompressiblePerfectGas(
+            R=base.R, Cv=base.Cv, mu=base.mu, Pr=base.Pr,
+            sutherland_As=base.sutherland_As,
+            sutherland_Ts=base.sutherland_Ts,
+            p_ref=f("pRef", 1e5))
+    if "rhoConst" in tt:
+        return RhoConst(R=base.R, Cv=base.Cv, mu=base.mu, Pr=base.Pr,
+                        rho0=f("rho", f("rho0", 1000.0)))
+    if "icoPolynomial" in tt:
+        rc = eos.get("rhoCoeffs<8>", eos.get("rhoCoeffs", None)) \
+            if isinstance(eos, FoamDict) else None
+        import numpy as _np
+
+        coeffs = tuple(_np.asarray(rc, dtype=float).reshape(-1)[:8]) \
+            if rc is not None else (1000.0, 0, 0, 0, 0, 0, 0, 0)
+        coeffs = coeffs + (0.0,) * (8 - len(coeffs))
+        return IcoPolynomial(R=base.R, Cv=base.Cv, mu=base.mu,
+                             Pr=base.Pr, rho_coeffs=coeffs)
+    if "adiabaticPerfectFluid" in tt:
+        return AdiabaticPerfectFluid(
+            R=base.R, Cv=base.Cv, mu=base.mu, Pr=base.Pr,
+            rho0=f("rho0", 1000.0), p0=f("p0", 1e5),
+            B=f("B", 3e8), gamma_f=f("gamma", 7.15))
+    return None

@@ -163,3 +163,110 @@ products { CO2 1; H2O 2; N2 7.52; }
     assert main(["adiabaticFlameT", "flameT", "-case", case]) == 0
     outp = capsys.readouterr().out
     assert "Adiabatic flame temperature" in outp
+
+
+def test_alternative_equations_of_state():
+    """incompressiblePerfectGas / rhoConst / icoPolynomial /
+    adiabaticPerfectFluid dispatch from thermoType and satisfy their
+    state laws (reference: specie/equationOfState/)."""
+    import numpy as np
+
+    from foamtpu.core.dictionary import parse_string
+    from foamtpu.models import thermo as th
+
+    base_mix = """
+mixture
+{
+    specie { nMoles 1; molWeight 28.96; }
+    equationOfState { pRef 90000; rho 850; rho0 998; p0 1e5;
+                      B 3.0e8; gamma 7.15;
+                      rhoCoeffs<8> (1000 -0.05 0 0 0 0 0 0); }
+    thermodynamics { Cp 1004.5; Hf 0; }
+    transport { mu 1.8e-05; Pr 0.7; }
+}
+"""
+    ipg = th.from_dict(parse_string(
+        "thermoType hePsiThermo<pureMixture<const<hConst<"
+        "incompressiblePerfectGas<specie>>,sensibleEnthalpy>>>;"
+        + base_mix))
+    assert isinstance(ipg, th.IncompressiblePerfectGas)
+    # rho independent of p, = pRef/(R T)
+    r1 = float(ipg.rho(1e5, 300.0))
+    r2 = float(ipg.rho(5e4, 300.0))
+    assert abs(r1 - r2) < 1e-12
+    assert abs(r1 - 90000.0 / (ipg.R * 300.0)) < 1e-6
+    assert float(np.asarray(ipg.psi(300.0))) == 0.0
+
+    rc = th.from_dict(parse_string(
+        "thermoType heRhoThermo<pureMixture<const<hConst<"
+        "rhoConst<specie>>,sensibleEnthalpy>>>;" + base_mix))
+    assert isinstance(rc, th.RhoConst)
+    assert float(rc.rho(2e5, 350.0)) == 850.0
+
+    ico = th.from_dict(parse_string(
+        "thermoType heRhoThermo<pureMixture<const<hConst<"
+        "icoPolynomial<specie>>,sensibleEnthalpy>>>;" + base_mix))
+    assert isinstance(ico, th.IcoPolynomial)
+    assert abs(float(ico.rho(1e5, 300.0))
+               - (1000.0 - 0.05 * 300.0)) < 1e-9
+
+    apf = th.from_dict(parse_string(
+        "thermoType hePsiThermo<pureMixture<const<eConst<"
+        "adiabaticPerfectFluid<specie>>,sensibleInternalEnergy>>>;"
+        + base_mix))
+    assert isinstance(apf, th.AdiabaticPerfectFluid)
+    # Tait law: rho(p0) = rho0; monotone in p
+    assert abs(float(apf.rho(1e5, 300.0)) - 998.0) < 1e-6
+    assert float(apf.rho(5e7, 300.0)) > 998.0
+    # psi ~= finite-difference d rho/dp near p0
+    dp = 1e4
+    fd = (float(apf.rho(1e5 + dp, 300.0))
+          - float(apf.rho(1e5 - dp, 300.0))) / (2 * dp)
+    psi = float(np.asarray(apf.psi(300.0)))
+    assert abs(psi - fd) < 0.1 * abs(fd)
+
+
+def test_rho_const_runs_in_rhopimple():
+    """rhoConst through the compressible PIMPLE loop: density stays
+    exactly rho0, the flow stays finite."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from foamtpu.apps.cases import CAVITY_BLOCKMESH
+    from foamtpu.bc import patchfields as pf
+    from foamtpu.core.dictionary import parse_string
+    from foamtpu.core.dimensions import DimensionSet, dimVelocity
+    from foamtpu.core.fields import vol_scalar, vol_vector
+    from foamtpu.mesh import blockmesh, to_device
+    from foamtpu.models import thermo as th_mod
+    from foamtpu.solvers import rhopimple as rp
+
+    mesh = to_device(blockmesh.generate(
+        parse_string(CAVITY_BLOCKMESH.replace("{n}", "10"))))
+    th = th_mod.RhoConst(R=287.0, Cv=717.5, mu=1e-3, rho0=900.0)
+    bw, bzg = [], []
+    for p_ in mesh.patches:
+        if p_.type == "empty":
+            bw.append(pf.PatchField(kind="empty", vfrac=0.0))
+            bzg.append(pf.PatchField(kind="empty", vfrac=0.0))
+        else:
+            v = (jnp.asarray([1.0, 0.0, 0.0])
+                 if p_.name == "movingWall" else jnp.zeros(3))
+            bw.append(pf.fixed_value(v))
+            bzg.append(pf.zero_gradient())
+    U = vol_vector(mesh, jnp.zeros(3), name="U", dims=dimVelocity,
+                   bcs=tuple(bw))
+    p = vol_scalar(mesh, 1e5, name="p",
+                   dims=DimensionSet.of(1, -1, -2), bcs=tuple(bzg))
+    T = vol_scalar(mesh, 300.0, name="T",
+                   dims=DimensionSet.of(0, 0, 0, 1), bcs=tuple(bzg))
+    cfg = rp.RhoPimpleConfig(thermo=th, steady=False, n_correctors=2,
+                             p_ref_value=1e5)
+    state = rp.initial_state(mesh, U, p, T, th)
+    step = rp.make_step(mesh, cfg)
+    dt = jnp.asarray(1e-4, mesh.v.dtype)
+    for _ in range(5):
+        state, diag = step(state, dt)
+    rho = np.asarray(th.rho(state["p"].data, state["T"].data))
+    np.testing.assert_allclose(rho, 900.0, rtol=0, atol=0)
+    assert np.isfinite(np.asarray(state["U"].data)).all()
