@@ -264,6 +264,46 @@ class SampledSurfaces(FunctionObject):
                     cv = np.linalg.norm(cv, axis=1)
                 psi = _vertex_values(pm, cv, pt_w)
                 iso = float(sspec.get("isoValue", 0.5))
+            elif stype in ("patch", "patchSurface"):
+                # reference: sampledPatch — fan-triangulated patch
+                # faces carrying the wall-adjacent cell values
+                pnames = [str(x) for x in
+                          (sspec.get("patches")
+                           or [sspec.get("patchName", "")])]
+                verts_l, tris_l, own_l = [], [], []
+                for p_ in pm.patches:
+                    if p_.name not in pnames:
+                        continue
+                    for fidx in range(p_.start, p_.start + p_.size):
+                        k = pm.face_npts[fidx]
+                        fp = pm.face_pts[fidx, :k]
+                        base = len(verts_l)
+                        verts_l.extend(pm.points[fp])
+                        for j in range(1, k - 1):
+                            tris_l.append((base, base + j,
+                                           base + j + 1))
+                            own_l.append(pm.owner[fidx])
+                if not tris_l:
+                    continue
+                verts = np.asarray(verts_l)
+                tris = np.asarray(tris_l, np.int64)
+                # vertex values: owner-cell value of every incident
+                # triangle (duplicated vertices keep this local)
+                fvals = {}
+                for fn in self.fields:
+                    cv = cellvals(fn)
+                    if cv is None:
+                        continue
+                    vv = np.zeros((verts.shape[0],) + cv.shape[1:])
+                    for t_i, o in zip(tris, own_l):
+                        for vi in t_i:
+                            vv[vi] = cv[o]
+                    fvals[fn] = vv
+                out = os.path.join(self.case.dir, "postProcessing",
+                                   self.name, time_name,
+                                   f"{sname}.vtk")
+                write_vtk_surface(out, verts, tris, fvals)
+                continue
             else:
                 continue
             verts, tris, fvals = marching_tets(pos, tets, psi, iso,

@@ -175,3 +175,49 @@ surfaces
     r = np.linalg.norm(verts[:, :2] - 0.05, axis=1)
     assert np.abs(r - 0.03).max() < 0.01
     assert np.abs(r - 0.03).mean() < 0.003
+
+
+def test_sampled_patch_surface(tmp_path):
+    """sampledSurfaces type patch: fan-triangulated patch faces with
+    owner-cell values (reference: src/sampling/sampledSurface/
+    sampledPatch/)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(REPO, "tutorials", "incompressible", "icoFoam",
+                       "cavity")
+    dst = str(tmp_path / "cavity")
+    shutil.copytree(src, dst)
+    cd = os.path.join(dst, "system", "controlDict")
+    with open(cd, "a") as f:
+        f.write("""
+functions
+{
+    lid
+    {
+        type            surfaces;
+        surfaceFormat   vtk;
+        fields          ( p U );
+        surfaces
+        (
+            movingWallSurf { type patch; patches ( movingWall ); }
+        );
+    }
+}
+""")
+    from foamtpu.apps.cli import main
+    from foamtpu.core.case import run_case
+
+    assert main(["blockMesh", "-case", dst]) == 0
+    case = run_case(dst, max_steps=3)
+    t = case.time.name
+    vtk = os.path.join(dst, "postProcessing", "lid", t,
+                       "movingWallSurf.vtk")
+    assert os.path.exists(vtk), vtk
+    txt = open(vtk).read()
+    # 20 quad faces -> 40 triangles, 80 points (fan duplicates)
+    assert "POLYGONS 40" in txt
+    assert "VECTORS U" in txt and "SCALARS p" in txt
