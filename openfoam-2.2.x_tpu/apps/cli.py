@@ -1346,6 +1346,65 @@ def particle_tracks_cmd(argv) -> int:
     return 0
 
 
+def set_set_cmd(argv) -> int:
+    """setSet -batch <file>: scripted set creation (reference:
+    applications/utilities/mesh/manipulation/setSet/). Lines:
+      cellSet <name> new boxToCell (x0 y0 z0) (x1 y1 z1)
+      faceSet <name> new boxToFace (..) (..)
+      cellSet <name> add|delete|subtract ... / invert"""
+    import argparse as _ap
+    import re as _re
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-batch", required=True)
+    a = ap.parse_args(argv)
+    from ..core.dictionary import FoamDict
+    from ..io import polymesh as mesh_io
+    from . import meshutils
+
+    pm = mesh_io.read(os.path.join(a.case, "constant", "polyMesh"))
+    current = {}
+    count = 0
+    for ln in open(a.batch):
+        ln = ln.split("//")[0].strip()
+        if not ln or ln in ("quit", "q"):
+            continue
+        toks = ln.split()
+        if len(toks) < 3:
+            continue
+        kind, name, action = toks[0], toks[1], toks[2]
+        if action == "invert":
+            n = pm.n_cells if kind == "cellSet" else pm.n_faces
+            prev = current.get(name, np.zeros(0, np.int64))
+            current[name] = np.setdiff1d(np.arange(n), prev)
+        else:
+            source = toks[3] if len(toks) > 3 else ""
+            nums = [float(x) for x in _re.findall(
+                r"[-+0-9.eE]+", " ".join(toks[4:]))]
+            info = FoamDict()
+            if "box" in source.lower():
+                info["box"] = np.asarray(nums[:6]).reshape(2, 3)
+            elif "sphere" in source.lower():
+                info["centre"] = np.asarray(nums[:3])
+                info["radius"] = nums[3]
+            ids = (meshutils._source_cells(pm, source, info)
+                   if kind == "cellSet"
+                   else meshutils._source_faces(pm, source, info))
+            prev = current.get(name, np.zeros(0, np.int64))
+            if action == "new":
+                current[name] = ids
+            elif action == "add":
+                current[name] = np.union1d(prev, ids)
+            elif action in ("delete", "subtract"):
+                current[name] = np.setdiff1d(prev, ids)
+        meshutils.write_set(a.case, name, kind, current[name])
+        count += 1
+        print(f"setSet: {kind} {name} -> {current[name].size} entries")
+    print(f"setSet: executed {count} commands")
+    return 0
+
+
 def stitch_mesh_cmd(argv) -> int:
     """stitchMesh <master> <slave>: merge two coincident boundary
     patches into internal faces (reference: .../mesh/manipulation/
@@ -1446,6 +1505,7 @@ COMMANDS = {
     "temporalInterpolate": temporal_interpolate_cmd,
     "writeCellVolumes": write_cell_volumes,
     "surfaceSubset": surface_subset,
+    "setSet": set_set_cmd,
     "snappyHexMesh": snappy_hex_mesh,
     "topoSet": topo_set_cmd,
     "createPatch": create_patch_cmd,

@@ -87,7 +87,11 @@ def read_set(case: str, name: str) -> np.ndarray:
         arr = np.asarray(v).ravel()
         if arr.dtype.kind in "if" and arr.size:
             return arr.astype(np.int64)
-    # fall back: grab the first numeric list in the raw file
+    # empty set: `0 ( )` parses to no numeric payload
+    import re as _re
+
+    if _re.search(r"\b0\s*\(\s*\)", open(path).read()):
+        return np.zeros(0, dtype=np.int64)
     raise ValueError(f"cannot read set {name!r}")
 
 

@@ -332,3 +332,36 @@ def test_write_cell_volumes_and_surface_subset(cavity_done, tmp_path):
     from foamtpu.mesh.snappy import read_stl
 
     assert read_stl(out).shape[0] == 1
+
+
+def test_set_set_batch(tmp_path):
+    """setSet batch scripting (reference: .../mesh/manipulation/
+    setSet/): new/add/subtract/invert command sequences."""
+    case = str(tmp_path / "c")
+    os.makedirs(os.path.join(case, "system"))
+    os.makedirs(os.path.join(case, "constant"))
+    hdr = ("FoamFile { version 2.0; format ascii; class dictionary; "
+           "object blockMeshDict; }\n")
+    with open(os.path.join(case, "system", "blockMeshDict"), "w") as f:
+        f.write(hdr + BOX)
+    batch = str(tmp_path / "batch.setSet")
+    with open(batch, "w") as f:
+        f.write("""
+cellSet left new boxToCell (-1 -1 -1) (0.5 2 2)
+cellSet left add boxToCell (-1 -1 -1) (0.7 2 2)
+cellSet left subtract boxToCell (-1 -1 -1) (0.2 2 2)
+cellSet right new boxToCell (-1 -1 -1) (2 2 2)
+cellSet right invert
+quit
+""")
+    from foamtpu.apps.cli import main
+    from foamtpu.apps.meshutils import read_set
+
+    assert main(["blockMesh", "-case", case]) == 0
+    assert main(["setSet", "-case", case, "-batch", batch]) == 0
+    left = read_set(case, "left")
+    # 6x4x4 box: x-columns at 1/6..6/6; add->0.7 covers 4 cols (64),
+    # subtract->0.2 removes col 1 (16) => 48
+    assert left.size == 48
+    right = read_set(case, "right")
+    assert right.size == 0          # inverted full set
