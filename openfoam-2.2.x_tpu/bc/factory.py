@@ -141,6 +141,16 @@ def _coded_value(spec: FoamDict, patch, rank: int, dtype, mesh):
 def from_dict(spec: FoamDict, patch, rank: int, dtype,
               mesh=None) -> PatchField:
     t = str(spec["type"])
+    # compressible:: namespace prefix (reference: the compressible
+    # turbulence/thermo BC twins) resolves to the shared kinds
+    if t.startswith("compressible::"):
+        t = t[len("compressible::"):]
+    # mut* are the compressible names of the nut* wall functions
+    t = {"mutkWallFunction": "nutkWallFunction",
+         "mutUWallFunction": "nutUWallFunction",
+         "mutLowReWallFunction": "nutkWallFunction",
+         "alphatWallFunction": "calculated",
+         "alphatJayatillekeWallFunction": "calculated"}.get(t, t)
     if t in ("codedFixedValue", "codedMixed") and mesh is not None:
         cv = _coded_value(spec, patch, rank, dtype, mesh)
         if cv is not None:
