@@ -1276,6 +1276,67 @@ def post_channel_cmd(argv) -> int:
     return 0
 
 
+def netgen_to_foam_cmd(argv) -> int:
+    """netgenNeutralToFoam <file>: Netgen neutral tet mesh ->
+    polyMesh (reference: .../mesh/conversion/netgenNeutralToFoam/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("neuFile")
+    ap.add_argument("-case", default=".")
+    a = ap.parse_args(argv)
+    from ..io import polymesh as mesh_io
+    from ..mesh import gmsh
+
+    pm = gmsh.convert_netgen(a.neuFile)
+    out = os.path.join(a.case, "constant", "polyMesh")
+    mesh_io.write(pm, out)
+    print(f"netgenNeutralToFoam: {pm.n_cells} cells, {pm.n_faces} "
+          f"faces, patches {[p.name for p in pm.patches]}")
+    return 0
+
+
+def write_mesh_obj_cmd(argv) -> int:
+    """writeMeshObj: dump the mesh (boundary faces) as a Wavefront
+    OBJ for external inspection (reference: .../mesh/manipulation/
+    writeMeshObj/)."""
+    args = _case_arg(argv)
+    from ..io import polymesh as mesh_io
+
+    pm = mesh_io.read(os.path.join(args.case, "constant", "polyMesh"))
+    out = os.path.join(args.case, "meshBoundary.obj")
+    with open(out, "w") as f:
+        f.write("# foamtpu writeMeshObj\n")
+        for p in pm.points:
+            f.write(f"v {p[0]:.8g} {p[1]:.8g} {p[2]:.8g}\n")
+        nif = pm.n_internal_faces
+        for fi in range(nif, pm.n_faces):
+            k = pm.face_npts[fi]
+            idx = " ".join(str(int(x) + 1)
+                           for x in pm.face_pts[fi, :k])
+            f.write(f"f {idx}\n")
+    print(f"writeMeshObj: wrote {pm.n_faces - pm.n_internal_faces} "
+          f"boundary faces -> {out}")
+    return 0
+
+
+def foam_debug_switches_cmd(argv) -> int:
+    """foamDebugSwitches: list the DebugSwitches gates the framework
+    honours (reference: applications/utilities/miscellaneous/
+    foamDebugSwitches/)."""
+    from ..utils import logging as log_mod
+
+    known = sorted(getattr(log_mod, "KNOWN_DEBUG_SWITCHES",
+                           ["lduMatrix", "GAMG", "blockMesh",
+                            "polyMesh", "fvSchemes", "time"]))
+    active = [k for k in known if log_mod.debug(k)]
+    print("DebugSwitches honoured (set via controlDict DebugSwitches"
+          " {} or FOAMTPU_DEBUG=<name,...>):")
+    for k in known:
+        print(f"    {k:16s} {'ON' if k in active else 'off'}")
+    return 0
+
+
 def particle_tracks_cmd(argv) -> int:
     """particleTracks: join each parcel's positions across saved
     times into polylines, written as legacy-VTK (reference:
@@ -1506,6 +1567,9 @@ COMMANDS = {
     "writeCellVolumes": write_cell_volumes,
     "surfaceSubset": surface_subset,
     "setSet": set_set_cmd,
+    "netgenNeutralToFoam": netgen_to_foam_cmd,
+    "writeMeshObj": write_mesh_obj_cmd,
+    "foamDebugSwitches": foam_debug_switches_cmd,
     "snappyHexMesh": snappy_hex_mesh,
     "topoSet": topo_set_cmd,
     "createPatch": create_patch_cmd,

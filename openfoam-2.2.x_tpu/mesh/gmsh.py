@@ -157,3 +157,46 @@ def to_polymesh(points, cells, surfs, phys) -> PolyMesh:
 
 def convert(path: str) -> PolyMesh:
     return to_polymesh(*read_msh(path))
+
+
+def read_netgen_neutral(path: str):
+    """Parse the Netgen neutral volume format (reference:
+    applications/utilities/mesh/conversion/netgenNeutralToFoam/):
+    npoints / coords, nvolelems / 'mat n1..n4' tets, nsurf /
+    'bc n1 n2 n3' boundary triangles (all 1-indexed). Returns the
+    same (points, cells, surfs, phys) tuple as read_msh, so
+    to_polymesh assembles it unchanged."""
+    toks: List[str] = []
+    with open(path) as f:
+        for ln in f:
+            ln = ln.split("#")[0]
+            toks.extend(ln.split())
+    it = iter(toks)
+
+    def nxt():
+        return next(it)
+
+    npts = int(nxt())
+    points = np.empty((npts, 3))
+    for k in range(npts):
+        points[k] = [float(nxt()), float(nxt()), float(nxt())]
+    nvol = int(nxt())
+    cells = []
+    for _ in range(nvol):
+        _mat = int(nxt())
+        nodes = [int(nxt()) - 1 for _ in range(4)]
+        # gmsh etype 4 = 4-node tetrahedron
+        cells.append((4, nodes))
+    nsurf = int(nxt())
+    surfs = []
+    phys: Dict[int, str] = {}
+    for _ in range(nsurf):
+        bc = int(nxt())
+        nodes = [int(nxt()) - 1 for _ in range(3)]
+        surfs.append((bc, nodes))
+        phys.setdefault(bc, f"patch{bc}")
+    return points, cells, surfs, phys
+
+
+def convert_netgen(path: str) -> PolyMesh:
+    return to_polymesh(*read_netgen_neutral(path))

@@ -365,3 +365,70 @@ quit
     assert left.size == 48
     right = read_set(case, "right")
     assert right.size == 0          # inverted full set
+
+
+def test_netgen_neutral_to_foam(tmp_path):
+    """netgenNeutralToFoam: a 6-tet Kuhn cube converts to a closed
+    polyMesh with unit volume and 12 boundary triangles."""
+    neu = str(tmp_path / "cube.neu")
+    # unit cube, 8 points, Kuhn triangulation into 6 tets around the
+    # main diagonal 1-7 (1-indexed)
+    pts = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+           (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]
+    tets = [(1, 2, 3, 7), (1, 3, 4, 7), (1, 4, 8, 7),
+            (1, 8, 5, 7), (1, 5, 6, 7), (1, 6, 2, 7)]
+    # boundary triangles: each cube face split along its diagonal that
+    # touches 1 or 7 (consistent with the Kuhn tets)
+    faces = [(1, 2, 3), (1, 3, 4),            # z=0
+             (5, 6, 7), (5, 7, 8),            # z=1
+             (1, 2, 6), (1, 6, 5),            # y=0
+             (3, 4, 8), (3, 8, 7),            # y=1
+             (1, 4, 8), (1, 8, 5),            # x=0
+             (2, 3, 7), (2, 7, 6)]            # x=1
+    with open(neu, "w") as f:
+        f.write(f"{len(pts)}\n")
+        for p in pts:
+            f.write(f"{p[0]} {p[1]} {p[2]}\n")
+        f.write(f"{len(tets)}\n")
+        for t in tets:
+            f.write("1 " + " ".join(map(str, t)) + "\n")
+        f.write(f"{len(faces)}\n")
+        for i, t in enumerate(faces):
+            f.write(f"{1 + i // 2} " + " ".join(map(str, t)) + "\n")
+    case = str(tmp_path / "c")
+    os.makedirs(os.path.join(case, "constant"), exist_ok=True)
+    from foamtpu.apps.cli import main
+
+    assert main(["netgenNeutralToFoam", neu, "-case", case]) == 0
+    from foamtpu.io import polymesh as mesh_io
+
+    pm = mesh_io.read(os.path.join(case, "constant", "polyMesh"))
+    assert pm.n_cells == 6
+    assert pm.n_faces - pm.n_internal_faces == 12
+    np.testing.assert_allclose(pm.v.sum(), 1.0, rtol=1e-12)
+    _closed(pm)
+    assert len(pm.patches) == 6        # one per bc id
+
+
+def test_write_mesh_obj_and_debug_switches(tmp_path, capsys):
+    case = str(tmp_path / "c")
+    os.makedirs(os.path.join(case, "system"))
+    os.makedirs(os.path.join(case, "constant"))
+    hdr = ("FoamFile { version 2.0; format ascii; class dictionary; "
+           "object blockMeshDict; }\n")
+    with open(os.path.join(case, "system", "blockMeshDict"), "w") as f:
+        f.write(hdr + BOX)
+    from foamtpu.apps.cli import main
+
+    assert main(["blockMesh", "-case", case]) == 0
+    assert main(["writeMeshObj", "-case", case]) == 0
+    obj = os.path.join(case, "meshBoundary.obj")
+    lines = open(obj).read().splitlines()
+    nv = sum(1 for l in lines if l.startswith("v "))
+    nf = sum(1 for l in lines if l.startswith("f "))
+    assert nv == 7 * 5 * 5             # (6+1)(4+1)(4+1) points
+    assert nf == 2 * (6 * 4 + 6 * 4 + 4 * 4)
+    capsys.readouterr()
+    assert main(["foamDebugSwitches"]) == 0
+    out = capsys.readouterr().out
+    assert "lduMatrix" in out
