@@ -1,4 +1,5 @@
 from . import patchfields  # noqa: F401
+from . import derived2  # noqa: F401  (registers batch-2 derived BCs)
 from .patchfields import (  # noqa: F401
     PatchField,
     fixed_value,

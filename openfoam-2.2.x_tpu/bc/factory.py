@@ -66,7 +66,26 @@ _ALIASES = {
     "totalPressure": "totalPressure",
     "pressureInletOutletVelocity": "pressureInletOutletVelocity",
     "freestream": "freestream",
-    "freestreamPressure": "zeroGradient",
+    # freestreamPressure: zeroGradient on outflow, freestream value on
+    # inflow (reference: derived/freestreamPressure/) — the inletOutlet
+    # closure with inletValue = the stored value
+    "freestreamPressure": "inletOutlet",
+    "partialSlip": "partialSlip",
+    "fixedNormalSlip": "fixedNormalSlip",
+    "translatingWallVelocity": "translatingWallVelocity",
+    "uniformTotalPressure": "uniformTotalPressure",
+    "inletOutletTotalTemperature": "inletOutletTotalTemperature",
+    "outletMappedUniformInlet": "outletMappedUniformInlet",
+    "turbulentInlet": "turbulentInlet",
+    "atmBoundaryLayerInletVelocity": "atmBoundaryLayerInletVelocity",
+    "atmBoundaryLayerInletEpsilon": "atmBoundaryLayerInletEpsilon",
+    "nutUSpaldingWallFunction": "nutUSpaldingWallFunction",
+    "nutkRoughWallFunction": "nutkRoughWallFunction",
+    "nutURoughWallFunction": "nutUSpaldingWallFunction",
+    "rotatingPressureInletOutletVelocity":
+        "rotatingPressureInletOutletVelocity",
+    "rotatingTotalPressure": "rotatingTotalPressure",
+    "alphatJayatillekeWallFunction": "alphatJayatillekeWallFunction",
     "movingWallVelocity": "fixedValue",
     "kqRWallFunction": "kqRWallFunction",
     "nutkWallFunction": "nutkWallFunction",
@@ -149,8 +168,9 @@ def from_dict(spec: FoamDict, patch, rank: int, dtype,
     t = {"mutkWallFunction": "nutkWallFunction",
          "mutUWallFunction": "nutUWallFunction",
          "mutLowReWallFunction": "nutkWallFunction",
-         "alphatWallFunction": "calculated",
-         "alphatJayatillekeWallFunction": "calculated"}.get(t, t)
+         "mutkRoughWallFunction": "nutkRoughWallFunction",
+         "mutUSpaldingWallFunction": "nutUSpaldingWallFunction",
+         "alphatWallFunction": "calculated"}.get(t, t)
     if t in ("codedFixedValue", "codedMixed") and mesh is not None:
         cv = _coded_value(spec, patch, rank, dtype, mesh)
         if cv is not None:
@@ -184,6 +204,11 @@ def from_dict(spec: FoamDict, patch, rank: int, dtype,
     elif kind in ("inletOutlet", "outletInlet"):
         iv = parse_value(spec.get("inletValue" if kind == "inletOutlet"
                                   else "outletValue"), size, rank, dtype)
+        if iv is None:  # freestreamPressure alias: freestreamValue/value
+            iv = parse_value(spec.get("freestreamValue"), size, rank,
+                             dtype)
+        if iv is None:
+            iv = val
         kw["ref_value"] = iv if iv is not None else 0.0
         kw["vfrac"] = 1.0
     elif kind == "totalPressure":
@@ -296,19 +321,29 @@ def from_dict(spec: FoamDict, patch, rank: int, dtype,
         kw["vfrac"] = 1.0
         kind = "fixedValue"
     elif kind == "uniformFixedValue":
-        # constant or table form, evaluated at the start time (static
-        # — time-varying tables are sampled at t=0; documented)
+        # constant or `table ((t v) ...)` form; tables become the
+        # dynamic kind re-sampled from the solver time each step
+        # (reference: uniformFixedValueFvPatchField + DataEntry)
         uv = spec.get("uniformValue")
         kw["ref_value"] = _uniform_entry(uv, size, rank, dtype, val)
         kw["vfrac"] = 1.0
-        kind = "fixedValue"
+        tbl = _table_rows(uv, rank)
+        if tbl is not None:
+            kw["table"] = tbl
+            kind = "uniformFixedValueT"
+        else:
+            kind = "fixedValue"
     elif kind == "oscillatingFixedValue":
-        # refValue (1 + amplitude sin(2 pi f t)) at t=0 -> refValue
+        # refValue (1 + amplitude sin(2 pi f t)), dynamic via the t
+        # context (reference: derived/oscillatingFixedValue/)
         rv = parse_value(spec.get("refValue"), size, rank, dtype)
-        kw["ref_value"] = rv if rv is not None else (
-            val if val is not None else 0.0)
+        rv = rv if rv is not None else (val if val is not None else 0.0)
+        kw["ref_value"] = rv
+        kw["ref_grad"] = rv
+        kw["amplitude"] = _num(spec.get("amplitude", 0.0))
+        kw["frequency"] = _num(spec.get("frequency", 0.0))
         kw["vfrac"] = 1.0
-        kind = "fixedValue"
+        kind = "oscillatingFixedValueT"
     elif kind == "externalWallHeatFluxTemperature":
         # q-mode: fixedGradient q/kappa; h-mode: Robin (mixed) with
         # vfrac = h/(h + kappa dc) per face (reference:
@@ -338,6 +373,132 @@ def from_dict(spec: FoamDict, patch, rank: int, dtype,
         d = np.asarray(spec.get("inletDirection", [(1.0, 0.0, 0.0)]),
                        dtype=float).reshape(-1)[-3:]
         kw["inletDir"] = tuple(float(x) for x in d)
+    elif kind == "partialSlip":
+        vf = parse_value(spec.get("valueFraction"), size, 0, dtype)
+        kw["vfrac"] = vf if vf is not None else 0.5
+    elif kind == "fixedNormalSlip":
+        fv = parse_value(spec.get("fixedValue"), size, rank, dtype)
+        kw["ref_value"] = fv if fv is not None else (
+            val if val is not None else 0.0)
+    elif kind == "translatingWallVelocity":
+        # U = U0 - n (n.U0) (reference: derived/translatingWallVelocity/)
+        u0 = np.asarray(spec.get("U", (0.0, 0.0, 0.0)),
+                        dtype=float).reshape(-1)[-3:]
+        if mesh is not None:
+            sf = np.asarray(mesh.sf)[patch.slice]
+            nrm = sf / np.maximum(
+                np.linalg.norm(sf, axis=1, keepdims=True), 1e-30)
+            u = u0[None, :] - nrm * (nrm @ u0)[:, None]
+            kw["ref_value"] = jnp.asarray(u, dtype)
+        else:
+            kw["ref_value"] = jnp.asarray(np.broadcast_to(u0, (size, 3)),
+                                          dtype)
+        kw["vfrac"] = 1.0
+        kind = "fixedValue"
+    elif kind == "uniformTotalPressure":
+        # p0 from a constant/table entry sampled at t=0, then the
+        # dynamic totalPressure closure (reference:
+        # derived/uniformTotalPressure/)
+        p0e = _uniform_entry(spec.get("p0", spec.get("pressure")),
+                             size, 0, dtype, val)
+        kw["ref_value"] = p0e
+        kw["p0"] = float(np.asarray(p0e).mean())
+        kw["vfrac"] = 1.0
+        kind = "totalPressure"
+    elif kind == "inletOutletTotalTemperature":
+        t0 = parse_value(spec.get("T0"), size, 0, dtype)
+        kw["ref_grad"] = t0 if t0 is not None else (
+            val if val is not None else 300.0)
+        kw["ref_value"] = kw["ref_grad"]
+        kw["vfrac"] = 0.0
+        kw["Cp"] = _num(spec.get("Cp", 1005.0))
+    elif kind == "outletMappedUniformInlet":
+        out_name = str(spec.get("outletPatchName",
+                                spec.get("outletPatch", "")))
+        kw["fraction"] = _num(spec.get("fraction", 1.0))
+        kw["out_start"], kw["out_size"] = -1, 0
+        if mesh is not None:
+            for op in mesh.patches:
+                if op.name == out_name:
+                    kw["out_start"], kw["out_size"] = op.start, op.size
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 1.0
+    elif kind == "turbulentInlet":
+        ref = parse_value(spec.get("referenceField"), size, rank, dtype)
+        kw["ref_grad"] = ref if ref is not None else (
+            val if val is not None else 0.0)
+        kw["ref_value"] = kw["ref_grad"]
+        fs = spec.get("fluctuationScale", 0.0)
+        fsv = np.asarray(fs, dtype=float).reshape(-1)
+        kw["fluctuationScale"] = tuple(float(x) for x in fsv) \
+            if rank == 1 else float(fsv[-1])
+        kw["vfrac"] = 1.0
+    elif kind in ("atmBoundaryLayerInletVelocity",
+                  "atmBoundaryLayerInletEpsilon"):
+        # log-law atmospheric boundary layer profiles (reference:
+        # derived/atmBoundaryLayerInletVelocity/): Ustar = kappa Uref /
+        # ln((Href+z0)/z0); U = Ustar/kappa ln((z-zg+z0)/z0) flowDir;
+        # epsilon = Ustar^3 / (kappa (z-zg+z0))
+        kappa_c = _num(spec.get("kappa", 0.41))
+        z0 = max(_num(spec.get("z0", 0.1)), 1e-6)
+        uref = _num(spec.get("Uref", 10.0))
+        href = max(_num(spec.get("Href", spec.get("Zref", 10.0))), z0)
+        zg = _num(spec.get("zGround", 0.0))
+        zdir = np.asarray(spec.get("zDir", spec.get("z", (0, 0, 1))),
+                          dtype=float).reshape(-1)[-3:]
+        zdir = zdir / max(np.linalg.norm(zdir), 1e-30)
+        ustar = kappa_c * uref / np.log((href + z0) / z0)
+        if mesh is not None:
+            z = np.asarray(mesh.cf)[patch.slice] @ zdir - zg
+            prof = np.log(np.maximum(z + z0, z0) / z0)
+            if kind == "atmBoundaryLayerInletVelocity":
+                fdir = np.asarray(
+                    spec.get("flowDir", spec.get("n", (1, 0, 0))),
+                    dtype=float).reshape(-1)[-3:]
+                fdir = fdir / max(np.linalg.norm(fdir), 1e-30)
+                u = (ustar / kappa_c) * prof[:, None] * fdir[None, :]
+                kw["ref_value"] = jnp.asarray(u, dtype)
+            else:
+                eps = ustar ** 3 / (kappa_c * np.maximum(z + z0, z0))
+                kw["ref_value"] = jnp.asarray(eps, dtype)
+        else:
+            kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 1.0
+        kind = "fixedValue"
+    elif kind in ("nutUSpaldingWallFunction", "nutkRoughWallFunction"):
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 1.0
+        if kind == "nutkRoughWallFunction":
+            kw["Ks"] = _num(spec.get("Ks", 0.0))
+            kw["Cs"] = _num(spec.get("Cs", 0.5))
+    elif kind == "alphatJayatillekeWallFunction":
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 1.0
+        kw["Prt"] = _num(spec.get("Prt", 0.85))
+        kw["Pr"] = _num(spec.get("Pr", 0.7))
+    elif kind in ("rotatingPressureInletOutletVelocity",
+                  "rotatingTotalPressure"):
+        origin = np.asarray(spec.get("origin", (0.0, 0.0, 0.0)),
+                            dtype=float).reshape(-1)[-3:]
+        axis = np.asarray(spec.get("axis", (0.0, 0.0, 1.0)),
+                          dtype=float).reshape(-1)[-3:]
+        axis = axis / max(np.linalg.norm(axis), 1e-30)
+        om = _num(spec.get("omega", 0.0))
+        if mesh is not None:
+            cf = np.asarray(mesh.cf)[patch.slice]
+            omxr = np.cross(om * axis, cf - origin)
+        else:
+            omxr = np.zeros((size, 3))
+        if kind == "rotatingPressureInletOutletVelocity":
+            kw["ref_grad"] = jnp.asarray(-omxr, dtype)
+            kw["ref_value"] = val if val is not None else 0.0
+        else:
+            p0 = parse_value(spec.get("p0"), size, 0, dtype)
+            p0a = p0 if p0 is not None else jnp.zeros(size, dtype)
+            kw["ref_grad"] = p0a - 0.5 * jnp.asarray(
+                np.sum(omxr * omxr, axis=1), dtype)
+            kw["ref_value"] = kw["ref_grad"]
+        kw["vfrac"] = 1.0
     elif kind == "totalTemperature":
         t0 = parse_value(spec.get("T0"), size, 0, dtype)
         kw["ref_value"] = t0 if t0 is not None else (
@@ -345,6 +506,30 @@ def from_dict(spec: FoamDict, patch, rank: int, dtype,
         kw["vfrac"] = 1.0
         kind = "fixedValue"
     return make(kind, **kw)
+
+
+def _table_rows(uv, rank: int):
+    """Extract `table ((t0 v0) (t1 v1) ...)` rows as a hashable tuple
+    ((t, v), ...) for the dynamic uniformFixedValue update (scalar v,
+    or tuple v for vectors)."""
+    if uv is None:
+        return None
+    items = uv if isinstance(uv, list) else [uv]
+    words = [str(x) for x in items if isinstance(x, (Word, str))]
+    nums = [x for x in items if isinstance(x, (int, float, np.ndarray))]
+    if "table" not in words or not nums:
+        return None
+    rows = np.asarray(nums[-1], dtype=float)
+    rows = rows.reshape(-1, rows.shape[-1]) if rows.ndim > 1 \
+        else rows.reshape(1, -1)
+    if rows.shape[0] < 2:
+        return None
+    out = []
+    for r in rows:
+        t = float(r[0])
+        v = tuple(float(x) for x in r[1:]) if rank == 1 else float(r[-1])
+        out.append((t, v))
+    return tuple(out)
 
 
 def _num(x) -> float:

@@ -171,7 +171,9 @@ def test_uniform_fixed_value_table():
                       ["table", np.asarray([[0.0, 3.5], [1.0, 7.0]])])])
     bc = factory.from_dict(spec, p, rank=0, dtype=jnp.float32,
                            mesh=mesh)
-    assert bc.kind == "fixedValue"
+    # tables now resolve to the DYNAMIC kind (re-sampled from solver
+    # time via the update rule; see tests/test_bc_derived2.py)
+    assert bc.kind == "uniformFixedValueT"
     assert np.allclose(np.asarray(bc.ref_value), 3.5)
 
 
