@@ -1620,6 +1620,10 @@ from . import postutils as _postutils  # noqa: E402
 
 COMMANDS.update(_postutils.COMMANDS)
 
+from . import meshutils4 as _meshutils4  # noqa: E402
+
+COMMANDS.update(_meshutils4.COMMANDS)
+
 
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]

@@ -38,12 +38,6 @@ mesh, state, cfg, dt, step = build()
 rows.append(("full step (2 corr, GAMG, U solve)", timeit_steps(step, state, dt)))
 
 try:
-    _,s2,_,d2,st2 = build(n_correctors=1)
-    rows.append(("1 corrector", timeit_steps(st2, s2, d2)))
-except Exception as e:
-    print("1corr fail", e)
-
-try:
     _,s3,_,d3,st3 = build(p_ctl={"solver": "GAMG", "preconditioner": "polynomial",
         "tolerance": 1e-7, "relTol": 0.01, "maxIter": 1})
     rows.append(("p maxIter=1 (2 corr)", timeit_steps(st3, s3, d3)))
@@ -56,15 +50,6 @@ try:
     rows.append(("U maxIter=1", timeit_steps(st4, s4, d4)))
 except Exception as e:
     print("umax fail", e)
-
-try:
-    _,s5,_,d5,st5 = build(p_ctl={"solver": "GAMG", "preconditioner": "polynomial",
-        "tolerance": 1e-7, "relTol": 0.01, "maxIter": 1},
-        u_controls={"solver": "PBiCGStab", "tolerance": 1e-5,
-                    "relTol": 0.1, "maxIter": 1})
-    rows.append(("U+p maxIter=1", timeit_steps(st5, s5, d5)))
-except Exception as e:
-    print("bothmax fail", e)
 
 print(f"\n# variant bisect — cavity {N}x{N}")
 for n, ms in rows:
