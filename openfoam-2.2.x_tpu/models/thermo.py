@@ -99,9 +99,12 @@ def _parse_perfect_or_janaf(d: FoamDict) -> PerfectGas:
     if isinstance(mix, FoamDict):
         spec = mix.get("specie", FoamDict())
         if isinstance(spec, FoamDict):
-            nmol = float(spec.get("nMoles", 1))
+            # R never scales with nMoles (reference: specie::R() =
+            # RR/molWeight; nMoles only weights mixture composition —
+            # ADVICE r2 #4)
+            _ = float(spec.get("nMoles", 1))
             W = float(spec.get("molWeight", 28.96))
-            R = 8314.47 / W * nmol
+            R = 8314.47 / W
         th = mix.get("thermodynamics", FoamDict())
         if isinstance(th, FoamDict):
             if "Cv" in th:
