@@ -138,7 +138,7 @@ def select(props: FoamDict, nu: float, kind: str = "RAS") -> TurbulenceModel:
     """turbulenceModel::New — dispatch on RASModel/LESModel keyword
     (reference: RASProperties/LESProperties in constant/)."""
     from . import (les, les2, les3, les4, ras, ras2, ras3,  # noqa: F401
-                   ras4)  # ensure registration
+                   ras4, ras5)  # ensure registration
 
     if str(props.get("simulationType", kind)) == "laminar":
         return TurbulenceModel(nu)

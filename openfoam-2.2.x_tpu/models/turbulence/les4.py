@@ -235,6 +235,62 @@ class LRDDiffStress(DeardorffDiffStress):
             * jnp.asarray(_I6, P6.dtype)[None, :])
 
 
+class SpectEddyVisc(Smagorinsky):
+    """Spectral eddy-viscosity SGS model (reference:
+    LES/spectEddyVisc/spectEddyVisc.C): the SGS energy is the
+    Kolmogorov spectrum integrated from the grid cutoff to the
+    dissipation scale,
+
+        eps = 2 nuEff |symm(grad U)|^2          (lagged nuEff)
+        k   = cK1 (delta eps)^{2/3}
+                  exp(-cK2 delta^{-4/3} nu eps^{-1/3})
+            - cK3 sqrt(nu eps)
+                  erfc(cK4 delta^{-2/3} sqrt(nu) eps^{-1/6})
+        nuSgs = Ck delta sqrt(k)
+
+    with the published spectral constants. The reference evaluates
+    nuEff with the previous step's nuSgs (one-step lag) — same here."""
+
+    name = "spectEddyVisc"
+    cK1 = 0.83
+    cK2 = 1.03
+    cK3 = 4.75
+    cK4 = 2.55
+
+    def __init__(self, nu, coeffs=None):
+        super().__init__(nu, coeffs)
+        c = self.coeffs or {}
+        for key in ("cK1", "cK2", "cK3", "cK4"):
+            setattr(self, key, float(c.get(key, getattr(self, key))))
+
+    def correct(self, mesh, tstate, U, phi, dt, steady=False, relax=1.0,
+                controls=None, phi_slot=None):
+        from jax.scipy.special import erfc
+
+        from .base import production
+
+        nut_f = tstate["nut"]
+        delta = jnp.cbrt(mesh.v)
+        _, S2 = production(mesh, jnp.zeros_like(mesh.v), U)
+        eps = jnp.maximum(
+            2.0 * (self.nu + nut_f.data) * 0.5 * S2, 1e-20)
+        nu = self.nu
+        k = (self.cK1 * (delta * eps) ** (2.0 / 3.0)
+             * jnp.exp(-self.cK2 * delta ** (-4.0 / 3.0) * nu
+                       * eps ** (-1.0 / 3.0))
+             - self.cK3 * jnp.sqrt(nu * eps)
+             * erfc(self.cK4 * delta ** (-2.0 / 3.0) * jnp.sqrt(nu)
+                    * eps ** (-1.0 / 6.0)))
+        k = jnp.maximum(k, 0.0)
+        nut_new = self.Ck * delta * jnp.sqrt(k)
+        new_nut = nut_f.with_data(nut_new).correct_boundary_conditions(
+            mesh, k=k, nu=self.nu, U=U.data)
+        new = dict(tstate)
+        new["nut"] = new_nut
+        return new, {}
+
+
+register("spectEddyVisc", SpectEddyVisc)
 register("locDynOneEqEddy", LocDynOneEqEddy)
 register("dynMixedSmagorinsky", DynMixedSmagorinsky)
 register("DeardorffDiffStress", DeardorffDiffStress)

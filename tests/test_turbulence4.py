@@ -183,3 +183,98 @@ def test_les_batch4_channel(name, extra):
         k = np.asarray(state["turb"]["k"].data)
         np.testing.assert_allclose(
             k, 0.5 * (B[:, 0] + B[:, 3] + B[:, 5]), rtol=1e-5)
+
+
+def test_spect_eddy_visc_channel():
+    state, diag = _les_run("spectEddyVisc", lambda m, t: {})
+    nut = np.asarray(state["turb"]["nut"].data)
+    assert np.isfinite(nut).all() and (nut >= 0).all()
+    assert float(diag["continuity"]) < 1e-3
+
+
+def test_spect_eddy_visc_k_vanishes_in_calm_flow():
+    """The spectral integral gives k -> 0 when the resolved
+    dissipation estimate is tiny (reference: spectEddyVisc.C)."""
+    mesh = to_device(_channel_poly(nx=8, ny=4))
+    from foamtpu.core.dimensions import dimVelocity
+    from foamtpu.core.fields import vol_vector
+    from foamtpu.models.turbulence.les4 import SpectEddyVisc
+
+    m = SpectEddyVisc(NU)
+    bcs = tuple(
+        pf.PatchField(kind="empty", vfrac=0.0) if p.type == "empty"
+        else pf.zero_gradient() for p in mesh.patches)
+    U = vol_vector(mesh, (0.0, 0.0, 0.0), name="U", dims=dimVelocity,
+                   bcs=bcs)
+    nut = vol_scalar(mesh, 0.0, name="nut", dims=dimViscosity, bcs=bcs)
+    new, _ = m.correct(mesh, {"nut": nut}, U, None,
+                       jnp.asarray(0.01, mesh.v.dtype))
+    assert np.asarray(new["nut"].data).max() < 1e-6
+
+
+def _kklomega_fields(mesh, k0, w0):
+    """kT = kL = 0 fixedValue at walls, omega zeroGradient — the
+    wall-integrated transitional setup."""
+    def pface(patch, v):
+        return jnp.broadcast_to(jnp.asarray(v), (patch.size,))
+
+    U, p, _ = channel_fields(mesh)
+    ktbcs, klbcs, wbcs, nutbcs = [], [], [], []
+    for patch in mesh.patches:
+        if patch.type == "empty":
+            for lst in (ktbcs, klbcs, wbcs, nutbcs):
+                lst.append(pf.PatchField(kind="empty", vfrac=0.0))
+        elif patch.name == "inlet":
+            ktbcs.append(pf.fixed_value(pface(patch, k0)))
+            klbcs.append(pf.fixed_value(pface(patch, k0)))
+            wbcs.append(pf.fixed_value(pface(patch, w0)))
+            nutbcs.append(pf.make("calculated",
+                                  ref_value=pface(patch, 0.0)))
+        elif patch.name == "outlet":
+            for lst in (ktbcs, klbcs, wbcs):
+                lst.append(pf.zero_gradient())
+            nutbcs.append(pf.make("calculated",
+                                  ref_value=pface(patch, 0.0)))
+        else:
+            ktbcs.append(pf.fixed_value(pface(patch, 0.0)))
+            klbcs.append(pf.fixed_value(pface(patch, 0.0)))
+            wbcs.append(pf.zero_gradient())
+            nutbcs.append(pf.make("calculated",
+                                  ref_value=pface(patch, 0.0)))
+    kt = vol_scalar(mesh, k0, name="kt", dims=DS.of(0, 2, -2),
+                    bcs=tuple(ktbcs))
+    kl = vol_scalar(mesh, 1e-8, name="kl", dims=DS.of(0, 2, -2),
+                    bcs=tuple(klbcs))
+    om = vol_scalar(mesh, w0, name="omega", dims=DS.of(0, 0, -1),
+                    bcs=tuple(wbcs))
+    nut = vol_scalar(mesh, 0.0, name="nut", dims=dimViscosity,
+                     bcs=tuple(nutbcs))
+    return U, p, kt, kl, om, nut
+
+
+def test_kklomega_channel():
+    """Transitional channel: kT/kL/omega stay positive and finite,
+    nut bounded, laminar kinetic energy develops in the sheared
+    near-wall region (reference: RAS/kkLOmega; Walters & Cokljat
+    2008)."""
+    poly = _channel_poly(nx=30, ny=16)
+    mesh = to_device(poly)
+    k0 = 1.5 * 0.05 ** 2
+    w0 = k0 ** 0.5 / 0.01
+    U, p, kt, kl, om, nut = _kklomega_fields(mesh, k0, w0)
+    model = select(_props("kkLOmega"), NU)
+    model.init_wall_distance(poly, np.asarray(mesh.v).dtype)
+    state, diag = _run_steady(
+        mesh, U, p, {"kt": kt, "kl": kl, "omega": om, "nut": nut},
+        model, n=60)
+    ktv = np.asarray(state["turb"]["kt"].data)
+    klv = np.asarray(state["turb"]["kl"].data)
+    wv = np.asarray(state["turb"]["omega"].data)
+    nn = np.asarray(state["turb"]["nut"].data)
+    assert np.isfinite(ktv).all() and (ktv > 0).all()
+    assert np.isfinite(klv).all() and (klv > 0).all()
+    assert np.isfinite(wv).all() and (wv > 0).all()
+    assert np.isfinite(nn).all() and (nn >= 0).all()
+    assert float(diag["continuity"]) < 3e-3
+    # laminar kinetic energy is produced by shear above its floor
+    assert klv.max() > 1e-7
