@@ -122,6 +122,26 @@ _ALIASES = {
     # mapped to mixed; the solver rewrites ref_value from zeta each
     # step (solvers/potentialfreesurface.py)
     "waveSurfacePressure": "mixed",
+    # batch 3 (bc/derived3.py)
+    "advective": "advective",
+    "uniformFixedGradient": "uniformFixedGradient",
+    "pressureInletUniformVelocity": "pressureInletUniformVelocity",
+    "pressureNormalInletOutletVelocity":
+        "pressureNormalInletOutletVelocity",
+    "variableHeightFlowRateInletVelocity":
+        "variableHeightFlowRateInletVelocity",
+    "fixedShearStress": "fixedShearStress",
+    "buoyantPressure": "buoyantPressure",
+    "uniformDensityHydrostaticPressure":
+        "uniformDensityHydrostaticPressure",
+    "turbulentHeatFluxTemperature": "turbulentHeatFluxTemperature",
+    "fixedPressureCompressibleDensity":
+        "fixedPressureCompressibleDensity",
+    # fixedInternalValue: zeroGradient facade; the internal-cell
+    # forcing is a solver setValues concern in this framework
+    # (reference: fvPatchFields/basic/fixedInternalValue/)
+    "fixedInternalValue": "zeroGradient",
+    "timeVaryingMappedFixedValue": "timeVaryingMappedFixedValue",
 }
 
 
@@ -158,7 +178,7 @@ def _coded_value(spec: FoamDict, patch, rank: int, dtype, mesh):
 
 
 def from_dict(spec: FoamDict, patch, rank: int, dtype,
-              mesh=None) -> PatchField:
+              mesh=None, case_dir=None, field_name=None) -> PatchField:
     t = str(spec["type"])
     # compressible:: namespace prefix (reference: the compressible
     # turbulence/thermo BC twins) resolves to the shared kinds
@@ -505,6 +525,94 @@ def from_dict(spec: FoamDict, patch, rank: int, dtype,
             val if val is not None else 300.0)
         kw["vfrac"] = 1.0
         kind = "fixedValue"
+    elif kind == "advective":
+        # material-speed outflow (reference: derived/advective/)
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 0.0
+        fi = spec.get("fieldInf")
+        if fi is not None:
+            kw["fieldInf"] = float(np.asarray(fi).reshape(-1)[-1]) \
+                if not isinstance(fi, (list, tuple)) else float(fi[-1])
+        kw["lInf"] = _num(spec.get("lInf", 0.0))
+    elif kind == "uniformFixedGradient":
+        ug = spec.get("uniformGradient")
+        kw["ref_grad"] = _uniform_entry(ug, size, rank, dtype, grad)
+        kw["vfrac"] = 0.0
+        tbl = _table_rows(ug, rank)
+        if tbl is not None:
+            kw["table"] = tbl
+            kind = "uniformFixedGradientT"
+        else:
+            kind = "fixedGradient"
+    elif kind in ("pressureInletUniformVelocity",
+                  "pressureNormalInletOutletVelocity"):
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 1.0 if kind == "pressureInletUniformVelocity" \
+            else 0.0
+    elif kind == "variableHeightFlowRateInletVelocity":
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 1.0
+        kw["flowRate"] = _num(spec.get("flowRate", 0.0))
+    elif kind == "fixedShearStress":
+        tau = np.asarray(spec.get("tau", (0.0, 0.0, 0.0)),
+                         dtype=float).reshape(-1)[-3:]
+        kw["tau"] = tuple(float(x) for x in tau)
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 1.0
+    elif kind == "buoyantPressure":
+        kw["ref_grad"] = grad if grad is not None else 0.0
+        kw["vfrac"] = 0.0
+        kw["rho"] = _num(spec.get("rho", 1.0)) \
+            if not isinstance(spec.get("rho"), (str, Word)) else 1.0
+    elif kind == "uniformDensityHydrostaticPressure":
+        # static: p = pRefValue + rho g.(Cf - pRefPoint) (reference:
+        # derived/uniformDensityHydrostaticPressure/; g comes from an
+        # optional `g` entry, default earth gravity -z — the reference
+        # reads the registered uniformDimensionedField)
+        rho0 = _num(spec.get("rho", spec.get("rhoRef", 1000.0)))
+        pref = _num(spec.get("pRefValue", 0.0))
+        prp = np.asarray(spec.get("pRefPoint", (0.0, 0.0, 0.0)),
+                         dtype=float).reshape(-1)[-3:]
+        gv = np.asarray(spec.get("g", (0.0, 0.0, -9.81)),
+                        dtype=float).reshape(-1)[-3:]
+        if mesh is not None:
+            cf = np.asarray(mesh.cf)[patch.slice]
+            p_face = pref + rho0 * (cf - prp) @ gv
+            kw["ref_value"] = jnp.asarray(p_face, dtype)
+        else:
+            kw["ref_value"] = pref
+        kw["vfrac"] = 1.0
+        kind = "fixedValue"
+    elif kind == "turbulentHeatFluxTemperature":
+        kw["ref_grad"] = grad if grad is not None else 0.0
+        kw["vfrac"] = 0.0
+        kw["heatSource"] = str(spec.get("heatSource", "flux"))
+        kw["q"] = _num(spec.get("q", 0.0))
+        kw["alphaEff"] = _num(spec.get("alphaEff",
+                                       spec.get("kappa", 2e-5)))
+        kw["rho"] = _num(spec.get("rho", 1.2))
+        kw["Cp"] = _num(spec.get("Cp", 1005.0))
+    elif kind == "fixedPressureCompressibleDensity":
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 1.0
+        kw["p0"] = _num(spec.get("p0", 0.0))
+        kw["rho0"] = _num(spec.get("rho0", 1000.0))
+        kw["psi"] = _num(spec.get("psi", 1e-5))
+    elif kind == "timeVaryingMappedFixedValue":
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 1.0
+        fname = str(spec.get("fieldTableName", field_name or ""))
+        if case_dir is not None and mesh is not None and fname:
+            from .derived3 import _Frozen, load_boundary_data
+
+            cf = np.asarray(mesh.cf)[patch.slice]
+            tbl = load_boundary_data(case_dir, patch.name, fname, cf)
+            if tbl is not None:
+                kw["tvm"] = _Frozen(tbl)
+                # seed the value at the first snapshot
+                kw["ref_value"] = jnp.asarray(tbl[1][0], dtype)
+        if "tvm" not in kw:
+            kind = "fixedValue"   # no boundaryData found: hold `value`
     return make(kind, **kw)
 
 

@@ -156,8 +156,11 @@ def read_field(path: str, mesh, name: Optional[str] = None) -> VolField:
     bcs = []
     for p in mesh.patches:
         spec = bf.match(p.name)
-        bcs.append(factory.from_dict(spec, p, rank, dtype,
-                                     mesh=mesh))
+        bcs.append(factory.from_dict(
+            spec, p, rank, dtype, mesh=mesh,
+            case_dir=os.path.dirname(os.path.dirname(
+                os.path.abspath(path))),
+            field_name=name))
     from ..bc.patchfields import normalize_bcs
 
     return VolField(data=internal, bcs=normalize_bcs(mesh, tuple(bcs), rank),
