@@ -1624,6 +1624,14 @@ from . import meshutils4 as _meshutils4  # noqa: E402
 
 COMMANDS.update(_meshutils4.COMMANDS)
 
+from . import meshutils5 as _meshutils5  # noqa: E402
+
+COMMANDS.update(_meshutils5.COMMANDS)
+
+from . import preputils as _preputils  # noqa: E402
+
+COMMANDS.update(_preputils.COMMANDS)
+
 
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]

@@ -1,0 +1,831 @@
+"""meshutils5 — mesh converters/exports + manipulation, batch 5.
+
+Rebuilds of reference utilities:
+  applications/utilities/mesh/conversion/{star4ToFoam,starToFoam,
+    sammToFoam,ansysToFoam,datToFoam,foamMeshToFluent,foamToStarMesh}
+  applications/utilities/postProcessing/dataConversion/
+    {foamToTecplot360,foamToGMV (GMV writer class of foamToFieldview)}
+  applications/utilities/surface/foamToSurface
+  applications/utilities/mesh/manipulation/{attachMesh,rotateMesh,
+    singleCellMesh,zipUpMesh,removeFaces,refineHexMesh,autoRefineMesh,
+    moveMesh}
+
+Import converters reuse mesh/gmsh.py::to_polymesh (volume cells +
+boundary surface elements -> face-addressed polyMesh); exports walk
+the face-addressed mesh directly (Fluent/Tecplot/GMV are face- or
+polyhedron-based so no cell-shape recovery is needed; PROSTAR export
+recovers hex shapes from their 6 quad faces).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..core.dictionary import FoamDict, parse_file
+from ..io import polymesh as mesh_io
+from ..mesh.gmsh import to_polymesh
+from .meshutils4 import (_case_mesh_dir, _converter_cmd,
+                         triangulate_boundary)
+
+# ---------------------------------------------------------------------------
+# PROSTAR (.vrt/.cel/.bnd) reader — star4ToFoam / starToFoam / sammToFoam
+# ---------------------------------------------------------------------------
+
+
+def _star_shape(v8: List[int]):
+    """Decode a PROSTAR 8-slot vertex row into (gmsh etype, nodes).
+    STAR collapses duplicates: hex = 8 distinct; prism has slots 2==3
+    and 6==7; tet has 2==3 and 4==5==6==7; pyramid has 4==5==6==7."""
+    a = v8
+    if len(set(a)) == 8:
+        return 5, a                                   # hex
+    if a[2] == a[3] and a[4] == a[5] == a[6] == a[7]:
+        return 4, [a[0], a[1], a[2], a[4]]            # tet
+    if a[4] == a[5] == a[6] == a[7]:
+        return 7, [a[0], a[1], a[2], a[3], a[4]]      # pyramid
+    if a[2] == a[3] and a[6] == a[7]:
+        return 6, [a[0], a[1], a[2], a[4], a[5], a[6]]  # prism
+    raise ValueError(f"star cell vertex pattern not recognised: {a}")
+
+
+def read_star(base: str):
+    """PROSTAR ascii triple <base>.vrt/.cel/.bnd -> to_polymesh args."""
+    if base.endswith((".vrt", ".cel", ".bnd")):
+        base = os.path.splitext(base)[0]
+    idmap: Dict[int, int] = {}
+    pts: List[List[float]] = []
+    for ln in open(base + ".vrt"):
+        t = ln.split()
+        if len(t) < 4:
+            continue
+        idmap[int(t[0])] = len(pts)
+        pts.append([float(t[1]), float(t[2]), float(t[3])])
+    cells = []
+    for ln in open(base + ".cel"):
+        t = ln.split()
+        if len(t) < 9:
+            continue
+        v8 = [idmap[int(x)] for x in t[1:9]]
+        cells.append(_star_shape(v8))
+    surfs: List[Tuple[int, List[int]]] = []
+    phys: Dict[int, str] = {}
+    bpath = base + ".bnd"
+    if os.path.exists(bpath):
+        for ln in open(bpath):
+            t = ln.split()
+            if len(t) < 6:
+                continue
+            nodes = [idmap[int(x)] for x in t[1:5]]
+            if nodes[3] == nodes[2]:
+                nodes = nodes[:3]                     # collapsed tri
+            rid = int(t[5])
+            surfs.append((rid, nodes))
+            if t[-1].isalpha():
+                phys[rid] = t[-1].lower()
+            else:
+                phys.setdefault(rid, f"region{rid}")
+    return np.asarray(pts), cells, surfs, phys
+
+
+# ---------------------------------------------------------------------------
+# ANSYS prep7 command file (N,/EN, lines) — ansysToFoam
+# ---------------------------------------------------------------------------
+
+
+def read_ansys(path: str):
+    """ANSYS .ans command dump: `N,id,x,y,z` nodes and `EN,id,v1..v8`
+    elements (collapsed duplicates encode tet/prism/pyramid, as in
+    SOLID45). SFE face loads are mapped to patches when present."""
+    idmap: Dict[int, int] = {}
+    pts: List[List[float]] = []
+    cells = []
+    surfs: List[Tuple[int, List[int]]] = []
+    phys: Dict[int, str] = {}
+    raw_cells: List[List[int]] = []
+    for ln in open(path):
+        t = [x.strip() for x in ln.replace(",", " ").split()]
+        if not t:
+            continue
+        key = t[0].upper()
+        if key == "N" and len(t) >= 5:
+            idmap[int(t[1])] = len(pts)
+            pts.append([float(t[2]), float(t[3]), float(t[4])])
+        elif key == "EN" and len(t) >= 10:
+            raw_cells.append([int(x) for x in t[2:10]])
+        elif key == "SFE" and len(t) >= 4:
+            # SFE,elem,face_id,... : tag the face of that element
+            ei, fi = int(t[1]) - 1, int(t[2])
+            if 0 <= ei < len(raw_cells):
+                etype, nodes = _star_shape(
+                    [idmap[v] for v in raw_cells[ei]])
+                from ..mesh.gmsh import _CELL_FACES
+
+                locs = _CELL_FACES[etype]
+                if 1 <= fi <= len(locs):
+                    surfs.append((1, [nodes[j] for j in locs[fi - 1]]))
+                    phys[1] = "loadedFaces"
+    for v8 in raw_cells:
+        cells.append(_star_shape([idmap[v] for v in v8]))
+    return np.asarray(pts), cells, surfs, phys
+
+
+star4_to_foam_cmd = _converter_cmd(read_star, "star4ToFoam",
+                                   needs_base=True)
+ansys_to_foam_cmd = _converter_cmd(read_ansys, "ansysToFoam")
+
+
+def dat_to_foam_cmd(argv) -> int:
+    """datToFoam: read a plot3d-style dat point file and write only
+    constant/polyMesh/points (used with a hand-written blockMeshDict;
+    reference: .../mesh/conversion/datToFoam/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser(prog="datToFoam")
+    ap.add_argument("infile")
+    ap.add_argument("-case", default=".")
+    a = ap.parse_args(argv)
+    toks: List[str] = []
+    for ln in open(a.infile):
+        toks += ln.split()
+    dims = []
+    i = 0
+    while i < len(toks) and "." not in toks[i] and len(dims) < 3:
+        dims.append(int(toks[i]))
+        i += 1
+    n = int(np.prod(dims)) if dims else 0
+    vals = np.asarray([float(x) for x in toks[i:]])
+    if n == 0:
+        n = vals.size // 3
+    xyz = vals[:3 * n].reshape(3, n).T   # block order: all x, all y, all z
+    out = _case_mesh_dir(a.case)
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "points"), "w") as f:
+        f.write(mesh_io._FILE_HEADER.format(cls="vectorField",
+                                            obj="points"))
+        f.write(f"{n}\n(\n")
+        for p in xyz:
+            f.write(f"({p[0]:.10g} {p[1]:.10g} {p[2]:.10g})\n")
+        f.write(")\n")
+    print(f"datToFoam: wrote {n} points -> {out}/points")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# exports
+# ---------------------------------------------------------------------------
+
+
+def foam_to_surface_cmd(argv) -> int:
+    """foamToSurface <out.stl|.obj>: triangulated boundary export
+    (reference: .../surface/foamToSurface/)."""
+    import argparse as _ap
+
+    from ..mesh.snappy import write_stl
+
+    ap = _ap.ArgumentParser(prog="foamToSurface")
+    ap.add_argument("outfile")
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-patches", default=None)
+    a = ap.parse_args(argv)
+    pm = mesh_io.read(_case_mesh_dir(a.case))
+    names = a.patches.split(",") if a.patches else None
+    tris = triangulate_boundary(pm, names)
+    if a.outfile.endswith(".obj"):
+        with open(a.outfile, "w") as f:
+            for t in tris:
+                for p in t:
+                    f.write(f"v {p[0]:.9g} {p[1]:.9g} {p[2]:.9g}\n")
+            for k in range(len(tris)):
+                f.write(f"f {3*k+1} {3*k+2} {3*k+3}\n")
+    else:
+        write_stl(a.outfile, tris)
+    print(f"foamToSurface: {len(tris)} triangles -> {a.outfile}")
+    return 0
+
+
+def foam_mesh_to_fluent_cmd(argv) -> int:
+    """foamMeshToFluent: export polyMesh as an ascii Fluent .msh
+    (sections 10 nodes / 12 cells / 13 faces, one face zone per patch;
+    reference: .../mesh/conversion/foamMeshToFluent/). Round-trips
+    through this package's fluentMeshToFoam."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser(prog="foamMeshToFluent")
+    ap.add_argument("outfile", nargs="?", default=None)
+    ap.add_argument("-case", default=".")
+    a = ap.parse_args(argv)
+    pm = mesh_io.read(_case_mesh_dir(a.case))
+    out = a.outfile or os.path.join(a.case, "fluentInterface",
+                                    os.path.basename(
+                                        os.path.abspath(a.case)) + ".msh")
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    nP, nC, nF = len(pm.points), pm.n_cells, pm.n_faces
+    nIf = pm.n_internal_faces
+    with open(out, "w") as f:
+        f.write('(0 "foamtpu foamMeshToFluent")\n(2 3)\n')
+        f.write(f"(10 (0 1 {nP:x} 0 3))\n")
+        f.write(f"(10 (1 1 {nP:x} 1 3)(\n")
+        for p in pm.points:
+            f.write(f"{p[0]:.10g} {p[1]:.10g} {p[2]:.10g}\n")
+        f.write("))\n")
+        f.write(f"(12 (0 1 {nC:x} 0 0))\n")
+        f.write(f"(12 (1 1 {nC:x} 1 0))\n")   # active fluid, mixed
+        f.write(f"(13 (0 1 {nF:x} 0 0))\n")
+
+        def face_block(zid, first, last, btype):
+            f.write(f"(13 ({zid:x} {first + 1:x} {last:x} {btype} 0)(\n")
+            for fi in range(first, last):
+                nv = int(pm.face_npts[fi])
+                verts = " ".join(f"{v + 1:x}"
+                                 for v in pm.face_pts[fi, :nv])
+                nei = (pm.neighbour[fi] + 1) if fi < nIf else 0
+                f.write(f"{nv:x} {verts} {pm.owner[fi] + 1:x} {nei:x}\n")
+            f.write("))\n")
+
+        face_block(2, 0, nIf, 2)              # interior
+        for k, p in enumerate(pm.patches):
+            btype = 3                          # wall by default
+            if p.type in ("patch", "inlet", "outlet"):
+                btype = 3 if p.type == "wall" else 3
+            face_block(10 + k, p.start, p.start + p.size, btype)
+        for k, p in enumerate(pm.patches):
+            f.write(f'(45 ({10 + k} wall {p.name})())\n')
+    print(f"foamMeshToFluent: {nC} cells, {nF} faces -> {out}")
+    return 0
+
+
+def _hex_shapes(pm) -> np.ndarray:
+    """Recover hex vertex ordering [nC,8] from 6-quad-face cells.
+    Raises for non-hex cells (PROSTAR export supports shapes only)."""
+    cell_faces: List[List[int]] = [[] for _ in range(pm.n_cells)]
+    for fi, own in enumerate(pm.owner):
+        cell_faces[own].append(fi)
+    for fi, nei in enumerate(pm.neighbour):
+        cell_faces[nei].append(fi)
+    shapes = np.empty((pm.n_cells, 8), dtype=np.int64)
+    for ci, fl in enumerate(cell_faces):
+        if len(fl) != 6 or any(pm.face_npts[f] != 4 for f in fl):
+            raise ValueError(f"cell {ci} is not a hex — PROSTAR export "
+                             "supports hex meshes only")
+        f0 = fl[0]
+        bot = list(pm.face_pts[f0, :4])
+        if pm.owner[f0] == ci:
+            bot = bot[::-1]       # owner face normals point out: flip
+        # the opposite face shares no points with f0
+        top_face = next(f for f in fl[1:]
+                        if not set(pm.face_pts[f, :4]) & set(bot))
+        top_pts = set(pm.face_pts[top_face, :4])
+        # vertical edges live on the 4 side faces
+        above = {}
+        for f in fl:
+            if f in (f0, top_face):
+                continue
+            quad = list(pm.face_pts[f, :4])
+            for i in range(4):
+                a, b = quad[i], quad[(i + 1) % 4]
+                if a in bot and b in top_pts:
+                    above[a] = b
+                if b in bot and a in top_pts:
+                    above[b] = a
+        shapes[ci] = bot + [above[v] for v in bot]
+    return shapes
+
+
+def foam_to_star_mesh_cmd(argv) -> int:
+    """foamToStarMesh: export a hex polyMesh as PROSTAR .vrt/.cel/.bnd
+    (reference: .../mesh/conversion/foamToStarMesh/). Round-trips
+    through star4ToFoam."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser(prog="foamToStarMesh")
+    ap.add_argument("outbase", nargs="?", default=None)
+    ap.add_argument("-case", default=".")
+    a = ap.parse_args(argv)
+    pm = mesh_io.read(_case_mesh_dir(a.case))
+    base = a.outbase or os.path.join(a.case, "meshExport")
+    shapes = _hex_shapes(pm)
+    with open(base + ".vrt", "w") as f:
+        for i, p in enumerate(pm.points):
+            f.write(f"{i + 1:9d} {p[0]:16.9e} {p[1]:16.9e} "
+                    f"{p[2]:16.9e}\n")
+    with open(base + ".cel", "w") as f:
+        for ci, s in enumerate(shapes):
+            verts = " ".join(f"{v + 1:9d}" for v in s)
+            f.write(f"{ci + 1:9d} {verts} {1:9d} {1:9d}\n")
+    with open(base + ".bnd", "w") as f:
+        k = 0
+        for rid, p in enumerate(pm.patches):
+            for fi in range(p.start, p.start + p.size):
+                quad = list(pm.face_pts[fi, :int(pm.face_npts[fi])])
+                if len(quad) == 3:
+                    quad = quad + [quad[2]]
+                verts = " ".join(f"{v + 1:9d}" for v in quad[:4])
+                k += 1
+                f.write(f"{k:9d} {verts} {rid + 1:4d} 0 {p.name}\n")
+    print(f"foamToStarMesh: {pm.n_cells} cells -> {base}.vrt/.cel/.bnd")
+    return 0
+
+
+def _read_cell_fields(case_dir, pm, time):
+    """All readable volScalar/volVector fields at `time` as
+    {name: [nC] or [nC,3]} numpy arrays."""
+    from ..io import fields as field_io
+
+    out = {}
+    tdir = os.path.join(case_dir, time)
+    if not os.path.isdir(tdir):
+        return out
+    for name in sorted(os.listdir(tdir)):
+        path = os.path.join(tdir, name)
+        if not os.path.isfile(path) or name.endswith((".gz",)):
+            continue
+        try:
+            fld = field_io.read_field(path, pm, name=name)
+            out[name] = np.asarray(fld.data)
+        except Exception:
+            continue
+    return out
+
+
+def foam_to_tecplot_cmd(argv) -> int:
+    """foamToTecplot360: ascii Tecplot FEPOLYHEDRON zone with
+    cell-centred fields of the chosen time (reference:
+    .../postProcessing/dataConversion/foamToTecplot360/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser(prog="foamToTecplot360")
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-time", default=None)
+    a = ap.parse_args(argv)
+    from ..core.case import Case
+
+    case = Case(a.case)
+    pm = mesh_io.read(_case_mesh_dir(a.case))
+    t = a.time or case.latest_time_name()
+    flds = _read_cell_fields(a.case, case.mesh, t)
+    names, cols = ["X", "Y", "Z"], []
+    for nm, d in flds.items():
+        if d.ndim == 1:
+            names.append(nm)
+            cols.append(d)
+        else:
+            for k, sfx in enumerate("xyz"):
+                names.append(f"{nm}_{sfx}")
+                cols.append(d[:, k])
+    out = os.path.join(a.case, f"tecplot_{t}.dat")
+    nIf = pm.n_internal_faces
+    with open(out, "w") as f:
+        f.write('TITLE="foamtpu foamToTecplot360"\n')
+        f.write("VARIABLES=" + " ".join(f'"{n}"' for n in names) + "\n")
+        f.write(f'ZONE T="{t}", ZONETYPE=FEPOLYHEDRON, '
+                f"NODES={len(pm.points)}, ELEMENTS={pm.n_cells}, "
+                f"FACES={pm.n_faces}, "
+                f"TOTALNUMFACENODES={int(pm.face_npts.sum())}, "
+                "NUMCONNECTEDBOUNDARYFACES=0, "
+                "TOTALNUMBOUNDARYCONNECTIONS=0, ")
+        if cols:
+            f.write(f"VARLOCATION=([4-{len(names)}]=CELLCENTERED), ")
+        f.write("DATAPACKING=BLOCK\n")
+
+        def block(vals):
+            for i in range(0, len(vals), 8):
+                f.write(" ".join(f"{v:.9g}"
+                                 for v in vals[i:i + 8]) + "\n")
+
+        for k in range(3):
+            block(pm.points[:, k])
+        for c in cols:
+            block(c)
+        block([int(n) for n in pm.face_npts])
+        for fi in range(pm.n_faces):
+            nv = int(pm.face_npts[fi])
+            f.write(" ".join(str(v + 1)
+                             for v in pm.face_pts[fi, :nv]) + "\n")
+        block([int(o) + 1 for o in pm.owner])
+        block([int(pm.neighbour[fi]) + 1 if fi < nIf else 0
+               for fi in range(pm.n_faces)])
+    print(f"foamToTecplot360: {len(names)} variables -> {out}")
+    return 0
+
+
+def foam_to_gmv_cmd(argv) -> int:
+    """foamToGMV: ascii GMV dump (general cells + cell-centred
+    variables; reference: .../postProcessing/dataConversion/foamToGMV/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser(prog="foamToGMV")
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-time", default=None)
+    a = ap.parse_args(argv)
+    from ..core.case import Case
+
+    case = Case(a.case)
+    pm = mesh_io.read(_case_mesh_dir(a.case))
+    t = a.time or case.latest_time_name()
+    flds = _read_cell_fields(a.case, case.mesh, t)
+    cell_faces: List[List[int]] = [[] for _ in range(pm.n_cells)]
+    for fi, own in enumerate(pm.owner):
+        cell_faces[own].append(fi)
+    for fi, nei in enumerate(pm.neighbour):
+        cell_faces[nei].append(fi)
+    out = os.path.join(a.case, f"gmv_{t}.gmv")
+    with open(out, "w") as f:
+        f.write("gmvinput ascii\n")
+        f.write(f"nodev {len(pm.points)}\n")
+        for p in pm.points:
+            f.write(f"{p[0]:.9g} {p[1]:.9g} {p[2]:.9g}\n")
+        f.write(f"cells {pm.n_cells}\n")
+        for fl in cell_faces:
+            f.write(f"general {len(fl)}\n")
+            f.write(" ".join(str(int(pm.face_npts[fi]))
+                             for fi in fl) + "\n")
+            verts = []
+            for fi in fl:
+                nv = int(pm.face_npts[fi])
+                verts += [str(v + 1) for v in pm.face_pts[fi, :nv]]
+            f.write(" ".join(verts) + "\n")
+        if "U" in flds and flds["U"].ndim == 2:
+            f.write("velocity 0\n")
+            for k in range(3):
+                f.write(" ".join(f"{v:.9g}"
+                                 for v in flds["U"][:, k]) + "\n")
+        f.write("variable\n")
+        for nm, d in flds.items():
+            if d.ndim == 1:
+                f.write(f"{nm} 0\n")
+                f.write(" ".join(f"{v:.9g}" for v in d) + "\n")
+        f.write("endvars\nendgmv\n")
+    print(f"foamToGMV: {pm.n_cells} cells -> {out}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# manipulation
+# ---------------------------------------------------------------------------
+
+
+def attach_mesh_cmd(argv) -> int:
+    """attachMesh <master> <slave>: attach a coupled baffle pair back
+    into internal faces (reference: .../mesh/manipulation/attachMesh/,
+    the attach half of attachDetach — same perfect-match merge as
+    stitchMesh)."""
+    from .cli import stitch_mesh_cmd
+
+    return stitch_mesh_cmd(argv)
+
+
+def rotate_mesh_cmd(argv) -> int:
+    """rotateMesh '(n1x n1y n1z)' '(n2x n2y n2z)': rotate points (and
+    vector fields of the latest time) by the rotation mapping n1->n2
+    (reference: .../mesh/manipulation/rotateMesh/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser(prog="rotateMesh")
+    ap.add_argument("n1")
+    ap.add_argument("n2")
+    ap.add_argument("-case", default=".")
+    a = ap.parse_args(argv)
+
+    def vec(s):
+        v = np.asarray([float(x) for x in
+                        s.replace("(", " ").replace(")", " ").split()])
+        return v / np.linalg.norm(v)
+
+    n1, n2 = vec(a.n1), vec(a.n2)
+    v = np.cross(n1, n2)
+    c = float(np.dot(n1, n2))
+    if np.linalg.norm(v) < 1e-12:
+        R = np.eye(3) * (1.0 if c > 0 else -1.0)
+        if c < 0:                      # 180deg: any perpendicular axis
+            axis = np.eye(3)[np.argmin(np.abs(n1))]
+            axis = axis - n1 * np.dot(axis, n1)
+            axis /= np.linalg.norm(axis)
+            R = 2.0 * np.outer(axis, axis) - np.eye(3)
+    else:
+        vx = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]],
+                       [-v[1], v[0], 0]])
+        R = np.eye(3) + vx + vx @ vx / (1.0 + c)
+    mdir = _case_mesh_dir(a.case)
+    pm = mesh_io.read(mdir)
+    from ..mesh.core import PolyMesh
+
+    pm2 = PolyMesh(points=pm.points @ R.T, face_pts=pm.face_pts,
+                   face_npts=pm.face_npts, owner=pm.owner,
+                   neighbour=pm.neighbour, patches=pm.patches,
+                   face_shift=pm.face_shift,
+                   cell_zones=pm.cell_zones)
+    mesh_io.write(pm2, mdir)
+    # rotate vector fields at the latest time
+    from ..core.case import Case
+    from ..io import fields as field_io
+
+    try:
+        case = Case(a.case)
+        t = case.latest_time_name()
+        for nm, d in _read_cell_fields(a.case, case.mesh, t).items():
+            if d.ndim == 2:
+                fld = field_io.read_field(os.path.join(a.case, t, nm),
+                                          case.mesh, name=nm)
+                import jax.numpy as jnp
+
+                field_io.write_field(fld.with_data(jnp.asarray(d @ R.T)),
+                                     case.mesh, a.case, t)
+    except Exception:
+        pass
+    print(f"rotateMesh: rotated by {np.degrees(np.arccos(np.clip(c, -1, 1))):.3g} deg")
+    return 0
+
+
+def _one_cell_box(lo, hi):
+    """Single-hex PolyMesh spanning [lo, hi] with one wall patch."""
+    from ..mesh.core import Patch, PolyMesh
+
+    x0, y0, z0 = lo
+    x1, y1, z1 = hi
+    pts = np.asarray([[x0, y0, z0], [x1, y0, z0], [x1, y1, z0],
+                      [x0, y1, z0], [x0, y0, z1], [x1, y0, z1],
+                      [x1, y1, z1], [x0, y1, z1]], dtype=float)
+    # outward-pointing quads of the unit hex
+    faces = np.asarray([[0, 3, 2, 1], [4, 5, 6, 7], [0, 1, 5, 4],
+                        [2, 3, 7, 6], [0, 4, 7, 3], [1, 2, 6, 5]],
+                       dtype=np.int64)
+    return PolyMesh(points=pts, face_pts=faces,
+                    face_npts=np.full(6, 4, dtype=np.int64),
+                    owner=np.zeros(6, dtype=np.int64),
+                    neighbour=np.zeros(0, dtype=np.int64),
+                    patches=[Patch(name="boundary", type="wall",
+                                   start=0, size=6)])
+
+
+def single_cell_mesh_cmd(argv) -> int:
+    """singleCellMesh: collapse mesh+fields to one cell (volume-average
+    values; reference: .../mesh/manipulation/singleCellMesh/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser(prog="singleCellMesh")
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-out", default=None)
+    a = ap.parse_args(argv)
+    from ..core.case import Case
+
+    case = Case(a.case)
+    pm = mesh_io.read(_case_mesh_dir(a.case))
+    t = case.latest_time_name()
+    flds = _read_cell_fields(a.case, case.mesh, t)
+    V = np.asarray(pm.v)
+    lo, hi = pm.points.min(axis=0), pm.points.max(axis=0)
+    out_case = a.out or a.case
+    sc = _one_cell_box(lo, hi)
+    mesh_io.write(sc, _case_mesh_dir(out_case))
+    import jax.numpy as jnp
+
+    from ..core.fields import vol_scalar, vol_vector
+    from ..io import fields as field_io
+
+    for nm, d in flds.items():
+        avg = (d * V[:, None] if d.ndim == 2 else d * V).sum(axis=0) \
+            / V.sum()
+        if d.ndim == 2:
+            f = vol_vector(sc, tuple(float(x) for x in avg), name=nm)
+        else:
+            f = vol_scalar(sc, float(avg), name=nm)
+        field_io.write_field(f, sc, out_case, t)
+    print(f"singleCellMesh: {len(flds)} fields averaged onto 1 cell "
+          f"at t={t}")
+    return 0
+
+
+def zip_up_mesh_cmd(argv) -> int:
+    """zipUpMesh: merge coincident points (tolerance relative to the
+    mesh extent) so unzipped cells close (reference:
+    .../mesh/manipulation/zipUpMesh/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser(prog="zipUpMesh")
+    ap.add_argument("-case", default=".")
+    ap.add_argument("-tol", type=float, default=1e-8)
+    a = ap.parse_args(argv)
+    from ..mesh.core import PolyMesh
+
+    mdir = _case_mesh_dir(a.case)
+    pm = mesh_io.read(mdir)
+    scale = float(np.abs(pm.points).max()) or 1.0
+    key = np.round(pm.points / (a.tol * scale)).astype(np.int64)
+    _, first, inv = np.unique(key, axis=0, return_index=True,
+                              return_inverse=True)
+    merged = len(pm.points) - len(first)
+    if merged:
+        # compact to unique points, remap faces
+        new_pts = pm.points[np.sort(first)]
+        order = np.argsort(first)
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(first))
+        remap = rank[inv]
+        fp = pm.face_pts.copy()
+        mask = fp >= 0
+        fp[mask] = remap[fp[mask]]
+        pm = PolyMesh(points=new_pts, face_pts=fp,
+                      face_npts=pm.face_npts, owner=pm.owner,
+                      neighbour=pm.neighbour, patches=pm.patches,
+                      face_shift=pm.face_shift,
+                      cell_zones=pm.cell_zones)
+        mesh_io.write(pm, mdir)
+    print(f"zipUpMesh: merged {merged} duplicate points")
+    return 0
+
+
+def remove_faces_cmd(argv) -> int:
+    """removeFaces <faceSet>: delete internal faces and merge the cell
+    pairs across them into polyhedral cells (reference:
+    .../mesh/manipulation/removeFaces/ + dynamicMesh/removeFaces)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser(prog="removeFaces")
+    ap.add_argument("set_name")
+    ap.add_argument("-case", default=".")
+    a = ap.parse_args(argv)
+    from ..mesh.core import PolyMesh
+    from .meshutils import read_set
+
+    mdir = _case_mesh_dir(a.case)
+    pm = mesh_io.read(mdir)
+    rm = set(int(i) for i in read_set(a.case, a.set_name))
+    nIf = pm.n_internal_faces
+    rm = {f for f in rm if f < nIf}
+    # union-find over merged cell pairs
+    parent = np.arange(pm.n_cells)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for fi in rm:
+        a_, b_ = find(int(pm.owner[fi])), find(int(pm.neighbour[fi]))
+        if a_ != b_:
+            parent[max(a_, b_)] = min(a_, b_)
+    roots = np.asarray([find(c) for c in range(pm.n_cells)])
+    uniq, newid = np.unique(roots, return_inverse=True)
+    keep_int = [fi for fi in range(nIf)
+                if fi not in rm
+                and newid[pm.owner[fi]] != newid[pm.neighbour[fi]]]
+    own_i = newid[pm.owner[keep_int]]
+    nei_i = newid[pm.neighbour[keep_int]]
+    fp_i = pm.face_pts[keep_int].copy()
+    np_i = pm.face_npts[keep_int].copy()
+    flip = own_i > nei_i
+    for k in np.nonzero(flip)[0]:
+        nv = int(np_i[k])
+        fp_i[k, :nv] = fp_i[k, :nv][::-1]
+    own_i2 = np.where(flip, nei_i, own_i)
+    nei_i2 = np.where(flip, own_i, nei_i)
+    order = np.lexsort((nei_i2, own_i2))
+    bnd = slice(nIf, pm.n_faces)
+    face_pts = np.concatenate([fp_i[order], pm.face_pts[bnd]])
+    face_npts = np.concatenate([np_i[order], pm.face_npts[bnd]])
+    owner = np.concatenate([own_i2[order], newid[pm.owner[bnd]]])
+    neighbour = nei_i2[order]
+    patches = [p.__class__(name=p.name, type=p.type,
+                           start=p.start - (nIf - len(keep_int)),
+                           size=p.size,
+                           neighbour_patch=p.neighbour_patch,
+                           attrs=p.attrs) for p in pm.patches]
+    zones = None
+    if pm.cell_zones:
+        zones = {k: np.unique(newid[v])
+                 for k, v in pm.cell_zones.items()}
+    out = PolyMesh(points=pm.points, face_pts=face_pts,
+                   face_npts=face_npts, owner=owner,
+                   neighbour=neighbour, patches=patches,
+                   cell_zones=zones)
+    mesh_io.write(out, mdir)
+    print(f"removeFaces: removed {len(rm)} faces, "
+          f"{pm.n_cells} -> {out.n_cells} cells")
+    return 0
+
+
+def auto_refine_mesh_cmd(argv) -> int:
+    """autoRefineMesh <surface.stl>: refine the cells cut by the
+    surface one 2x2x2 level (reference:
+    .../mesh/advanced/autoRefineMesh/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser(prog="autoRefineMesh")
+    ap.add_argument("surface")
+    ap.add_argument("-case", default=".")
+    a = ap.parse_args(argv)
+    from ..mesh.snappy import points_inside, read_stl
+    from .meshutils import refine_mesh, write_set
+
+    pm = mesh_io.read(_case_mesh_dir(a.case))
+    tris = read_stl(a.surface)
+    inside = points_inside(tris, pm.points)
+    # a cell is cut when its vertices disagree on inside/outside
+    cut = np.zeros(pm.n_cells, dtype=bool)
+    seen_in = np.zeros(pm.n_cells, dtype=bool)
+    seen_out = np.zeros(pm.n_cells, dtype=bool)
+    for fi in range(pm.n_faces):
+        nv = int(pm.face_npts[fi])
+        cells = [int(pm.owner[fi])]
+        if fi < pm.n_internal_faces:
+            cells.append(int(pm.neighbour[fi]))
+        anyin = bool(inside[pm.face_pts[fi, :nv]].any())
+        anyout = bool((~inside[pm.face_pts[fi, :nv]]).any())
+        for c in cells:
+            seen_in[c] |= anyin
+            seen_out[c] |= anyout
+    cut = seen_in & seen_out
+    ids = np.nonzero(cut)[0]
+    write_set(a.case, "autoRefine", "cellSet", ids)
+    out = refine_mesh(a.case, "autoRefine")
+    print(f"autoRefineMesh: refined {ids.size} cut cells, "
+          f"{pm.n_cells} -> {out.n_cells} cells")
+    return 0
+
+
+def refine_hex_mesh_cmd(argv) -> int:
+    """refineHexMesh <cellSet>: one 2x2x2 hex split of the set
+    (reference: .../mesh/advanced/refineHexMesh/; shares the octree
+    storage of refineMesh)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser(prog="refineHexMesh")
+    ap.add_argument("set_name")
+    ap.add_argument("-case", default=".")
+    a = ap.parse_args(argv)
+    from .meshutils import refine_mesh
+
+    out = refine_mesh(a.case, a.set_name)
+    print(f"refineHexMesh: {out.n_cells} cells")
+    return 0
+
+
+def move_mesh_cmd(argv) -> int:
+    """moveMesh: advance constant/dynamicMeshDict solid-body motion
+    over the controlDict time range, writing points at write times
+    (reference: .../mesh/manipulation/moveMesh/)."""
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser(prog="moveMesh")
+    ap.add_argument("-case", default=".")
+    a = ap.parse_args(argv)
+    from ..core.case import Case
+    from ..solvers.apps import _dym_motion
+
+    case = Case(a.case)
+    pts_fn, _ = _dym_motion(case)
+    cd = case.control_dict if hasattr(case, "control_dict") \
+        else parse_file(os.path.join(a.case, "system", "controlDict"))
+    t0 = float(cd.get("startTime", 0.0))
+    t1 = float(cd.get("endTime", 1.0))
+    dt = float(cd.get("deltaT", (t1 - t0) / 10 or 1.0))
+    wi = float(cd.get("writeInterval", 1.0))
+    pm = mesh_io.read(_case_mesh_dir(a.case))
+    p0 = np.asarray(pm.points)
+    t, nw = t0, 0
+    next_write = t0 + wi * dt if str(cd.get(
+        "writeControl", "timeStep")) == "timeStep" else t0 + wi
+    while t < t1 - 1e-12 * max(1.0, abs(t1)):
+        t = min(t + dt, t1)
+        if t >= next_write - 1e-12 or t >= t1 - 1e-12:
+            pts = np.asarray(pts_fn(p0, t))
+            tdir = os.path.join(a.case, f"{t:.6g}", "polyMesh")
+            os.makedirs(tdir, exist_ok=True)
+            from ..mesh.core import PolyMesh
+
+            mesh_io.write(PolyMesh(points=pts, face_pts=pm.face_pts,
+                                   face_npts=pm.face_npts,
+                                   owner=pm.owner,
+                                   neighbour=pm.neighbour,
+                                   patches=pm.patches), tdir)
+            nw += 1
+            next_write += wi * dt if str(cd.get(
+                "writeControl", "timeStep")) == "timeStep" else wi
+    print(f"moveMesh: wrote moved points at {nw} time(s)")
+    return 0
+
+
+COMMANDS = {
+    "star4ToFoam": star4_to_foam_cmd,
+    "starToFoam": star4_to_foam_cmd,
+    "sammToFoam": star4_to_foam_cmd,
+    "ansysToFoam": ansys_to_foam_cmd,
+    "datToFoam": dat_to_foam_cmd,
+    "foamToSurface": foam_to_surface_cmd,
+    "foamMeshToFluent": foam_mesh_to_fluent_cmd,
+    "foamToStarMesh": foam_to_star_mesh_cmd,
+    "foamToTecplot360": foam_to_tecplot_cmd,
+    "foamToGMV": foam_to_gmv_cmd,
+    "attachMesh": attach_mesh_cmd,
+    "rotateMesh": rotate_mesh_cmd,
+    "singleCellMesh": single_cell_mesh_cmd,
+    "zipUpMesh": zip_up_mesh_cmd,
+    "removeFaces": remove_faces_cmd,
+    "autoRefineMesh": auto_refine_mesh_cmd,
+    "refineHexMesh": refine_hex_mesh_cmd,
+    "moveMesh": move_mesh_cmd,
+}
