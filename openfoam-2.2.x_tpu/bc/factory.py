@@ -142,6 +142,17 @@ _ALIASES = {
     # (reference: fvPatchFields/basic/fixedInternalValue/)
     "fixedInternalValue": "zeroGradient",
     "timeVaryingMappedFixedValue": "timeVaryingMappedFixedValue",
+    # batch 4 (bc/derived4.py)
+    "constantAlphaContactAngle": "alphaContactAngle",
+    "dynamicAlphaContactAngle": "alphaContactAngle",
+    "maxwellSlipU": "maxwellSlipU",
+    "smoluchowskiJumpT": "smoluchowskiJumpT",
+    "fixedRho": "fixedRho",
+    "fanPressure": "fanPressure",
+    "syringePressure": "syringePressure",
+    "pressureInletOutletParSlipVelocity":
+        "pressureInletOutletParSlipVelocity",
+    "nutLowReWallFunction": "nutkWallFunction",
 }
 
 
@@ -613,6 +624,59 @@ def from_dict(spec: FoamDict, patch, rank: int, dtype,
                 kw["ref_value"] = jnp.asarray(tbl[1][0], dtype)
         if "tvm" not in kw:
             kind = "fixedValue"   # no boundaryData found: hold `value`
+    elif kind == "alphaContactAngle":
+        # zeroGradient facade carrying the contact angle for
+        # interfaceProperties (models/interface.py); theta in RADIANS
+        kw["ref_grad"] = 0.0
+        kw["vfrac"] = 0.0
+        kw["theta0"] = float(np.radians(_num(spec.get("theta0", 90.0))))
+        for k in ("uTheta", "thetaA", "thetaR"):
+            if k in spec:
+                kw[k] = float(np.radians(_num(spec[k]))) \
+                    if k != "uTheta" else _num(spec[k])
+    elif kind in ("maxwellSlipU", "smoluchowskiJumpT"):
+        kw["ref_value"] = val if val is not None else (
+            0.0 if kind == "maxwellSlipU" else 300.0)
+        kw["vfrac"] = 1.0
+        kw["accommodationCoeff"] = _num(
+            spec.get("accommodationCoeff", 1.0))
+        if "lambda" in spec:
+            kw["lambda"] = _num(spec["lambda"])
+        if kind == "maxwellSlipU":
+            uw = spec.get("Uwall", (0.0, 0.0, 0.0))
+            kw["Uwall"] = tuple(float(x) for x in np.asarray(
+                uw, dtype=float).reshape(-1)[-3:])
+        else:
+            kw["Twall"] = _num(spec.get("Twall", 300.0))
+            kw["gamma"] = _num(spec.get("gamma", 1.4))
+            kw["Pr"] = _num(spec.get("Pr", 0.72))
+    elif kind == "fixedRho":
+        kw["ref_value"] = val if val is not None else 1.0
+        kw["vfrac"] = 1.0
+        if "psi" in spec:
+            kw["psi"] = _num(spec["psi"])
+    elif kind == "fanPressure":
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 1.0
+        kw["p0"] = _num(spec.get("p0", 0.0))
+        kw["direction"] = str(spec.get("direction", "in"))
+        fc = spec.get("fanCurve", spec.get("jumpTable"))
+        rows = _table_rows(fc, 0) if fc is not None else None
+        if rows is not None:
+            from .derived3 import _Frozen
+
+            kw["fanCurve"] = _Frozen(np.asarray(
+                [(t, v) for t, v in rows], dtype=float))
+    elif kind == "syringePressure":
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 1.0
+        for k in ("Ap", "Sp", "VsI", "tas", "tae", "tds", "tde",
+                  "psI", "psE", "ams"):
+            if k in spec:
+                kw[k] = _num(spec[k])
+    elif kind == "pressureInletOutletParSlipVelocity":
+        kw["ref_value"] = val if val is not None else 0.0
+        kw["vfrac"] = 0.0
     return make(kind, **kw)
 
 

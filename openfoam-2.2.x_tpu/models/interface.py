@@ -16,6 +16,37 @@ from ..core.fields import VolField
 from ..ops import fvc, surface
 
 
+def _correct_contact_angle(mesh, alpha: VolField, nhat):
+    """Rotate the boundary interface normals of wall patches whose
+    alpha BC is an alphaContactAngle kind so that nHat . n_wall =
+    cos(theta) (reference: twoPhaseInterfaceProperties/
+    interfaceProperties::correctContactAngle — the a/b rotation in the
+    (nHat, n_wall) plane). Constant theta0 is exact; the dynamic
+    variant uses theta0 at zero wall speed (uTheta dependence is a
+    documented deviation)."""
+    if not any(bc.kind == "alphaContactAngle" for bc in alpha.bcs):
+        return nhat
+    for p, bc in zip(mesh.patches, alpha.bcs):
+        if bc.kind != "alphaContactAngle":
+            continue
+        theta = float(bc.opt("theta0", jnp.pi / 2))
+        sl = p.slice
+        nf = mesh.sf[sl] / jnp.maximum(mesh.mag_sf[sl], 1e-30)[:, None]
+        nhatp = nhat[sl]
+        a12 = jnp.clip(jnp.sum(nhatp * nf, axis=1), -1 + 1e-6,
+                       1 - 1e-6)
+        b1 = jnp.cos(theta) * jnp.ones_like(a12)
+        b2 = jnp.cos(jnp.arccos(a12) - theta)
+        det = 1.0 - a12 * a12
+        a = (b1 - a12 * b2) / det
+        b = (b2 - a12 * b1) / det
+        corr = a[:, None] * nf + b[:, None] * nhatp
+        corr = corr / jnp.maximum(
+            jnp.linalg.norm(corr, axis=1), 1e-30)[:, None]
+        nhat = nhat.at[sl].set(corr)
+    return nhat
+
+
 def interface_normals(mesh, alpha: VolField):
     """Face unit normal flux nHatf = (grad alpha)_f . Sf / |grad alpha|_f."""
     g = fvc.grad(mesh, alpha)  # [nC,3]
@@ -26,6 +57,7 @@ def interface_normals(mesh, alpha: VolField):
     delta_n = 1e-8 / jnp.mean(jnp.cbrt(mesh.v))
     mag = jnp.linalg.norm(gf_all, axis=1) + delta_n
     nhat = gf_all / mag[:, None]
+    nhat = _correct_contact_angle(mesh, alpha, nhat)
     nhatf = jnp.sum(nhat * mesh.sf, axis=1) * mesh.face_active
     return nhatf
 
