@@ -46,7 +46,8 @@ class FunctionObjectList:
 
 def make_function_objects(case) -> FunctionObjectList:
     """Build from controlDict `functions {}` (reference: functionObjectList)."""
-    from . import field, forces, probes, sampling, surfaces, values  # noqa: F401
+    from . import (field, forces, misc, probes, sampling,  # noqa: F401
+                   surfaces, values)
 
     objs: List[FunctionObject] = []
     fns = case.control_dict.get("functions")
