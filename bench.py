@@ -149,6 +149,10 @@ def main():
             out["detail"]["scale3d"] = bench_scale3d()
         except Exception as e:
             out["detail"]["scale3d"] = {"error": f"{type(e).__name__}: {e}"}
+    errored = [k for k, v in out["detail"].items()
+               if isinstance(v, dict) and "error" in v]
+    if errored:
+        print(f"bench.py: sub-bench(es) ERRORED: {errored}", file=sys.stderr)
     print(json.dumps(out))
 
 
@@ -300,8 +304,6 @@ def bench_pitz():
     }
 
 
-if __name__ == "__main__":
-    main()
 
 
 def bench_ensemble():
@@ -353,3 +355,6 @@ def bench_ensemble():
             "aggregate_cells_per_sec":
                 round(nmem * mesh.n_cells / secN, 1),
             "speedup_vs_serial_sweep": round(nmem * sec1 / secN, 2)}
+
+if __name__ == "__main__":
+    main()

@@ -100,6 +100,7 @@ def read_ansys(path: str):
     elements (collapsed duplicates encode tet/prism/pyramid, as in
     SOLID45). SFE face loads are mapped to patches when present."""
     idmap: Dict[int, int] = {}
+    eidmap: Dict[int, int] = {}
     pts: List[List[float]] = []
     cells = []
     surfs: List[Tuple[int, List[int]]] = []
@@ -114,10 +115,14 @@ def read_ansys(path: str):
             idmap[int(t[1])] = len(pts)
             pts.append([float(t[2]), float(t[3]), float(t[4])])
         elif key == "EN" and len(t) >= 10:
+            # record the (arbitrary, possibly non-sequential) ANSYS
+            # element id -> load order so SFE lookups stay correct
+            # (ADVICE r3 #4)
+            eidmap[int(t[1])] = len(raw_cells)
             raw_cells.append([int(x) for x in t[2:10]])
         elif key == "SFE" and len(t) >= 4:
             # SFE,elem,face_id,... : tag the face of that element
-            ei, fi = int(t[1]) - 1, int(t[2])
+            ei, fi = eidmap.get(int(t[1]), -1), int(t[2])
             if 0 <= ei < len(raw_cells):
                 etype, nodes = _star_shape(
                     [idmap[v] for v in raw_cells[ei]])
@@ -245,14 +250,31 @@ def foam_mesh_to_fluent_cmd(argv) -> int:
                 f.write(f"{nv:x} {verts} {pm.owner[fi] + 1:x} {nei:x}\n")
             f.write("))\n")
 
+        # Fluent zone BC codes: 2=interior, 3=wall, 7=symmetry,
+        # 4=pressure-inlet, 5=pressure-outlet (generic patches export
+        # as pressure-inlet/outlet by name hint, else wall for walls,
+        # symmetry for symmetry planes — ADVICE r3 #3)
+        def fluent_bc(p):
+            if p.type in ("symmetry", "symmetryPlane"):
+                return 7, "symmetry"
+            if p.type == "wall":
+                return 3, "wall"
+            if p.type in ("empty", "wedge"):
+                return 7, "symmetry"
+            nm = p.name.lower()
+            if "outlet" in nm or "outflow" in nm:
+                return 5, "pressure-outlet"
+            if "inlet" in nm:
+                return 4, "pressure-inlet"
+            return 3, "wall"
+
         face_block(2, 0, nIf, 2)              # interior
         for k, p in enumerate(pm.patches):
-            btype = 3                          # wall by default
-            if p.type in ("patch", "inlet", "outlet"):
-                btype = 3 if p.type == "wall" else 3
+            btype, _ = fluent_bc(p)
             face_block(10 + k, p.start, p.start + p.size, btype)
         for k, p in enumerate(pm.patches):
-            f.write(f'(45 ({10 + k} wall {p.name})())\n')
+            _, zname = fluent_bc(p)
+            f.write(f'(45 ({10 + k} {zname} {p.name})())\n')
     print(f"foamMeshToFluent: {nC} cells, {nF} faces -> {out}")
     return 0
 

@@ -120,10 +120,15 @@ def _up_fixed_rho(bc, mesh, patch, internal, *, p_b=None, psi_b=None,
 # ---------------------------------------------------------------------------
 
 
-def _up_fan_pressure(bc, mesh, patch, internal, *, phi=None, **ctx):
+def _up_fan_pressure(bc, mesh, patch, internal, *, phi=None, U=None,
+                     rho_b=None, **ctx):
     """fanPressure (reference: derived/fanPressure/): total pressure
     minus the fan curve dp(V̇) evaluated at the patch volumetric flow.
-    direction 'in': the fan blows INTO the domain (flow = -sum phi)."""
+    direction 'in': the fan blows INTO the domain (flow = -sum phi).
+    The effective p0 then goes through the totalPressure closure
+    (p = p0_eff on outflow, p0_eff - 0.5 (rho)|U|^2 on inflow) —
+    the reference inherits totalPressureFvPatchScalarField::
+    updateCoeffs (ADVICE r3 #2)."""
     if phi is None:
         return bc
     sl = patch.slice
@@ -137,8 +142,18 @@ def _up_fan_pressure(bc, mesh, patch, internal, *, phi=None, **ctx):
     else:
         dp = 0.0
     p0 = _bcast(bc.opt("p0", 0.0), internal)
-    return bc.replace(ref_value=p0 + dp * (1.0 if sgn < 0 else -1.0),
-                      vfrac=jnp.ones(patch.size, internal.dtype))
+    p0_eff = p0 + dp * (1.0 if sgn < 0 else -1.0)
+    ones = jnp.ones(patch.size, internal.dtype)
+    if U is None:
+        return bc.replace(ref_value=p0_eff, vfrac=ones)
+    phib = phi[sl]
+    cells = mesh.owner[sl]
+    Ub = U[cells]
+    magU2 = jnp.sum(Ub * Ub, axis=1)
+    if rho_b is not None:
+        magU2 = magU2 * rho_b[cells]
+    pval = jnp.where(phib > 0.0, p0_eff, p0_eff - 0.5 * magU2)
+    return bc.replace(ref_value=pval, vfrac=ones)
 
 
 # ---------------------------------------------------------------------------

@@ -152,7 +152,6 @@ _ALIASES = {
     "syringePressure": "syringePressure",
     "pressureInletOutletParSlipVelocity":
         "pressureInletOutletParSlipVelocity",
-    "nutLowReWallFunction": "nutkWallFunction",
 }
 
 
@@ -195,10 +194,14 @@ def from_dict(spec: FoamDict, patch, rank: int, dtype,
     # turbulence/thermo BC twins) resolves to the shared kinds
     if t.startswith("compressible::"):
         t = t[len("compressible::"):]
+    # nut/mutLowReWallFunction: the reference sets nut = 0 at the wall
+    # (wall-resolved low-Re meshes); the log-law nutk value would
+    # silently inject wall viscosity (ADVICE r3 #1)
+    if t in ("nutLowReWallFunction", "mutLowReWallFunction"):
+        return make("fixedValue", ref_value=0.0, vfrac=1.0)
     # mut* are the compressible names of the nut* wall functions
     t = {"mutkWallFunction": "nutkWallFunction",
          "mutUWallFunction": "nutUWallFunction",
-         "mutLowReWallFunction": "nutkWallFunction",
          "mutkRoughWallFunction": "nutkRoughWallFunction",
          "mutUSpaldingWallFunction": "nutUSpaldingWallFunction",
          "alphatWallFunction": "calculated"}.get(t, t)

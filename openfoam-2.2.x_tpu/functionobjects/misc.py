@@ -86,9 +86,10 @@ class SurfaceInterpolateFields(FunctionObject):
 
 
 class RegionSizeDistribution(FunctionObject):
-    """Volume histogram of connected regions where field < threshold
-    (droplets of alpha, reference: regionSizeDistribution — the
-    FaceCellWave regionSplit there is a host union-find here)."""
+    """Volume histogram of connected regions where field > threshold
+    (droplets of alpha, matching the reference's droplet semantics;
+    reference: regionSizeDistribution — the FaceCellWave regionSplit
+    there is a host union-find here)."""
 
     def __init__(self, name, spec, case):
         super().__init__(name, spec, case)

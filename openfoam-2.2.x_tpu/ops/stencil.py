@@ -16,9 +16,21 @@ gather-free.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
+
+# Pallas fused-SpMV dispatch: ON by default on TPU for 1-D operands at
+# >= _PALLAS_MIN cells (where the fused kernel beats the jnp.roll chain
+# — see BASELINE.md r4 microbench); FOAMTPU_PALLAS=0 opts out.
+_PALLAS_MIN = int(os.environ.get("FOAMTPU_PALLAS_MIN", "4096"))
+
+
+def _pallas_on() -> bool:
+    return (os.environ.get("FOAMTPU_PALLAS", "1") not in ("0", "false")
+            and jax.default_backend() == "tpu")
 
 
 class StencilOp(NamedTuple):
@@ -41,6 +53,23 @@ class StencilOp(NamedTuple):
                 else self.fb_coeffs * psi[self.fb_nbrs]
             acc = acc.at[self.fb_cells].add(contrib)
         return acc
+
+    def matvec(self, diag: Any, psi: Any) -> Any:
+        """diag*psi + offdiag@psi — THE hot motion of every Krylov/
+        smoother iteration. Dispatches to the Pallas fused kernel
+        (ops/pallas_spmv.py: one VMEM pass, no lane relayouts) on TPU;
+        falls back to the jnp.roll chain elsewhere. Reference hot path:
+        lduMatrix::Amul (src/OpenFOAM/matrices/lduMatrix/)."""
+        if (psi.ndim == 1 and psi.shape[0] >= _PALLAS_MIN
+                and self.deltas and _pallas_on()):
+            from . import pallas_spmv
+
+            acc = pallas_spmv.spmv_fused(diag, psi, self.off, self.deltas)
+            if self.fb_cells.shape[0]:
+                acc = acc.at[self.fb_cells].add(
+                    self.fb_coeffs * psi[self.fb_nbrs])
+            return acc
+        return diag * psi + self.apply_off(psi)
 
 
 def from_tables(deltas, st_cface, st_sign, st_valid,

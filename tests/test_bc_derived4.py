@@ -210,8 +210,11 @@ def test_parse_batch4_kinds():
         bc = factory.from_dict(parse_string(src), P(), rank,
                                np.float32)
         assert bc.kind == kind, (bc.kind, kind)
-    # nutLowReWallFunction alias
+    # nutLowReWallFunction: the reference sets nut = 0 at the wall
+    # (wall-resolved low-Re meshes) — a fixedValue-0, NOT the log-law
+    # nutk wall function (ADVICE r3 #1)
     bc = factory.from_dict(
         parse_string("type nutLowReWallFunction; value uniform 0;"),
         P(), 0, np.float32)
-    assert bc.kind == "nutkWallFunction"
+    assert bc.kind == "fixedValue"
+    assert float(np.max(np.abs(np.asarray(bc.ref_value)))) == 0.0
