@@ -252,6 +252,9 @@ def build_hierarchy(
 
 
 def hierarchy_for_mesh(mesh, n_coarsest: int = 1024) -> List[Level]:
+    import os
+
+    n_coarsest = int(os.environ.get("FOAMTPU_GAMG_NC", n_coarsest))
     nif = mesh.n_internal_faces
     return build_hierarchy(
         np.asarray(mesh.owner)[:nif], np.asarray(mesh.neighbour),
@@ -355,14 +358,18 @@ class GAMG:
 
     def __init__(self, mesh, levels: Optional[List[Level]] = None,
                  n_pre: int = 2, n_post: int = 2, omega: float = 0.8,
-                 smoother: str = "Jacobi"):
+                 smoother: str = "Jacobi", scale_mode: str = "all"):
         self.levels = levels if levels is not None else hierarchy_for_mesh(mesh)
         self.mesh = mesh
         self.n_pre = n_pre
         self.n_post = n_post
         self.omega = omega
         self.smoother = smoother
-        self.scale_correction = True
+        # scale_mode: 'all' = reference GAMGSolver::scale at every
+        # level; 'finest' = only the finest prolongation (saves 2 full
+        # reductions per coarse level per cycle); 'off'
+        self.scale_mode = scale_mode
+        self.scale_correction = scale_mode != "off"
 
     def _ops(self, mesh, mats, fine_op=None):
         """StencilOps per level from the per-level (diag,upper,lower)."""
@@ -466,7 +473,8 @@ class GAMG:
             xs[-1] = _dense_inverse(ops[-1], mats[-1][0]) @ bs[-1]
         for i in range(n_levels - 2, -1, -1):
             c = _prolong(levels[i], xs[i + 1])
-            if self.scale_correction:
+            if self.scale_correction and (self.scale_mode == "all"
+                                          or i == 0):
                 # reference: GAMGSolver::scale — optimal line search
                 # along the prolonged correction. ESSENTIAL for pairwise
                 # aggregation with piecewise-constant prolongation (the
@@ -494,6 +502,14 @@ class GAMG:
         # pRefValue) is applied after the solve.
         singular = bool(controls.get("_singular", False))
         ref_cell, ref_value = controls.get("_ref", (0, 0.0))
+        # Flexible (Polak-Ribiere/IPCG) beta by default: the
+        # scale-corrected V-cycle is a (mildly) NONLINEAR operator —
+        # the optimal line search in vcycle() depends on r — and plain
+        # Fletcher-Reeves CG loses conjugacy against it (measured
+        # r4: 53 -> ~20 iters at tol 1e-6 on cavity 400^2). One extra
+        # vdot per iteration. Reference analogue: none needed (its
+        # smoothers are linear); this is the price of scaleCorrection.
+        flexible = bool(controls.get("_flexible", True))
 
         def solve_one(psi1, b, prep):
             # NOTE argument order: coarsen_all(diag, UPPER, LOWER) —
@@ -523,30 +539,32 @@ class GAMG:
             tiny = jnp.asarray(_small(psi1.dtype), psi1.dtype)
 
             def cond(s):
-                x, r, p, wArA, it, res = s
+                x, r, r_old, p, wArA, it, res = s
                 return (it < max_iter) & (res > tol) & (res > rel_tol * res0)
 
             def body(s):
-                x, r, p, wArA_old, it, res = s
+                x, r, r_old, p, wArA_old, it, res = s
                 z = prec(r)
                 if singular:
                     z = z - jnp.mean(z)
                 wArA = jnp.vdot(r, z)
+                num = wArA - jnp.vdot(r_old, z) if flexible else wArA
                 beta = jnp.where(
                     it == 0, 0.0,
-                    wArA / jnp.where(wArA_old == 0, tiny, wArA_old))
+                    num / jnp.where(wArA_old == 0, tiny, wArA_old))
                 p = z + beta * p
                 q = amul(p)
                 pq = jnp.vdot(p, q)
                 alpha = wArA / jnp.where(pq == 0, tiny, pq)
                 x = x + alpha * p
-                r = r - alpha * q
-                res = jnp.sum(jnp.abs(r)) / norm
-                return x, r, p, wArA, it + 1, res
+                r_new = r - alpha * q
+                res = jnp.sum(jnp.abs(r_new)) / norm
+                return x, r_new, r, p, wArA, it + 1, res
 
-            init = (psi1, r0, jnp.zeros_like(psi1),
+            init = (psi1, r0, r0, jnp.zeros_like(psi1),
                     jnp.zeros((), psi1.dtype), jnp.zeros((), jnp.int32), res0)
-            x, r, p, wArA, it, res = jax.lax.while_loop(cond, body, init)
+            x, r, r_old, p, wArA, it, res = jax.lax.while_loop(
+                cond, body, init)
             if singular:
                 # apply the reference gauge post-hoc (exact pinning)
                 x = x - x[ref_cell] + ref_value
