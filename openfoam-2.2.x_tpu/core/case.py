@@ -152,10 +152,14 @@ class Case:
                   "DIC": "Jacobi",
                   "DICGaussSeidel": "Jacobi"}.get(sm, sm)
             sm = _os.environ.get("FOAMTPU_GAMG_SMOOTHER", sm)
+            # sweep-count defaults 4+4 (not the reference's 0+2):
+            # smoothing is nearly free on TPU and the stride-2 cycle
+            # leans on it (see GAMG.__init__); explicit fvSolution
+            # entries still win
             d["_gamg"] = GAMG(
                 self.mesh, smoother=sm,
-                n_pre=int(d.get("nPreSweeps", 2)),
-                n_post=int(d.get("nPostSweeps", 2)))
+                n_pre=int(d.get("nPreSweeps", 4)),
+                n_post=int(d.get("nPostSweeps", 4)))
         return d
 
     def pimple_controls(self, name: str = "PISO") -> FoamDict:

@@ -134,18 +134,28 @@ def register(name: str, cls) -> None:
     _REGISTRY[name] = cls
 
 
-def select(props: FoamDict, nu: float, kind: str = "RAS") -> TurbulenceModel:
+def select(props: FoamDict, nu: float, kind: str = "RAS",
+           compressible: bool = False) -> TurbulenceModel:
     """turbulenceModel::New — dispatch on RASModel/LESModel keyword
-    (reference: RASProperties/LESProperties in constant/)."""
-    from . import (les, les2, les3, les4, ras, ras2, ras3,  # noqa: F401
-                   ras4, ras5)  # ensure registration
+    (reference: RASProperties/LESProperties in constant/).
+
+    compressible=True resolves the keyword in the compressible
+    namespace first (exactly as the reference's namespace comes from
+    which turbulence library the SOLVER links, not from the dict);
+    `nu` is then the molecular DYNAMIC viscosity mu. Models without a
+    compressible twin fall back to the incompressible form (documented
+    alias, flagged by model.compressible_form == False)."""
+    from . import (compressible as _comp, les, les2, les3,  # noqa: F401
+                   les4, ras, ras2, ras3, ras4, ras5)  # ensure registration
 
     if str(props.get("simulationType", kind)) == "laminar":
         return TurbulenceModel(nu)
     name = str(props.get("RASModel", props.get("LESModel", "laminar")))
     if name == "laminar" or str(props.get("turbulence", "on")) in ("off", "no"):
         return TurbulenceModel(nu)
-    coeffs = props.get(name + "Coeffs", FoamDict())
+    if compressible and f"compressible::{name}" in _REGISTRY:
+        name = f"compressible::{name}"
+    coeffs = props.get(name.split("::")[-1] + "Coeffs", FoamDict())
     if name not in _REGISTRY:
         raise ValueError(f"unknown turbulence model {name!r}; "
                          f"available: {sorted(_REGISTRY)}")

@@ -42,10 +42,13 @@ OMEGA_MIN = 1e-10
 
 def _nutk_wall(bc, mesh, patch, internal, *, k=None, nu=None, **ctx):
     """nutkWallFunction: nut from the log law using k at the wall cell
-    (reference: nutkWallFunctionFvPatchScalarField)."""
+    (reference: nutkWallFunctionFvPatchScalarField). nu may be a
+    per-cell [nC] array (compressible: nu = mu/rho varies)."""
     if k is None or nu is None:
         return bc
     cells = mesh.owner[patch.slice]
+    if getattr(nu, "ndim", 0) == 1:
+        nu = nu[cells]
     y = 1.0 / jnp.maximum(mesh.delta_coeffs[patch.slice], 1e-30)
     kc = jnp.maximum(k[cells], K_MIN)
     ypl = (_CMU ** 0.25) * jnp.sqrt(kc) * y / nu
@@ -62,6 +65,8 @@ def _nutU_wall(bc, mesh, patch, internal, *, U=None, nu=None, **ctx):
     if U is None or nu is None:
         return bc
     cells = mesh.owner[patch.slice]
+    if getattr(nu, "ndim", 0) == 1:
+        nu = nu[cells]
     y = 1.0 / jnp.maximum(mesh.delta_coeffs[patch.slice], 1e-30)
     n = mesh.sf[patch.slice] / jnp.maximum(mesh.mag_sf[patch.slice], 1e-30)[:, None]
     Uc = U[cells]

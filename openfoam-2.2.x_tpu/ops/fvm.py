@@ -376,11 +376,14 @@ def Sp(mesh, sp: Any, field: VolField, sp_dims=None) -> FvMatrix:
     return m.replace_fields(diag=mesh.v * sp)
 
 
-def SuSp(mesh, susp: Any, field: VolField) -> FvMatrix:
+def SuSp(mesh, susp: Any, field: VolField, susp_dims=None) -> FvMatrix:
     """Implicit/explicit split source (reference: fvm::SuSp): the
     positive part goes on the diagonal (stabilising), the negative part
-    is explicit."""
-    m = zero_matrix(mesh, _ncmp(field), dims=field.dims * dimVolume / dimTime)
+    is explicit. susp_dims: dimensions of susp (default 1/s)."""
+    from ..core.dimensions import DimensionSet
+
+    d = (DimensionSet.of(0, 0, -1) if susp_dims is None else susp_dims)
+    m = zero_matrix(mesh, _ncmp(field), dims=field.dims * dimVolume * d)
     diag = mesh.v * jnp.maximum(susp, 0.0)
     src = -mesh.v * jnp.minimum(susp, 0.0) * field.data
     return m.replace_fields(diag=diag, source=src)

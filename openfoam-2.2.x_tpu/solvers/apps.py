@@ -32,9 +32,12 @@ from .linear.krylov import SolverPerf
 # ---------------------------------------------------------------------------
 
 
-def _load_turbulence(case, nu: float):
+def _load_turbulence(case, nu: float, compressible: bool = False):
     """Read RASProperties/LESProperties, build the model + its field
-    state from the start-time directory."""
+    state from the start-time directory. compressible=True selects the
+    rho-weighted tree (models/turbulence/compressible.py) and `nu` is
+    then the molecular DYNAMIC viscosity, as in the reference where
+    the namespace comes from the library the solver links."""
     for fname, kind in (("RASProperties", "RAS"), ("LESProperties", "LES"),
                         ("turbulenceProperties", "RAS")):
         path = case.const_path(fname)
@@ -43,7 +46,8 @@ def _load_turbulence(case, nu: float):
             break
     else:
         return None, None
-    model = turb_mod.select(props, nu, kind=kind)
+    model = turb_mod.select(props, nu, kind=kind,
+                            compressible=compressible)
     model.corrected = case.laplacian_corrected()
     model.corr_limit = case.corr_limit()
     try:
@@ -52,9 +56,36 @@ def _load_turbulence(case, nu: float):
         pass
     if not model.field_names:
         return None, None
-    tstate = {}
-    for name in model.field_names:
-        tstate[name] = case.read_field(name)
+    def read_state(model):
+        tstate = {}
+        optional = getattr(model, "optional_fields", ())
+        for name in model.field_names + tuple(
+                f for f in optional if f not in model.field_names):
+            try:
+                tstate[name] = case.read_field(name)
+            except (FileNotFoundError, KeyError, OSError):
+                if name not in optional:
+                    raise
+        return tstate
+
+    try:
+        tstate = read_state(model)
+    except (FileNotFoundError, KeyError, OSError):
+        if not getattr(model, "compressible_form", False):
+            raise
+        # case ships nut-style fields, not 0/mut: fall back to the
+        # incompressible twin (the pre-r4 alias path, still correct
+        # for near-constant-rho cases)
+        model = turb_mod.select(props, nu, kind=kind)
+        model.corrected = case.laplacian_corrected()
+        model.corr_limit = case.corr_limit()
+        try:
+            model.div_scheme = case.div_scheme("div(phi,k)")
+        except KeyError:
+            pass
+        if not model.field_names:
+            return None, None
+        tstate = read_state(model)
     if hasattr(model, "init_wall_distance"):
         model.init_wall_distance(case.poly_mesh, np.asarray(case.mesh.v).dtype)
     return model, tstate
@@ -1630,7 +1661,8 @@ def _buoyant_rho_run(case, steady: bool, max_steps: Optional[int]) -> None:
 
     mesh = case.mesh
     th = thermo_mod.from_dict(case.properties("thermophysicalProperties"))
-    model, tstate = _load_turbulence(case, max(th.mu, 1e-12))
+    model, tstate = _load_turbulence(case, max(th.mu, 1e-12),
+                                     compressible=True)
     relax = _relaxation(case)
     cname = "SIMPLE" if steady else "PIMPLE"
     cdict = case.pimple_controls(cname)
@@ -3073,8 +3105,8 @@ def _rho_pimple_run(case, steady: bool, transonic: bool,
 
     mesh = case.mesh
     th = thermo_mod.from_dict(case.properties("thermophysicalProperties"))
-    nu_eff = th.mu / 1.0  # kinematic scale for turbulence selection
-    model, tstate = _load_turbulence(case, max(nu_eff, 1e-12))
+    model, tstate = _load_turbulence(case, max(th.mu, 1e-12),
+                                     compressible=True)
     relax = _relaxation(case)
     cname = "SIMPLE" if steady else "PIMPLE"
     cdict = case.pimple_controls(cname)

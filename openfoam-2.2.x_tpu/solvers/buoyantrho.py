@@ -137,9 +137,14 @@ def buoyantrho_step(mesh, state: Dict, dt: Any, cfg: BuoyantRhoConfig
         psi = th.psi(T.data)
         mu = th.mu_T(T.data) if th.sutherland_As > 0 else \
             jnp.full(mesh.n_cells, th.mu, mesh.v.dtype)
-        nut = (cfg.turb.nut(mesh, new_turb) if cfg.turb is not None
-               else jnp.zeros(mesh.n_cells, mesh.v.dtype))
-        mu_eff = mu + rho * nut
+        comp_turb = getattr(cfg.turb, "compressible_form", False)
+        if cfg.turb is None:
+            mut = jnp.zeros(mesh.n_cells, mesh.v.dtype)
+        elif comp_turb:
+            mut = cfg.turb.mut_of(new_turb)
+        else:
+            mut = rho * cfg.turb.nut(mesh, new_turb)
+        mu_eff = mu + mut
         rho_b = surface.owner_to_b(mesh, rho)
         rho_slot = slot_mod.interpolate(mesh, rho, bv=rho_b)
         sng_rho = _sn_grad_slot(mesh, rho, rho_b)
@@ -184,7 +189,9 @@ def buoyantrho_step(mesh, state: Dict, dt: Any, cfg: BuoyantRhoConfig
         # -- energy (T-form; see rhopimple.py) ---------------------------------
         K = 0.5 * jnp.sum(U.data * U.data, axis=1)
         alpha_lam = mu / th.Pr
-        alpha_eff = alpha_lam + rho * nut / cfg.prt
+        alphat = (cfg.turb.alphat_of(mesh, new_turb) if comp_turb
+                  else mut / cfg.prt)
+        alpha_eff = alpha_lam + alphat
         a_slot = slot_mod.interpolate(mesh, alpha_eff,
                                       bv=surface.owner_to_b(mesh, alpha_eff))
         we_slot = (None if cfg.div_scheme_e == "linear" else
@@ -344,20 +351,26 @@ def buoyantrho_step(mesh, state: Dict, dt: Any, cfg: BuoyantRhoConfig
                           cfg.rho_min)
         p_full = p_abs(p_w.data, rho)
 
-        # -- turbulence (volumetric flux) ---------------------------------------
+        # -- turbulence ---------------------------------------------------------
         if cfg.turb is not None and final_outer:
-            rho_f_sv = jnp.maximum(rho_slot.sv, cfg.rho_min)
-            phiv_slot = slot_mod.SlotFace(
-                phi_slot.sv / rho_f_sv,
-                phi_slot.fb / jnp.maximum(rho_slot.fb, cfg.rho_min)
-                if mesh.fb_cells.shape[0] else phi_slot.fb,
-                phi_slot.bv / jnp.maximum(surface.owner_to_b(mesh, rho),
-                                          cfg.rho_min))
-            phiv = slot_mod.to_flat(mesh, phiv_slot)
-            new_turb, tdiag = cfg.turb.correct(
-                mesh, new_turb, U, phiv, dt, steady=cfg.steady,
-                relax=cfg.turb_relax, controls=cfg.turb_controls,
-                phi_slot=phiv_slot)
+            if comp_turb:
+                new_turb, tdiag = cfg.turb.correct_rho(
+                    mesh, new_turb, U, phi, rho, dt, rho0=rho0,
+                    steady=cfg.steady, relax=cfg.turb_relax,
+                    controls=cfg.turb_controls, phi_slot=phi_slot)
+            else:
+                rho_f_sv = jnp.maximum(rho_slot.sv, cfg.rho_min)
+                phiv_slot = slot_mod.SlotFace(
+                    phi_slot.sv / rho_f_sv,
+                    phi_slot.fb / jnp.maximum(rho_slot.fb, cfg.rho_min)
+                    if mesh.fb_cells.shape[0] else phi_slot.fb,
+                    phi_slot.bv / jnp.maximum(
+                        surface.owner_to_b(mesh, rho), cfg.rho_min))
+                phiv = slot_mod.to_flat(mesh, phiv_slot)
+                new_turb, tdiag = cfg.turb.correct(
+                    mesh, new_turb, U, phiv, dt, steady=cfg.steady,
+                    relax=cfg.turb_relax, controls=cfg.turb_controls,
+                    phi_slot=phiv_slot)
             diag.update({f"turb_{k}": v for k, v in tdiag.items()})
 
     # diagnostics

@@ -357,8 +357,14 @@ class GAMG:
     the reference's Gauss-Seidel, cuts V-cycle counts at equal cost)."""
 
     def __init__(self, mesh, levels: Optional[List[Level]] = None,
-                 n_pre: int = 2, n_post: int = 2, omega: float = 0.8,
-                 smoother: str = "Jacobi", scale_mode: str = "all"):
+                 n_pre: int = 4, n_post: int = 4, omega: float = 0.8,
+                 smoother: str = "Jacobi", scale_mode: str = "all",
+                 level_stride: int = 2):
+        # defaults stride=2 + 4+4 sweeps: measured r4 on cavity 400^2
+        # tight solve 17.1 ms/10 iters (stride1 2+2) -> 12.8 ms/9 iters.
+        # Smoothing sweeps are nearly free on TPU (the cycle is
+        # latency-bound on the per-level op chain), so visiting every
+        # other level with double smoothing wins on both axes.
         self.levels = levels if levels is not None else hierarchy_for_mesh(mesh)
         self.mesh = mesh
         self.n_pre = n_pre
@@ -370,6 +376,13 @@ class GAMG:
         # reductions per coarse level per cycle); 'off'
         self.scale_mode = scale_mode
         self.scale_correction = scale_mode != "off"
+        # level_stride s: smooth only every s-th level (factor-2^s
+        # aggregation realised on the factor-2 tables; restrict/prolong
+        # compose s reshape hops). The V-cycle on TPU is LATENCY-bound
+        # on the per-level op chain, not bandwidth (measured r4:
+        # removing ALL smoothing sweeps does not reduce the cycle
+        # time), so halving the visited levels nearly halves the cycle.
+        self.level_stride = max(int(level_stride), 1)
 
     def _ops(self, mesh, mats, fine_op=None):
         """StencilOps per level from the per-level (diag,upper,lower)."""
@@ -426,6 +439,10 @@ class GAMG:
     def vcycle(self, mesh, mats, ops, b, x, lam_max=None, Ainv=None):
         levels = self.levels
         n_levels = len(mats)
+        s = self.level_stride
+        if s > 1 and n_levels > 2:
+            return self._vcycle_strided(mesh, mats, ops, b, x,
+                                        lam_max=lam_max, Ainv=Ainv)
 
         def smooth(i, x, b, n):
             diag = mats[i][0]
@@ -489,6 +506,90 @@ class GAMG:
                 c = sf * c
             xi = xs[i] + c
             xs[i] = smooth(i, xi, bs[i], self.n_post)
+        return xs[0]
+
+    def _vcycle_strided(self, mesh, mats, ops, b, x, lam_max=None,
+                        Ainv=None):
+        """V-cycle visiting every level_stride-th level: smoothing/
+        residual/scale run only at visited levels; restrict/prolong
+        compose the intermediate reshape hops (factor-2^s aggregation
+        using the same Galerkin-composed coarse matrices)."""
+        levels = self.levels
+        n_levels = len(mats)
+        s = self.level_stride
+        visited = list(range(0, n_levels - 1, s))
+        visited.append(n_levels - 1)
+        if len(visited) >= 2 and visited[-2] == visited[-1]:
+            visited.pop()
+
+        def smooth(i, x, b, n):
+            diag = mats[i][0]
+            op = ops[i]
+            if self.smoother == "Chebyshev" and lam_max is not None:
+                lmax = 1.05 * lam_max[i]
+                lmin = lmax / 15.0
+                theta = 0.5 * (lmax + lmin)
+                delta = 0.5 * (lmax - lmin)
+                sigma = theta / delta
+                rho = 1.0 / sigma
+                z = (b - op.matvec(diag, x)) / diag
+                p = z / theta
+                x = x + p
+                for _ in range(max(n - 1, 0)):
+                    rho_new = 1.0 / (2.0 * sigma - rho)
+                    z = (b - op.matvec(diag, x)) / diag
+                    p = (rho_new * rho) * p + (2.0 * rho_new / delta) * z
+                    x = x + p
+                    rho = rho_new
+                return x
+            rd = self.omega / diag
+            for _ in range(n):
+                x = x + (b - op.matvec(diag, x)) * rd
+            return x
+
+        def amul_i(i, x):
+            return ops[i].matvec(mats[i][0], x)
+
+        def restrict_span(i_from, i_to, r):
+            for j in range(i_from, i_to):
+                r = _restrict(levels[j], r)
+            return r
+
+        def prolong_span(i_from, i_to, xc):
+            for j in range(i_to - 1, i_from - 1, -1):
+                xc = _prolong(levels[j], xc)
+            return xc
+
+        nv = len(visited)
+        bs = [b]
+        xs = [x]
+        for v in range(nv - 1):
+            i = visited[v]
+            xi = smooth(i, xs[v], bs[v], self.n_pre)
+            xs[v] = xi
+            r = bs[v] - amul_i(i, xi)
+            bs.append(restrict_span(i, visited[v + 1], r))
+            xs.append(jnp.zeros(levels[visited[v + 1] - 1].n_coarse,
+                                x.dtype))
+        if Ainv is not None:
+            xs[-1] = Ainv @ bs[-1]
+        else:
+            xs[-1] = _dense_inverse(ops[-1], mats[-1][0]) @ bs[-1]
+        for v in range(nv - 2, -1, -1):
+            i = visited[v]
+            c = prolong_span(i, visited[v + 1], xs[v + 1])
+            if self.scale_correction and (self.scale_mode == "all"
+                                          or i == 0):
+                r_i = bs[v] - amul_i(i, xs[v])
+                Ac = amul_i(i, c)
+                num = jnp.vdot(c, r_i)
+                den = jnp.vdot(c, Ac)
+                sf = num / jnp.where(jnp.abs(den) > 1e-30, den,
+                                     jnp.where(den >= 0, 1e-30, -1e-30))
+                sf = jnp.clip(sf, 0.0, 2.0)
+                c = sf * c
+            xi = xs[v] + c
+            xs[v] = smooth(i, xi, bs[v], self.n_post)
         return xs[0]
 
     def solve(self, mesh, mat, psi, controls) -> Tuple[Any, SolverPerf]:

@@ -328,6 +328,28 @@ def make_step(mesh, cfg: PisoConfig):
         (cfg.p_controls, cfg.p_controls_final, cfg.u_controls))
 
 
+def make_chunk(mesh, cfg: PisoConfig, n: int):
+    """n PISO steps per device call (lax.scan), fixed dt — one host
+    round-trip and one program launch per chunk instead of per step.
+    Amortises the per-program dispatch cost (measured ~8-12 ms through
+    the tunneled chip, r4) exactly as the SIMPLE chunk does; returns
+    the last step's diagnostics."""
+    from .jitstep import jit_with_mesh
+
+    def chunk(m, state, dt):
+        def body(st, _):
+            st, diag = piso_step(m, st, dt, cfg)
+            return st, diag
+
+        state_out, diags = jax.lax.scan(body, state, None, length=n)
+        last = jax.tree_util.tree_map(lambda x: x[-1], diags)
+        return state_out, last
+
+    return jit_with_mesh(
+        chunk, mesh, (cfg.p_controls, cfg.p_controls_final,
+                      cfg.u_controls))
+
+
 def project_initial_flux(mesh, p: VolField, phi: Any,
                          controls: Optional[Dict] = None) -> Any:
     """Make the initial flux divergence-free by one pressure-style

@@ -145,9 +145,15 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
         psi = _psi_of(T.data)
         mu = th.mu_T(T.data) if th.sutherland_As > 0 else \
             jnp.full(mesh.n_cells, th.mu, mesh.v.dtype)
-        nut = (cfg.turb.nut(mesh, new_turb) if cfg.turb is not None
-               else jnp.zeros(mesh.n_cells, mesh.v.dtype))
-        mu_eff = mu + rho * nut
+        comp_turb = getattr(cfg.turb, "compressible_form", False)
+        if cfg.turb is None:
+            mut = jnp.zeros(mesh.n_cells, mesh.v.dtype)
+        elif comp_turb:
+            # compressible tree: mut is the model's own field
+            mut = cfg.turb.mut_of(new_turb)
+        else:
+            mut = rho * cfg.turb.nut(mesh, new_turb)
+        mu_eff = mu + mut
         rho_b = surface.owner_to_b(mesh, rho)
         rho_slot = slot_mod.interpolate(mesh, rho, bv=rho_b)
 
@@ -190,7 +196,9 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
         # -- energy (he = Cp T; solved as T with alphaEff carrying Cp) --------
         K = 0.5 * jnp.sum(U.data * U.data, axis=1)
         alpha_lam = mu / th.Pr                     # kappa/Cp
-        alpha_eff = alpha_lam + rho * nut / 0.85   # Prt = 0.85
+        alphat = (cfg.turb.alphat_of(mesh, new_turb) if comp_turb
+                  else mut / 0.85)                 # Prt = 0.85
+        alpha_eff = alpha_lam + alphat
         a_slot = slot_mod.interpolate(mesh, alpha_eff,
                                       bv=surface.owner_to_b(mesh, alpha_eff))
         we_slot = (None if cfg.div_scheme_e == "linear" else
@@ -425,20 +433,28 @@ def rhopimple_step(mesh, state: Dict, dt: Any, cfg: RhoPimpleConfig
         T = T.correct_boundary_conditions(mesh, phi=phiv_b, dt=dt,
                                           c_sound=c_face)
 
-        # -- turbulence (volumetric flux) ---------------------------------------
+        # -- turbulence ---------------------------------------------------------
         if cfg.turb is not None and final_outer:
-            rho_f_sv = jnp.maximum(rho_slot.sv, cfg.rho_min)
-            phiv_slot = slot_mod.SlotFace(
-                phi_slot.sv / rho_f_sv,
-                phi_slot.fb / jnp.maximum(rho_slot.fb, cfg.rho_min)
-                if mesh.fb_cells.shape[0] else phi_slot.fb,
-                phi_slot.bv / jnp.maximum(surface.owner_to_b(mesh, rho),
-                                          cfg.rho_min))
-            phiv = slot_mod.to_flat(mesh, phiv_slot)
-            new_turb, tdiag = cfg.turb.correct(
-                mesh, new_turb, U, phiv, dt, steady=cfg.steady,
-                relax=cfg.turb_relax, controls=cfg.turb_controls,
-                phi_slot=phiv_slot)
+            if comp_turb:
+                # rho-weighted tree: mass flux + rho straight in
+                new_turb, tdiag = cfg.turb.correct_rho(
+                    mesh, new_turb, U, phi, rho, dt, rho0=rho0,
+                    steady=cfg.steady, relax=cfg.turb_relax,
+                    controls=cfg.turb_controls, phi_slot=phi_slot)
+            else:
+                # incompressible alias path (volumetric flux)
+                rho_f_sv = jnp.maximum(rho_slot.sv, cfg.rho_min)
+                phiv_slot = slot_mod.SlotFace(
+                    phi_slot.sv / rho_f_sv,
+                    phi_slot.fb / jnp.maximum(rho_slot.fb, cfg.rho_min)
+                    if mesh.fb_cells.shape[0] else phi_slot.fb,
+                    phi_slot.bv / jnp.maximum(
+                        surface.owner_to_b(mesh, rho), cfg.rho_min))
+                phiv = slot_mod.to_flat(mesh, phiv_slot)
+                new_turb, tdiag = cfg.turb.correct(
+                    mesh, new_turb, U, phiv, dt, steady=cfg.steady,
+                    relax=cfg.turb_relax, controls=cfg.turb_controls,
+                    phi_slot=phiv_slot)
             diag.update({f"turb_{k}": v for k, v in tdiag.items()})
 
     # diagnostics
