@@ -46,6 +46,47 @@ def _dominant_delta(owner, neighbour, n_cells) -> int:
     return int(max(best, 1))
 
 
+def _pairwise_match(owner, neighbour, w, n_cells, rounds=6):
+    """Greedy mutual-max face-weight matching (the reference's
+    pairGAMGAgglomeration / faceAreaPairGAMGAgglomeration merge,
+    src/OpenFOAM/matrices/lduMatrix/solvers/GAMG/GAMGAgglomeration),
+    vectorised: each round every unmatched cell nominates its
+    max-weight unmatched neighbour; mutual nominations become pairs.
+    Leftovers after `rounds` stay singletons (reference keeps
+    singletons too). Returns partner[c] (-1 = singleton)."""
+    partner = np.full(n_cells, -1, dtype=np.int64)
+    # break weight ties with a deterministic per-face jitter: both
+    # endpoints of a face see the SAME jittered weight, so each cell's
+    # argmax face is unique and mutual nominations actually coincide
+    # (uniform weights otherwise yield an O(1/degree) match rate)
+    jit = np.random.default_rng(0).random(owner.shape[0])
+    w = np.asarray(w, dtype=np.float64)
+    wmax = w.max() if w.size else 1.0
+    w = w + (1e-6 * max(wmax, 1e-300)) * jit
+    for _ in range(rounds):
+        live = (partner[owner] < 0) & (partner[neighbour] < 0)
+        if not live.any():
+            break
+        o, n, ww = owner[live], neighbour[live], w[live]
+        best_w = np.zeros(n_cells, dtype=ww.dtype)
+        np.maximum.at(best_w, o, ww)
+        np.maximum.at(best_w, n, ww)
+        best_n = np.full(n_cells, -1, dtype=np.int64)
+        hit_o = ww >= best_w[o]
+        best_n[o[hit_o]] = n[hit_o]
+        hit_n = ww >= best_w[n]
+        best_n[n[hit_n]] = o[hit_n]
+        cand = np.nonzero(best_n >= 0)[0]
+        mutual = best_n[best_n[cand]] == cand
+        a = cand[mutual]
+        b = best_n[a]
+        keep = a < b
+        a, b = a[keep], b[keep]
+        partner[a] = b
+        partner[b] = a
+    return partner
+
+
 def _pytree_dataclass(cls):
     fields = [f.name for f in dataclasses.fields(cls)]
     meta = [f.name for f in dataclasses.fields(cls) if f.metadata.get("static")]
@@ -75,6 +116,10 @@ class Level:
     members_pad: Any     # [nCc, 2] fine(-padded) indices (for diag sum)
     # coarse-level stencil tables (arrays only; deltas are static)
     st: Dict[str, Any]
+    # pairwise (face-weight) agglomeration path: fine cell -> coarse
+    # cluster map (None on structured index-arithmetic levels where
+    # restrict/prolong are pure reshapes)
+    cluster_of_fine: Any = None
     n_fine: int = _static(default=0)     # unpadded fine size
     n_fine_pad: int = _static(default=0)
     n_coarse: int = _static(default=0)
@@ -161,9 +206,21 @@ def build_hierarchy(
     # Measured on the 400^2 cavity: 13 levels/10 CG iters -> 8 levels/
     # 5 iters, 90 -> 80 ms/step.
     max_levels: int = 24,
+    face_weights: Optional[np.ndarray] = None,
+    pairwise: str = "auto",
 ) -> List[Level]:
+    """pairwise: 'auto' = per level, use index-offset pairing when it
+    pairs >=50% of cells across a shared face (structured/renumbered
+    meshes: restrict/prolong become reshapes), else greedy face-weight
+    matching (reference faceAreaPairGAMGAgglomeration) with
+    segment-sum transfers; '1'/'0' force one mode."""
+    import os as _os
+
     owner = np.asarray(owner, dtype=np.int64)
     neighbour = np.asarray(neighbour, dtype=np.int64)
+    pairwise = _os.environ.get("FOAMTPU_GAMG_PAIRWISE", pairwise)
+    w = (np.ones(owner.shape[0]) if face_weights is None
+         else np.asarray(face_weights, dtype=np.float64))
     levels: List[Level] = []
     nC = n_cells
     sdt = scalar_np()
@@ -174,16 +231,50 @@ def build_hierarchy(
         d = _dominant_delta(owner, neighbour, nC)
         block = 2 * d
         nC_pad = ((nC + block - 1) // block) * block
-        nCc = nC_pad // 2
 
-        def cmap(c):
-            return (c // block) * d + (c % d) + 0 * c  # J(c) for even-half
         # full map: J(c) = (c // (2d))*d + (c % d) for both halves
         def J(c):
             return (c // block) * d + (c % d)
 
-        co = J(owner)
-        cn = J(neighbour)
+        use_pairwise = pairwise == "1"
+        if pairwise == "auto":
+            # fraction of 2-member structured clusters whose members
+            # share a face (the quality the reshape pairing relies on)
+            co_s = J(owner)
+            cn_s = J(neighbour)
+            nCc_s = nC_pad // 2
+            have = np.zeros(nCc_s, dtype=bool)
+            have[co_s[co_s == cn_s]] = True
+            jidx_s = np.arange(nCc_s)
+            base_s = (jidx_s // d) * block + (jidx_s % d)
+            two = (base_s + d) < nC
+            frac = (have & two).sum() / max(two.sum(), 1)
+            use_pairwise = frac < 0.5
+
+        if use_pairwise:
+            partner = _pairwise_match(owner, neighbour, w, nC)
+            cells = np.arange(nC)
+            rep = np.where(partner < 0, cells, np.minimum(cells, partner))
+            is_rep = rep == cells
+            cluster_ids = np.cumsum(is_rep) - 1
+            cluster_of = cluster_ids[rep]
+            nCc = int(cluster_ids[-1]) + 1
+            co = cluster_of[owner]
+            cn = cluster_of[neighbour]
+            reps_idx = np.nonzero(is_rep)[0]
+            mem2 = np.where(partner[reps_idx] >= 0, partner[reps_idx], nC)
+            members = np.stack([reps_idx, mem2], axis=1)
+            cof = cluster_of
+            nC_pad = nC
+        else:
+            co = J(owner)
+            cn = J(neighbour)
+            nCc = nC_pad // 2
+            jidx = np.arange(nCc)
+            base = (jidx // d) * block + (jidx % d)
+            members = np.stack([base, base + d], axis=1)
+            cof = None
+
         flip = co > cn
         lo = np.where(flip, cn, co)
         hi = np.where(flip, co, cn)
@@ -204,17 +295,14 @@ def build_hierarchy(
         face_src, face_mask = _pad_groups(face_of, nFc, inter_idx)
         flip_src, _ = _pad_groups(face_of, nFc, flip[inter_idx].astype(np.int64))
         if intra_idx.shape[0]:
-            intra_tab, intra_mask = _pad_groups(J(owner[intra_idx]), nCc, intra_idx)
+            intra_tab, intra_mask = _pad_groups(lo[intra_idx], nCc, intra_idx)
         else:
             intra_tab = np.zeros((nCc, 1), dtype=np.int64)
             intra_mask = np.zeros((nCc, 1))
 
-        # members (padded fine ids) per coarse cell: c and c+d
-        jidx = np.arange(nCc)
-        base = (jidx // d) * block + (jidx % d)
-        members = np.stack([base, base + d], axis=1)
-
         st = _cell_tables_internal(c_own, c_nei, nCc)
+        # coarsen the face weights for the next level's matching
+        w = np.bincount(face_of, weights=w[inter_idx], minlength=nFc)
 
         # stage in NumPy; ONE batched device_put at the end (per-array
         # transfers cost ~seconds through a tunneled TPU)
@@ -229,8 +317,10 @@ def build_hierarchy(
             n_fine=nC,
             n_fine_pad=nC_pad,
             n_coarse=nCc,
-            d=d,
+            d=1 if use_pairwise else d,
             st_deltas=tuple(st_deltas),
+            cluster_of_fine=(cof.astype(label_np) if use_pairwise
+                             else None),
             face_src=face_src.astype(label_np),
             face_src_mask=face_mask.astype(sdt),
             face_src_flip=flip_src.astype(sdt),
@@ -256,9 +346,11 @@ def hierarchy_for_mesh(mesh, n_coarsest: int = 1024) -> List[Level]:
 
     n_coarsest = int(os.environ.get("FOAMTPU_GAMG_NC", n_coarsest))
     nif = mesh.n_internal_faces
+    mag_sf = getattr(mesh, "mag_sf", None)
+    weights = (np.asarray(mag_sf)[:nif] if mag_sf is not None else None)
     return build_hierarchy(
         np.asarray(mesh.owner)[:nif], np.asarray(mesh.neighbour),
-        mesh.n_cells, n_coarsest=n_coarsest,
+        mesh.n_cells, n_coarsest=n_coarsest, face_weights=weights,
     )
 
 
@@ -274,11 +366,15 @@ def _pad_to(x, n):
 
 
 def _restrict(lv: Level, r):
+    if lv.cluster_of_fine is not None:
+        return jnp.zeros(lv.n_coarse, r.dtype).at[lv.cluster_of_fine].add(r)
     rp = _pad_to(r, lv.n_fine_pad)
     return rp.reshape(-1, 2, lv.d).sum(axis=1).reshape(-1)
 
 
 def _prolong(lv: Level, xc):
+    if lv.cluster_of_fine is not None:
+        return xc[lv.cluster_of_fine]
     xf = jnp.broadcast_to(
         xc.reshape(-1, 1, lv.d), (xc.shape[0] // lv.d, 2, lv.d)
     ).reshape(-1)
@@ -296,9 +392,14 @@ def _coarsen_matrix(lv: Level, diag, upper, lower):
     # value of the wrong sign corrupts mixed real/pad clusters and caps
     # the MG convergence factor); all-pad clusters get a sign-matched
     # unit diagonal afterwards (they are disconnected identity rows).
-    diag_pad = jnp.pad(diag, (0, lv.n_fine_pad - diag.shape[0]),
-                       constant_values=0.0)
-    d_members = diag_pad.reshape(-1, 2, lv.d).sum(axis=1).reshape(-1)
+    if lv.cluster_of_fine is not None:
+        # pairwise path: members_pad holds fine ids (pad = n_fine -> 0)
+        diag_pad = jnp.pad(diag, (0, 1), constant_values=0.0)
+        d_members = diag_pad[lv.members_pad].sum(axis=1)
+    else:
+        diag_pad = jnp.pad(diag, (0, lv.n_fine_pad - diag.shape[0]),
+                           constant_values=0.0)
+        d_members = diag_pad.reshape(-1, 2, lv.d).sum(axis=1).reshape(-1)
     d_intra = jnp.sum(
         (upper[lv.intra_faces] + lower[lv.intra_faces]) * lv.intra_mask, axis=1
     )
