@@ -120,11 +120,36 @@ class Level:
     # cluster map (None on structured index-arithmetic levels where
     # restrict/prolong are pure reshapes)
     cluster_of_fine: Any = None
+    # ---- plane (slot-form) Galerkin coarsening — the gather-free path.
+    # On structured index-arithmetic levels every fine slot entry
+    # A[c, c+d_m] at member parity s maps to ONE coarse slot (or the
+    # coarse diagonal): coarse coefficients assemble as reshape+add of
+    # the fine [nC,M] coefficient planes — zero gathers (measured r4:
+    # gather-table coarsen_all 16 ms/step of a 23 ms cavity-400^2 PISO
+    # step at ~150M gather-indices/s; plane path ~0). Irregular
+    # entries (slot deviants + COO fallback) route through the small
+    # precomputed irr_*/tg_* gather/scatter tables below.
+    rule_masks: Tuple = ()      # per rule: None | [nCc] {0,1} plane
+    irr_plane_c: Any = None     # irregular sources read from planes
+    irr_plane_m: Any = None
+    irr_fb_idx: Any = None      # irregular sources read from fine fb
+    tg_diag_sel: Any = None     # targets: vals[sel] -> cdiag[cell]
+    tg_diag_cell: Any = None
+    tg_plane_sel: Any = None    # vals[sel] -> cplanes.flat[flat]
+    tg_plane_flat: Any = None
+    tg_fb_sel: Any = None       # vals[sel] -> coarse fb coefficients
+    pfb_cells: Any = None       # coarse COO fallback addressing
+    pfb_nbrs: Any = None
     n_fine: int = _static(default=0)     # unpadded fine size
     n_fine_pad: int = _static(default=0)
     n_coarse: int = _static(default=0)
     d: int = _static(default=1)          # pairing offset
     st_deltas: Tuple[int, ...] = _static(default=())
+    # static plane-path metadata: rules (m_fine, s, m_coarse|-1=diag),
+    # coarse plane deltas; plane_ok gates the path per level
+    plane_rules: Tuple = _static(default=())
+    plane_deltas: Tuple[int, ...] = _static(default=())
+    plane_ok: bool = _static(default=False)
 
 
 def _pad_groups(group_of, n_groups, payload):
@@ -180,6 +205,183 @@ def _cell_tables_internal(owner, neighbour, n_cells):
     return offset_stencil(cface, csign, cnbr, valid, n_cells)
 
 
+def _build_plane_tables(deltas, valid, fb_c, fb_n, nC, d, nC_pad):
+    """Host precompute for the gather-free plane Galerkin coarsening of
+    one structured level (pairing c with c+d by even-block parity).
+
+    Inputs describe the FINE level's slot coefficient layout: `deltas`
+    (tuple of slot offsets), `valid` bool [nC, M] (slot entry exists),
+    and the COO fallback pairs (fb_c, fb_n). Every directed matrix
+    entry A[c, c+d_m] maps under J(c) = (c//2d)*d + c%d to a coarse
+    pair (J(c), J(c+d_m)); when the coarse offset is CONSTANT over a
+    (slot m, parity s) class the transfer is a pure reshape+add
+    ("rule"), otherwise the entry joins the irregular remainder
+    (small gather/scatter). Returns (meta, tables, coarse_spec).
+
+    Reference analogue: GAMGAgglomeration::agglomerateLduAddressing
+    (src/OpenFOAM/matrices/lduMatrix/solvers/GAMG/GAMGAgglomeration) —
+    rebuilt as offset arithmetic so the per-solve Galerkin products
+    need no face gather tables."""
+    block = 2 * d
+    nCc = nC_pad // 2
+    cells = np.arange(nC, dtype=np.int64)
+
+    def J(c):
+        return (c // block) * d + (c % d)
+
+    s_of = (cells // d) % 2
+    rules = []            # (m, s, D)
+    masks = []            # None | np [nCc]
+    irr_c, irr_m = [], []           # irregular plane-sourced entries
+    irr_Jc, irr_Jn = [], []
+    cvalid: Dict[int, np.ndarray] = {}
+
+    def mark(Dv, Jc_arr):
+        a = cvalid.setdefault(int(Dv), np.zeros(nCc, dtype=bool))
+        a[Jc_arr] = True
+
+    for m, dm in enumerate(deltas):
+        for s in (0, 1):
+            sel = (np.asarray(valid[:, m]) > 0) & (s_of == s)
+            idx = cells[sel]
+            if idx.size == 0:
+                continue
+            Jc = J(idx)
+            Jn = J(idx + dm)
+            Dv = Jn - Jc
+            uu, cc = np.unique(Dv, return_counts=True)
+            Ddom = int(uu[np.argmax(cc)])
+            dev = Dv != Ddom
+            if dev.any():
+                mask = np.ones(nCc)
+                mask[Jc[dev]] = 0.0
+                irr_c.append(idx[dev])
+                irr_m.append(np.full(int(dev.sum()), m, dtype=np.int64))
+                irr_Jc.append(Jc[dev])
+                irr_Jn.append(Jn[dev])
+                masks.append(mask)
+            else:
+                masks.append(None)
+            rules.append((m, s, Ddom))
+            if Ddom != 0:
+                mark(Ddom, Jc[~dev] if dev.any() else Jc)
+
+    irr_c = np.concatenate(irr_c) if irr_c else np.zeros(0, np.int64)
+    irr_m = np.concatenate(irr_m) if irr_m else np.zeros(0, np.int64)
+    irr_Jc = np.concatenate(irr_Jc) if irr_Jc else np.zeros(0, np.int64)
+    irr_Jn = np.concatenate(irr_Jn) if irr_Jn else np.zeros(0, np.int64)
+
+    fb_c = np.asarray(fb_c, np.int64)
+    fb_n = np.asarray(fb_n, np.int64)
+    fb_Jc = J(fb_c) if fb_c.size else np.zeros(0, np.int64)
+    fb_Jn = J(fb_n) if fb_n.size else np.zeros(0, np.int64)
+
+    # concatenated runtime source order: [plane-sourced | fb-sourced]
+    all_Jc = np.concatenate([irr_Jc, fb_Jc])
+    all_Jn = np.concatenate([irr_Jn, fb_Jn])
+    all_D = all_Jn - all_Jc
+
+    # plane-target irregulars must land on a coarse slot: include their
+    # offsets in the coarse delta set before resolving slot indices
+    to_diag = all_D == 0
+    for Dv in np.unique(all_D[~to_diag]):
+        # only offsets that at least one rule produced stay planes;
+        # one-off offsets go to the coarse COO fallback instead of
+        # widening every coarse plane
+        if int(Dv) not in cvalid:
+            continue
+        sel = all_D == Dv
+        cvalid[int(Dv)][all_Jc[sel]] = True
+
+    coarse_deltas = tuple(sorted(cvalid.keys()))
+    slot_of = {D: i for i, D in enumerate(coarse_deltas)}
+    Mc = max(len(coarse_deltas), 1)
+
+    to_plane = (~to_diag) & np.isin(all_D, list(slot_of.keys()))
+    to_fb = (~to_diag) & ~to_plane
+    sel_idx = np.arange(all_D.shape[0], dtype=np.int64)
+    tg_diag_sel = sel_idx[to_diag]
+    tg_diag_cell = all_Jc[to_diag]
+    tg_plane_sel = sel_idx[to_plane]
+    tg_plane_flat = all_Jc[to_plane] * Mc + np.asarray(
+        [slot_of[int(Dv)] for Dv in all_D[to_plane]], np.int64)
+    tg_fb_sel = sel_idx[to_fb]
+    pfb_cells = all_Jc[to_fb]
+    pfb_nbrs = all_Jn[to_fb]
+
+    rules = tuple((m, s, (-1 if D == 0 else slot_of[D]))
+                  for (m, s, D) in rules)
+    coarse_valid = (np.stack([cvalid[D] for D in coarse_deltas], axis=1)
+                    if coarse_deltas else np.zeros((nCc, 1), dtype=bool))
+    meta = dict(plane_rules=rules, plane_deltas=coarse_deltas,
+                plane_ok=True)
+    tables = dict(
+        rule_masks=tuple(masks),
+        irr_plane_c=irr_c, irr_plane_m=irr_m,
+        irr_fb_idx=np.arange(fb_c.shape[0], dtype=np.int64),
+        tg_diag_sel=tg_diag_sel, tg_diag_cell=tg_diag_cell,
+        tg_plane_sel=tg_plane_sel, tg_plane_flat=tg_plane_flat,
+        tg_fb_sel=tg_fb_sel, pfb_cells=pfb_cells, pfb_nbrs=pfb_nbrs,
+    )
+    coarse_spec = dict(deltas=coarse_deltas, valid=coarse_valid,
+                       fb_c=pfb_cells, fb_n=pfb_nbrs)
+    return meta, tables, coarse_spec
+
+
+def _coarsen_planes(lv: Level, diag, planes, fbc):
+    """Device-side plane Galerkin coarsening (the gather-free twin of
+    _coarsen_matrix): fine (diag [nC], planes [nC,M], fbc [nfb]) ->
+    coarse (cdiag, cplanes [nCc,Mc], cfbc). Reshape+add for the
+    structured rules; tiny gather/scatter for the irregular remainder."""
+    d = lv.d
+    nCc, Mc = lv.n_coarse, max(len(lv.plane_deltas), 1)
+    pad_rows = lv.n_fine_pad - diag.shape[0]
+    k = lv.n_fine_pad // (2 * d)
+
+    P = jnp.pad(planes, ((0, pad_rows), (0, 0))) if pad_rows else planes
+    V = P.reshape(k, 2, d, P.shape[1])
+    Dp = jnp.pad(diag, (0, pad_rows)) if pad_rows else diag
+    cdiag = Dp.reshape(k, 2, d).sum(axis=1).reshape(nCc)
+
+    cols = [None] * Mc
+    for ri, (m, s, mc) in enumerate(lv.plane_rules):
+        contrib = V[:, s, :, m].reshape(nCc)
+        msk = lv.rule_masks[ri]
+        if msk is not None:
+            contrib = contrib * msk
+        if mc < 0:
+            cdiag = cdiag + contrib
+        else:
+            cols[mc] = contrib if cols[mc] is None else cols[mc] + contrib
+    cols = [c if c is not None else jnp.zeros(nCc, planes.dtype)
+            for c in cols]
+    cplanes = jnp.stack(cols, axis=1)
+
+    # irregular remainder
+    n_irr = lv.irr_plane_c.shape[0] + lv.irr_fb_idx.shape[0]
+    if n_irr:
+        vals = jnp.concatenate([
+            planes[lv.irr_plane_c, lv.irr_plane_m],
+            fbc[lv.irr_fb_idx] if lv.irr_fb_idx.shape[0]
+            else jnp.zeros(0, planes.dtype),
+        ])
+        if lv.tg_diag_sel.shape[0]:
+            cdiag = cdiag.at[lv.tg_diag_cell].add(vals[lv.tg_diag_sel])
+        if lv.tg_plane_sel.shape[0]:
+            cplanes = cplanes.reshape(-1).at[lv.tg_plane_flat].add(
+                vals[lv.tg_plane_sel]).reshape(nCc, Mc)
+        cfbc = (vals[lv.tg_fb_sel] if lv.tg_fb_sel.shape[0]
+                else jnp.zeros(0, planes.dtype))
+    else:
+        cfbc = jnp.zeros(0, planes.dtype)
+
+    # disconnected all-pad clusters: sign-matched unit diagonal
+    # (same convention as _coarsen_matrix)
+    sgn = jnp.where(jnp.sum(cdiag) < 0, -1.0, 1.0)
+    cdiag = jnp.where(cdiag == 0.0, sgn, cdiag)
+    return cdiag, cplanes, cfbc
+
+
 def _to_dev(st: Dict[str, Any]) -> Dict[str, Any]:
     sdt = scalar_np()
     out = {}
@@ -208,6 +410,7 @@ def build_hierarchy(
     max_levels: int = 24,
     face_weights: Optional[np.ndarray] = None,
     pairwise: str = "auto",
+    level0_spec: Optional[Dict[str, Any]] = None,
 ) -> List[Level]:
     """pairwise: 'auto' = per level, use index-offset pairing when it
     pairs >=50% of cells across a shared face (structured/renumbered
@@ -224,6 +427,10 @@ def build_hierarchy(
     levels: List[Level] = []
     nC = n_cells
     sdt = scalar_np()
+    # slot-form spec of the CURRENT level's coefficient layout, for the
+    # gather-free plane coarsening (level 0: the mesh's tables; coarser:
+    # derived). None once a pairwise level breaks the offset arithmetic.
+    spec = level0_spec
 
     for _ in range(max_levels):
         if nC <= n_coarsest or owner.shape[0] == 0:
@@ -304,6 +511,16 @@ def build_hierarchy(
         # coarsen the face weights for the next level's matching
         w = np.bincount(face_of, weights=w[inter_idx], minlength=nFc)
 
+        plane_meta: Dict[str, Any] = dict(plane_rules=(), plane_deltas=(),
+                                          plane_ok=False)
+        plane_tables: Dict[str, Any] = {}
+        if use_pairwise:
+            spec = None     # offset arithmetic broken from here down
+        elif spec is not None:
+            plane_meta, plane_tables, spec = _build_plane_tables(
+                spec["deltas"], spec["valid"], spec["fb_c"], spec["fb_n"],
+                nC, d, nC_pad)
+
         # stage in NumPy; ONE batched device_put at the end (per-array
         # transfers cost ~seconds through a tunneled TPU)
         st_deltas = st.pop("st_deltas")
@@ -313,6 +530,13 @@ def build_hierarchy(
                 st_np[k] = v.astype(sdt)
             else:
                 st_np[k] = np.asarray(v, label_np)
+        pt = {}
+        for k2, v2 in plane_tables.items():
+            if k2 == "rule_masks":
+                pt[k2] = tuple(None if mm is None else mm.astype(sdt)
+                               for mm in v2)
+            else:
+                pt[k2] = np.asarray(v2, label_np)
         levels.append(dict(
             n_fine=nC,
             n_fine_pad=nC_pad,
@@ -328,10 +552,13 @@ def build_hierarchy(
             intra_mask=intra_mask.astype(sdt),
             members_pad=members.astype(label_np),
             st=st_np,
+            **plane_meta,
+            **pt,
         ))
         owner, neighbour, nC = c_own, c_nei, nCc
 
-    meta_keys = ("n_fine", "n_fine_pad", "n_coarse", "d", "st_deltas")
+    meta_keys = ("n_fine", "n_fine_pad", "n_coarse", "d", "st_deltas",
+                 "plane_rules", "plane_deltas", "plane_ok")
     arrays = [{k: v for k, v in lv.items() if k not in meta_keys}
               for lv in levels]
     arrays = jax.device_put(arrays)
@@ -348,9 +575,18 @@ def hierarchy_for_mesh(mesh, n_coarsest: int = 1024) -> List[Level]:
     nif = mesh.n_internal_faces
     mag_sf = getattr(mesh, "mag_sf", None)
     weights = (np.asarray(mag_sf)[:nif] if mag_sf is not None else None)
+    # level-0 slot layout for the gather-free plane coarsening: the
+    # mesh's own offset-canonical tables (matches FvMatrix.soff)
+    spec = None
+    if getattr(mesh, "st_valid", None) is not None:
+        spec = dict(deltas=tuple(mesh.st_deltas),
+                    valid=np.asarray(mesh.st_valid) > 0,
+                    fb_c=np.asarray(mesh.fb_cells),
+                    fb_n=np.asarray(mesh.fb_nbrs))
     return build_hierarchy(
         np.asarray(mesh.owner)[:nif], np.asarray(mesh.neighbour),
         mesh.n_cells, n_coarsest=n_coarsest, face_weights=weights,
+        level0_spec=spec,
     )
 
 
@@ -514,13 +750,33 @@ class GAMG:
         iterations (only the source changes), so one prep serves 2-3+
         solves (reference analogue: GAMGSolver caching + cacheAgglomeration)."""
         d_eff = mat.diag_eff(mesh)
-        mats = self.coarsen_all(d_eff, mat.upper, mat.lower)
-        fine_op = None
-        if getattr(mat, "soff", None) is not None:
-            fine_op = stencil_mod.StencilOp(
-                tuple(mesh.st_deltas), mat.soff, mesh.fb_cells,
-                mesh.fb_nbrs, mat.sfb)
-        ops = self._ops(mesh, mats, fine_op=fine_op)
+        plane_ok = (getattr(mat, "soff", None) is not None
+                    and self.levels
+                    and all(lv.plane_ok for lv in self.levels))
+        if plane_ok:
+            # gather-free path: Galerkin products as reshape+add over
+            # the slot coefficient planes (see _coarsen_planes)
+            planes, fbc = mat.soff, mat.sfb
+            ops = [stencil_mod.StencilOp(
+                tuple(mesh.st_deltas), planes, mesh.fb_cells,
+                mesh.fb_nbrs, fbc)]
+            diags = [d_eff]
+            for lv in self.levels:
+                dg, planes, fbc = _coarsen_planes(lv, diags[-1], planes,
+                                                  fbc)
+                ops.append(stencil_mod.StencilOp(
+                    lv.plane_deltas, planes, lv.pfb_cells, lv.pfb_nbrs,
+                    fbc))
+                diags.append(dg)
+            mats = [(dg, None, None) for dg in diags]
+        else:
+            mats = self.coarsen_all(d_eff, mat.upper, mat.lower)
+            fine_op = None
+            if getattr(mat, "soff", None) is not None:
+                fine_op = stencil_mod.StencilOp(
+                    tuple(mesh.st_deltas), mat.soff, mesh.fb_cells,
+                    mesh.fb_nbrs, mat.sfb)
+            ops = self._ops(mesh, mats, fine_op=fine_op)
 
         def lam_of(diag, op):
             s = jnp.sum(jnp.abs(op.off), axis=1)
