@@ -88,6 +88,51 @@ def piston_speed(geom: EngineGeometry, theta_deg):
     return om * (R * s + (R * R * s * c) / root)
 
 
+def piston_layer_motion(geom: EngineGeometry, planes, side: int,
+                        theta_start: float
+                        ) -> Tuple[Callable, Callable]:
+    """Motion functions for ONE static-topology chunk of a layerAR
+    engine run (reference: src/engine/engineMesh layered motion +
+    polyTopoChange layerAdditionRemoval — see mesh/topo.py): only the
+    piston plane itself moves; the layer adjacent to it stretches,
+    everything beyond the first interior plane is static. `t` is
+    seconds since the CHUNK start (crank angle theta_start)."""
+    ax = geom.axis
+    dps = deg_per_sec(geom)
+    planes = [float(p) for p in planes]
+    if side == 0:
+        z0, z_fix = planes[0], planes[1]
+        sgn = 1.0          # crown below the fixed plane
+    else:
+        z0, z_fix = planes[-1], planes[-2]
+        sgn = -1.0
+    s_start = float(piston_displacement(geom, theta_start))
+    # TDC crown coordinate consistent with the chunk-start mesh
+    z_tdc = z0 + sgn * s_start
+    h_span = abs(z_fix - z0)
+    eps = 1e-6 * max(h_span, 1e-30)
+
+    def z_piston(t):
+        theta = theta_start + dps * t
+        return z_tdc - sgn * piston_displacement(geom, theta)
+
+    def pts(p0, t):
+        zp = z_piston(t)
+        moving = sgn * (z0 + sgn * eps - p0[:, ax]) >= 0.0
+        return p0.at[:, ax].set(jnp.where(moving, zp, p0[:, ax]))
+
+    def umesh(x, t):
+        theta = theta_start + dps * t
+        vp = -sgn * piston_speed(geom, theta)  # crown velocity (signed)
+        zp = z_piston(t)
+        lam = (z_fix - x[..., ax]) / jnp.where(
+            jnp.abs(z_fix - zp) < eps, eps, z_fix - zp)
+        u = jnp.zeros_like(x)
+        return u.at[..., ax].set(jnp.clip(lam, 0.0, 1.0) * vp)
+
+    return pts, umesh
+
+
 def piston_motion(geom: EngineGeometry, z_head: float, z_piston0: float
                   ) -> Tuple[Callable, Callable]:
     """Motion functions for mesh/moving.py. The mesh is built at crank

@@ -43,12 +43,28 @@ def _static(**kw):
     return dataclasses.field(metadata={"static": True}, **kw)
 
 
+def _addn(a, b):
+    """None-aware add of optional flat coefficient arrays (None = not
+    materialised; an absent operand contributes nothing flat)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a + b
+
+
 @_pytree_dataclass
 @dataclasses.dataclass(frozen=True)
 class FvMatrix:
     diag: Any       # [nC]
-    lower: Any      # [nIf]
-    upper: Any      # [nIf]
+    # flat LDU off-diagonals. None = "not materialised": the slot form
+    # (soff/sfb) carries the coefficients and no flat [nIf] arrays are
+    # ever built — this removes the slot->flat extraction gather
+    # (ops/slot.py::to_flat, ~2 ms per call at 160k cells on v5e) from
+    # the hot path. Methods that genuinely need per-face coefficients
+    # (flux, off_coeffs) require them and raise otherwise.
+    lower: Any      # [nIf] or None
+    upper: Any      # [nIf] or None
     source: Any     # [nC] or [nC,C]
     ic: Any         # internalCoeffs  [nBf] or [nBf,C] (adds to diag)
     bc: Any         # boundaryCoeffs  [nBf] or [nBf,C] (adds to source)
@@ -98,8 +114,8 @@ class FvMatrix:
                 am = self.ami_coef + other.ami_coef
             return FvMatrix(
                 diag=self.diag + other.diag,
-                lower=self.lower + other.lower,
-                upper=self.upper + other.upper,
+                lower=_addn(self.lower, other.lower),
+                upper=_addn(self.upper, other.upper),
                 source=self.source + other.source,
                 ic=self.ic + other.ic,
                 bc=self.bc + other.bc,
@@ -114,7 +130,9 @@ class FvMatrix:
 
     def __neg__(self) -> "FvMatrix":
         return FvMatrix(
-            diag=-self.diag, lower=-self.lower, upper=-self.upper,
+            diag=-self.diag,
+            lower=None if self.lower is None else -self.lower,
+            upper=None if self.upper is None else -self.upper,
             source=-self.source, ic=-self.ic, bc=-self.bc,
             fcorr=None if self.fcorr is None else -self.fcorr,
             soff=None if self.soff is None else -self.soff,
@@ -156,6 +174,10 @@ class FvMatrix:
     def off_coeffs(self, mesh) -> Any:
         """Per-cell off-diagonal coefficients [nC,K]: upper where the
         cell owns the face, lower otherwise; zero on boundary/pad."""
+        if self.upper is None:
+            raise ValueError(
+                "flat LDU coefficients were not materialised (slot-only "
+                "matrix); use the soff/off_mul path")
         up = self.upper[mesh.cface_i]
         lo = self.lower[mesh.cface_i]
         return jnp.where(mesh.csign > 0, up, lo) * mesh.cnbr_valid
@@ -177,18 +199,22 @@ class FvMatrix:
         """A @ psi for a scalar psi [nC] (the hot SpMV)."""
         if diag_eff is None:
             diag_eff = self.diag_eff(mesh)
-        off = self.off_coeffs(mesh)
-        out = diag_eff * psi + jnp.sum(off * psi[mesh.cnbr], axis=1)
-        if self.ami_coef is not None:
-            out = out + self.ami_mul(mesh, psi)
-        return out
+        return diag_eff * psi + self.off_mul(mesh, psi)
 
     def row_sum(self, mesh, diag_eff: Optional[Any] = None) -> Any:
         """sumA: diag + sum of off-diagonals per row (for the reference's
         residual normalisation, lduMatrix::sumA)."""
         if diag_eff is None:
             diag_eff = self.diag_eff(mesh)
-        rs = diag_eff + jnp.sum(self.off_coeffs(mesh), axis=1)
+        if self.soff is not None:
+            off_row = jnp.sum(self.soff, axis=1)
+            if mesh.fb_cells.shape[0]:
+                off_row = off_row.at[mesh.fb_cells].add(self.sfb)
+            if off_row.ndim == 1 and diag_eff.ndim == 2:
+                off_row = off_row[:, None]
+            rs = diag_eff + off_row
+        else:
+            rs = diag_eff + jnp.sum(self.off_coeffs(mesh), axis=1)
         if self.ami_coef is not None and getattr(mesh, "has_ami", False):
             c = self.ami_coef
             if c.ndim == 2:

@@ -2501,9 +2501,16 @@ def _engine_foam(case, max_steps: Optional[int] = None,
     from ..models import thermo as thermo_mod
     from . import engine as engine_solver
 
-    mesh = case.mesh
     geom_d = case.properties("engineGeometry")
     geom = eng_mod.from_dict(geom_d)
+    if _dim_scalar_of(geom_d, "pistonLayers", 0.0) > 0.0 and not spray:
+        # layerAdditionRemoval piston motion (reference: src/engine/
+        # engineMesh + src/dynamicMesh/polyTopoChange/
+        # layerAdditionRemoval, selected by a non-zero pistonLayers
+        # entry as in the reference's engineGeometry)
+        _engine_foam_layered(case, max_steps, combustion, geom, geom_d)
+        return
+    mesh = case.mesh
     th = thermo_mod.from_dict(
         case.properties("thermophysicalProperties"))
     U = case.read_field("U")
@@ -2648,6 +2655,203 @@ def _engine_foam(case, max_steps: Optional[int] = None,
                       + _engine_extra_fields(mesh, state, spray))
     case.final_state = {"state": state, "diag": diag}
     log.info("End\n")
+
+
+def _engine_foam_layered(case, max_steps: Optional[int],
+                         combustion: bool, geom, geom_d) -> None:
+    """engineFoam/coldEngineFoam with layer addition/removal: the CELL
+    COUNT CHANGES during the run (reference: src/dynamicMesh/
+    polyTopoChange/polyTopoChanger/layerAdditionRemoval driven by
+    src/engine/engineMesh, selected by engineGeometry `pistonLayers`).
+
+    TPU structure: each topology is one jitted chunk; when the piston
+    layer passes the 0.5/1.5 x pistonLayers thickness bounds the mesh
+    is re-extruded on the host (mesh/topo.py), rho/momentum/energy are
+    remapped through the exact conservative slab-overlap matrix, and
+    the step re-traces. Mass is conserved exactly across events."""
+    from ..bc import factory as bc_factory
+    from ..bc.patchfields import normalize_bcs
+    from ..core import runtime
+    from ..core.fields import VolField
+    from ..io import fields as field_io
+    from ..io import polymesh as pmesh_io
+    from ..mesh import engine as eng_mod
+    from ..mesh import to_device
+    from ..mesh import topo as topo_mod
+    from ..models import thermo as thermo_mod
+    from . import engine as engine_solver
+
+    th = thermo_mod.from_dict(
+        case.properties("thermophysicalProperties"))
+    h0 = _dim_scalar_of(geom_d, "pistonLayers", 0.0)
+    pm0 = case.poly_mesh
+    topo = topo_mod.analyze(pm0, geom.axis)
+    pist = pm0.patch("piston")
+    z_p = float(np.asarray(pm0.cf)[pist.slice, geom.axis].mean())
+    side = (0 if abs(z_p - topo.planes[0])
+            <= abs(z_p - topo.planes[-1]) else -1)
+
+    # initial fields on the ORIGINAL cell order + their boundary specs
+    names = ["U", "p", "T"] + (["b"] if combustion else [])
+    t0 = case.latest_time_name()
+    raw = {}
+    specs = {}
+    meta = {}
+    for nm in names:
+        path = os.path.join(case.dir, t0, nm)
+        if not os.path.exists(path) and not os.path.exists(path + ".gz"):
+            path = os.path.join(case.dir, "0", nm)
+        try:
+            d = field_io.load_field_dict(path)
+        except Exception:
+            if nm != "b":
+                raise
+            d = None
+        if d is None:
+            raw[nm] = np.ones(pm0.n_cells)
+            specs[nm] = None
+            meta[nm] = (0, None)
+            continue
+        f = field_io.read_field(path, case.mesh, name=nm)
+        raw[nm] = np.asarray(f.data)
+        specs[nm] = d["boundaryField"]
+        meta[nm] = (f.rank, f.dims)
+
+    # switch to slab-major layered ordering once; afterwards the
+    # build() layout IS the layered layout (reorder = identity)
+    for nm in names:
+        raw[nm] = topo_mod.reorder_to_layers(topo, raw[nm])
+    planes = topo.planes.copy()
+    nB = topo.n_base
+
+    def rebuild_mesh(new_planes):
+        pm = topo_mod.build(topo, new_planes)
+        case._poly = pm
+        case._mesh = None
+        return pm, case.mesh
+
+    def mk_field(nm, mesh, data):
+        rank, dims = meta[nm]
+        dtype = mesh.v.dtype
+        if specs[nm] is None:
+            from ..core.fields import vol_scalar
+
+            return vol_scalar(mesh, 1.0, name=nm)
+        bcs = tuple(
+            bc_factory.from_dict(specs[nm].match(p.name), p, rank,
+                                 dtype, mesh=mesh, case_dir=case.dir,
+                                 field_name=nm)
+            for p in mesh.patches)
+        data = jnp.asarray(data, dtype)
+        if rank == 1 and data.ndim == 1:
+            data = jnp.broadcast_to(data[None, :], (mesh.n_cells, 3))
+        return VolField(data=data, bcs=normalize_bcs(mesh, bcs, rank),
+                        name=nm, dims=dims)
+
+    def mk_chunk(theta_abs, data):
+        """Build mesh/state/step for the current planes at absolute
+        crank angle theta_abs with cell data dict (slab-major)."""
+        pm, mesh = rebuild_mesh(planes)
+        pts_fn, umesh_fn = eng_mod.piston_layer_motion(
+            geom, planes, side, theta_abs)
+        cfg = engine_solver.EngineConfig(
+            thermo=th, pts_fn=pts_fn, umesh_fn=umesh_fn,
+            s_per_cad=1.0 / eng_mod.deg_per_sec(geom),
+            n_correctors=int(case.pimple_controls("PIMPLE").get(
+                "nCorrectors", 2)),
+            p_ref_value=float(np.asarray(data["p"]).mean()),
+            Su0=_dim_scalar_of(case.properties("combustionProperties"),
+                               "Su", 0.0) if combustion else 0.0,
+            p_controls=case.solver_controls("p"),
+            u_controls=case.solver_controls("U"))
+        U = mk_field("U", mesh, data["U"])
+        p = mk_field("p", mesh, data["p"])
+        T = mk_field("T", mesh, data["T"])
+        b = mk_field("b", mesh, data["b"]) if combustion else None
+        state = engine_solver.initial_state(pm, mesh, U, p, T, th,
+                                            cfg, b=b)
+        step = engine_solver.make_step(mesh, cfg)
+        return pm, mesh, state, step
+
+    theta = geom.theta0 + case.time.start_time
+    data = {nm: raw[nm] for nm in names}
+    pm, mesh, state, step = mk_chunk(theta, data)
+    n_events = 0
+    mesh_written_since_event = True
+    log.info(f"Starting loop: "
+             f"{'engineFoam' if combustion else 'coldEngineFoam'} "
+             f"(layerAR), rpm {geom.rpm}, pistonLayers {h0}, "
+             f"nCells {pm.n_cells}\n")
+
+    for t in case.time.loop():
+        state, diag = step(state, jnp.asarray(t.current_dt,
+                                              mesh.v.dtype))
+        theta = geom.theta0 + t.value + t.current_dt
+        log.info(f"Crank angle = {theta:.6g} CAD\n"
+                 f"p_mean = {float(diag['p_mean']):.6g}  "
+                 f"T_mean = {float(diag['T_mean']):.6g}  "
+                 f"V = {float(diag['V_total']):.6g}  "
+                 f"mass = {float(diag['mass']):.8g}  "
+                 f"nCells = {pm.n_cells}\n")
+
+        # layerAdditionRemoval check at the step end: piston plane
+        # coordinate from the slider-crank increment since last step
+        ds = (float(eng_mod.piston_displacement(geom, theta))
+              - float(eng_mod.piston_displacement(
+                  geom, theta - t.current_dt)))
+        zp = planes[0] - ds if side == 0 else planes[-1] + ds
+        new_planes, changed = topo_mod.layer_ar(planes, zp, h0,
+                                                side=side)
+        if changed:
+            # conservative rho / momentum / energy remap between the
+            # step-end (moved) planes and the re-layered planes
+            WT = topo_mod.slab_overlap_matrix(
+                _moved(planes, zp, side), new_planes)
+            rho = np.asarray(th.rho(state["p"].data,
+                                    state["T"].data))
+            Ud = np.asarray(state["U"].data)
+            Td = np.asarray(state["T"].data)
+            rho_h = topo_mod.remap_cells(WT, nB, rho)
+            rhoU = topo_mod.remap_cells(WT, nB, rho[:, None] * Ud)
+            rhoT = topo_mod.remap_cells(WT, nB, rho * Td)
+            data = {"U": rhoU / rho_h[:, None],
+                    "T": rhoT / rho_h,
+                    "p": rho_h * getattr(th, "R", 287.0)
+                    * (rhoT / rho_h)}
+            if combustion:
+                rhob = topo_mod.remap_cells(
+                    WT, nB, rho * np.asarray(state["b"].data))
+                data["b"] = rhob / rho_h
+            planes = new_planes
+            pm, mesh, state, step = mk_chunk(theta, data)
+            n_events += 1
+            mesh_written_since_event = False
+            log.info(f"layerAR event: nCells -> {pm.n_cells} "
+                     f"(layers {planes.shape[0] - 1})\n")
+        else:
+            planes = _moved(planes, zp, side)
+
+        if t.write_time():
+            case.write_fields(
+                [state["U"], state["p"], state["T"]]
+                + ([state["b"]] if combustion else []))
+            if not mesh_written_since_event:
+                pmesh_io.write(pm, os.path.join(case.dir, t.name,
+                                                "polyMesh"))
+                mesh_written_since_event = True
+        if max_steps is not None and t.index >= max_steps:
+            break
+    case.write_fields([state["U"], state["p"], state["T"]]
+                      + ([state["b"]] if combustion else []))
+    case.final_state = {"state": state, "diag": diag,
+                        "n_cells": pm.n_cells, "n_events": n_events}
+    log.info("End\n")
+
+
+def _moved(planes, zp, side):
+    p = np.asarray(planes, dtype=np.float64).copy()
+    p[0 if side == 0 else -1] = zp
+    return p
 
 
 def cold_engine_foam(case, max_steps: Optional[int] = None) -> None:
