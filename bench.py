@@ -29,7 +29,52 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent XLA compilation cache (same dir as tests/conftest.py):
+# the dominant cost of a cold bench run is compiling the step/chunk
+# programs (~5-7 min total through the tunneled chip, VERDICT r4
+# weak #1 — BENCH_r04 timed out before printing anything). With the
+# cache warm the whole script finishes in ~2 min. Must be set before
+# jax initialises (jax imports are deferred into main()).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/foamtpu-jax-cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+_T_START = time.perf_counter()
+# Wall-clock budget: optional sub-benches are skipped once elapsed time
+# crosses this, so the headline JSON always lands inside the driver's
+# timeout even on a cold compilation cache.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+
+
+def _over_budget():
+    return time.perf_counter() - _T_START > BUDGET_S
+
+
+def _emit(out):
+    """Print the current result JSON and flush — called progressively
+    (after the cavity rows, then again after each optional sub-bench)
+    so a driver timeout mid-run still leaves a complete parsed line on
+    stdout (the driver takes the last valid JSON line)."""
+    print(json.dumps(out), flush=True)
+
+
 BASELINE_CELLS_PER_SEC = 1.0e6
+
+
+def _measured_cpu_baseline():
+    """Measured scipy-icoFoam denominator (tools/cpu_baseline.py,
+    recorded in tools/cpu_baseline.json). The 8-core linear-scaling
+    bound measured 0.90e6 (loose) / 0.15e6 (tight) cell-updates/s —
+    both BELOW the pinned 1.0e6 estimate, so vs_baseline keeps the
+    pinned (larger, i.e. more conservative) denominator and the
+    measured rows ride along in detail."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "cpu_baseline.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return None
 N = int(os.environ.get("BENCH_N", "400"))
 NSTEPS = int(os.environ.get("BENCH_STEPS", "10"))
 NTRIALS = int(os.environ.get("BENCH_TRIALS", "3"))
@@ -148,28 +193,41 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
-    try:
-        out["detail"]["tight_tol"] = bench_tight()
-    except Exception as e:
-        out["detail"]["tight_tol"] = {"error": f"{type(e).__name__}: {e}"}
-    try:
-        out["detail"]["ensemble"] = bench_ensemble()
-    except Exception as e:
-        out["detail"]["ensemble"] = {"error": f"{type(e).__name__}: {e}"}
-    try:
-        out["detail"]["pitzDaily"] = bench_pitz()
-    except Exception as e:  # keep the primary metric robust
-        out["detail"]["pitzDaily"] = {"error": f"{type(e).__name__}: {e}"}
+    cpu = _measured_cpu_baseline()
+    if cpu:
+        out["detail"]["cpu_baseline_measured"] = {
+            "loose_8core_linear": cpu["loose"]["cells_per_sec_8core_linear"],
+            "tight_8core_linear": cpu["tight"]["cells_per_sec_8core_linear"],
+            "pinned_denominator": BASELINE_CELLS_PER_SEC,
+            "note": "pinned 1.0e6 > both measured rows; kept as the "
+                    "conservative denominator (see tools/cpu_baseline.py)",
+        }
+    # headline is on stdout from here on — every later failure or
+    # timeout degrades the detail, never the parsed metric
+    _emit(out)
+
+    sub_benches = [("tight_tol", bench_tight), ("ensemble", bench_ensemble),
+                   ("pitzDaily", bench_pitz)]
     if os.environ.get("BENCH_SCALE") == "1":
+        sub_benches.append(("scale3d", bench_scale3d))
+    for key, fn in sub_benches:
+        if _over_budget():
+            out["detail"][key] = {
+                "skipped": f"over BENCH_BUDGET_S={BUDGET_S:.0f}s "
+                           f"at {time.perf_counter() - _T_START:.0f}s"}
+            continue
         try:
-            out["detail"]["scale3d"] = bench_scale3d()
+            out["detail"][key] = fn()
         except Exception as e:
-            out["detail"]["scale3d"] = {"error": f"{type(e).__name__}: {e}"}
+            out["detail"][key] = {"error": f"{type(e).__name__}: {e}"}
+        out["detail"]["elapsed_s"] = round(time.perf_counter() - _T_START, 1)
+        _emit(out)
     errored = [k for k, v in out["detail"].items()
                if isinstance(v, dict) and "error" in v]
     if errored:
         print(f"bench.py: sub-bench(es) ERRORED: {errored}", file=sys.stderr)
-    print(json.dumps(out))
+    out["detail"]["elapsed_s"] = round(time.perf_counter() - _T_START, 1)
+    _emit(out)
 
 
 def bench_tight():
@@ -240,7 +298,11 @@ def bench_pitz():
     shutil.copytree(src, dst)
     from foamtpu.apps.cli import main as cli_main
 
-    assert cli_main(["blockMesh", "-case", dst]) == 0
+    import contextlib
+
+    with contextlib.redirect_stdout(sys.stderr):
+        # keep stdout JSON-only: the driver parses the last JSON line
+        assert cli_main(["blockMesh", "-case", dst]) == 0
 
     from foamtpu.core.case import Case
     from foamtpu.core.dictionary import dimensioned_scalar
