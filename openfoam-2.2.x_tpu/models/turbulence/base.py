@@ -145,7 +145,8 @@ def select(props: FoamDict, nu: float, kind: str = "RAS",
     `nu` is then the molecular DYNAMIC viscosity mu. Models without a
     compressible twin fall back to the incompressible form (documented
     alias, flagged by model.compressible_form == False)."""
-    from . import (compressible as _comp, les, les2, les3,  # noqa: F401
+    from . import (compressible as _comp,  # noqa: F401
+                   compressible2 as _comp2, les, les2, les3,
                    les4, ras, ras2, ras3, ras4, ras5)  # ensure registration
 
     if str(props.get("simulationType", kind)) == "laminar":

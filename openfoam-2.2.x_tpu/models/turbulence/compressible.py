@@ -46,19 +46,23 @@ _RHO_RATE = DimensionSet.of(1, -3, -1)       # rho/s (rho-weighted Sp)
 
 
 def _rho_ddt_q(mesh, field: VolField, rho, rho0, old, rdt):
-    """fvm::ddt(rho, q) Euler: diag = V rho/dt, src = V rho0 q0/dt."""
+    """fvm::ddt(rho, q) Euler: diag = V rho/dt, src = V rho0 q0/dt.
+    Component-aware (q may be a [nC,k] tensor field, e.g. R/B)."""
+    from ...ops.fvm import _colv, _ncmp
     from ...ops.matrix import zero_matrix
 
-    m = zero_matrix(mesh, 1, dims=field.dims * _MASS_FLUX)
-    return m.replace_fields(diag=mesh.v * rho * rdt,
-                            source=mesh.v * rho0 * rdt * old)
+    m = zero_matrix(mesh, _ncmp(field), dims=field.dims * _MASS_FLUX)
+    return m.replace_fields(
+        diag=mesh.v * rho * rdt,
+        source=_colv(mesh.v * rho0 * rdt, field.data) * old)
 
 
 def _rho_ddt_steady(mesh, field: VolField):
     """steadyState ddt with rho-weighted row dimensions."""
+    from ...ops.fvm import _ncmp
     from ...ops.matrix import zero_matrix
 
-    return zero_matrix(mesh, 1, dims=field.dims * _MASS_FLUX)
+    return zero_matrix(mesh, _ncmp(field), dims=field.dims * _MASS_FLUX)
 
 
 def _dyn_gamma_forms(mesh, mu, rho, mut_f: VolField, sigma=1.0):
@@ -174,7 +178,12 @@ class CompressibleKEpsilon(CompressibleRASBase, TurbulenceModel):
 
     def correct_rho(self, mesh, tstate, U, phi_mass, rho, dt,
                     rho0=None, steady=False, relax=1.0, controls=None,
-                    phi_slot=None):
+                    phi_slot=None, c1_field=None, c2_field=None,
+                    fmu_field=None):
+        """c1_field/c2_field/fmu_field: per-cell coefficient overrides
+        (RNG's strain-dependent C1eff, low-Re damping) — passed
+        explicitly, never by mutating self (static jit config), same
+        mechanism as the incompressible KEpsilon.correct."""
         from ...ops import slot as slot_mod
         from ...ops import surface
 
@@ -222,10 +231,11 @@ class CompressibleKEpsilon(CompressibleRASBase, TurbulenceModel):
                                  self.corrected, self.corr_limit)
             + fvm.SuSp(mesh, ((2.0 / 3.0) * self.C1 + self.C3)
                        * rho * divU, eps_f, susp_dims=_RHO_RATE)
-            + fvm.Sp(mesh, self.C2 * rho * eps / kq, eps_f,
-                     sp_dims=_RHO_RATE)
+            + fvm.Sp(mesh, (self.C2 if c2_field is None else c2_field)
+                     * rho * eps / kq, eps_f, sp_dims=_RHO_RATE)
         )
-        eps_eqn = eps_eqn.add_source(self.C1 * G * eps / kq, mesh)
+        c1 = self.C1 if c1_field is None else c1_field
+        eps_eqn = eps_eqn.add_source(c1 * G * eps / kq, mesh)
         if steady and relax < 1.0:
             eps_eqn = eps_eqn.relax(mesh, relax, eps)
         if wall_fn:
@@ -257,6 +267,8 @@ class CompressibleKEpsilon(CompressibleRASBase, TurbulenceModel):
 
         mut_new = rho * self.Cmu * k_new * k_new / jnp.maximum(eps_new,
                                                                EPS_MIN)
+        if fmu_field is not None:
+            mut_new = fmu_field * mut_new
         new = dict(tstate)
         new.update(k=k_f.with_data(k_new), epsilon=eps_f.with_data(eps_new))
         new.update(self._update_mut_alphat(mesh, tstate, mut_new, rho,

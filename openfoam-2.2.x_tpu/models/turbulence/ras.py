@@ -355,7 +355,11 @@ class RealizableKE(KEpsilon):
         As = jnp.sqrt(6.0) * jnp.cos(
             (1.0 / 3.0) * jnp.arccos(jnp.clip(
                 jnp.sqrt(6.0) * jnp.einsum("cij,cjk,cki->c", s, s, s)
-                / jnp.maximum(ksum, 1e-30) ** 1.5, -1.0, 1.0)))
+                # floor 1e-12: 1e-30**1.5 underflows f32 to 0 and the
+                # 0/0 NaN rode through arccos into Cmu at every
+                # zero-strain cell (found by the compressible-twin
+                # parity test, r5)
+                / jnp.maximum(ksum, 1e-12) ** 1.5, -1.0, 1.0)))
         cmu_r = 1.0 / (self.A0 + As * Ustar * k / jnp.maximum(eps, EPS_MIN))
 
         eta = magS * k / jnp.maximum(eps, EPS_MIN)

@@ -385,7 +385,7 @@ def SuSp(mesh, susp: Any, field: VolField, susp_dims=None) -> FvMatrix:
     d = (DimensionSet.of(0, 0, -1) if susp_dims is None else susp_dims)
     m = zero_matrix(mesh, _ncmp(field), dims=field.dims * dimVolume * d)
     diag = mesh.v * jnp.maximum(susp, 0.0)
-    src = -mesh.v * jnp.minimum(susp, 0.0) * field.data
+    src = -_colv(mesh.v * jnp.minimum(susp, 0.0), field.data) * field.data
     return m.replace_fields(diag=diag, source=src)
 
 
