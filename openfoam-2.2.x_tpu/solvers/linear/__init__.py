@@ -168,6 +168,32 @@ def solve(mesh, mat, psi: Any, controls: Dict) -> Tuple[Any, SolverPerf]:
     d = mat.diag_eff(mesh)        # [nC,C] (per-component boundary coeffs)
     b = mat.source_eff(mesh)      # [nC,C]
 
+    # TRANSPOSED multi-RHS layout [C,nC] (FOAMTPU_TSOLVE=1, opt-in):
+    # cells stay on the minor axis. Bitwise-identical results and
+    # identical iteration counts to the legacy layout; measured
+    # perf-NEUTRAL on cavity 400^2 (the {0,1}<->{1,0} relayout DMA seen
+    # in the r5 xplane trace comes from the scan-carry/assembly
+    # boundary, not the solver), kept as the experiment knob for other
+    # shapes. AMI interfaces always use the legacy path (their COO
+    # wrapper indexes the leading axis).
+    import os as _os
+
+    transposed = (_os.environ.get("FOAMTPU_TSOLVE", "0")
+                  not in ("0", "false")
+                  and fn in (krylov.pcg, krylov.bicgstab)
+                  and d.ndim == 2 and psi.ndim == 2
+                  and apply_off is base_off)
+    if transposed:
+        dT, bT, xT = d.T, b.T, psi.T
+
+        def amul_t(x):
+            return dT * x + st.apply_off_t(x)
+
+        xt, perf = fn(amul_t, xT, bT, dT,
+                      row_sum=dT + row_off[None, :],
+                      amul_off=st.apply_off_t, cmpt_axis=0, **kw)
+        return xt.T, perf
+
     def amul_v(x):
         return d * x + apply_off(x)
 
