@@ -482,17 +482,14 @@ def bench_unstructured():
     state = piso.initial_state(mesh, U, p_f,
                                turb_state={"k": k, "omega": om,
                                            "nut": nut})
-    niter = int(os.environ.get("BENCH_UNSTRUCT_ITERS", "10"))
+    niter = int(os.environ.get("BENCH_UNSTRUCT_ITERS", "5"))
     chunk = simple.make_chunk(mesh, cfg, niter)
     state, diag = chunk(state)
     _ = _sync_scalar(state["U"].data)
-    secs = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        state, diag = chunk(state)
-        _ = _sync_scalar(state["U"].data)
-        secs.append((time.perf_counter() - t0) / niter)
-    sec = statistics.median(secs)
+    t0 = time.perf_counter()
+    state, diag = chunk(state)
+    _ = _sync_scalar(state["U"].data)
+    sec = (time.perf_counter() - t0) / niter
     return {"case": f"simpleFoam kOmegaSST tet duct {nx}x{ny}x{nz}x6",
             "n_cells": mesh.n_cells,
             "coo_fraction": round(coo_fraction(mesh), 4),

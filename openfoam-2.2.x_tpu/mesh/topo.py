@@ -228,11 +228,25 @@ def analyze(pm: PolyMesh, axis: int, tol: Optional[float] = None
         cell_base=cell_base, cell_slab=cell_slab)
 
 
-def build(topo: LayerTopo, planes: np.ndarray) -> PolyMesh:
+def build(topo: LayerTopo, planes: np.ndarray,
+          detach_planes: Tuple[int, ...] = ()) -> PolyMesh:
     """Re-extrude the base mesh over a new plane stack. Cell id =
-    slab * n_base + base; patch names/types/order preserved."""
+    slab * n_base + base; patch names/types/order preserved.
+
+    detach_planes: interior plane indices (1..K-1) whose horizontal
+    faces become DETACHED — the attachDetach polyMesh modifier
+    (reference: src/dynamicMesh/attachDetach/): instead of internal
+    faces, each listed plane contributes a coincident wall-patch pair
+    attach<l>Master (owner = lower cell, outward +axis) and
+    attach<l>Slave (owner = upper cell, outward -axis). Cells and
+    their ids are IDENTICAL with or without detachment — only the face
+    list changes — so attach/detach events remap fields by identity
+    and conserve everything exactly."""
     planes = np.asarray(planes, dtype=np.float64)
     K = planes.shape[0] - 1
+    detach = set(int(d) for d in detach_planes)
+    if any(d < 1 or d > K - 1 for d in detach):
+        raise ValueError(f"detach plane out of range: {sorted(detach)}")
     nB = len(topo.base_faces)
     n_bp = topo.base_pts.shape[0]
     pts = np.tile(topo.base_pts, (K + 1, 1))
@@ -247,6 +261,8 @@ def build(topo: LayerTopo, planes: np.ndarray) -> PolyMesh:
     neighbour: List[int] = []
     # internal horizontal faces (normal +axis, owner = lower cell)
     for l in range(1, K):
+        if l in detach:
+            continue
         for b, poly in enumerate(topo.base_faces):
             rows.append([pt + l * n_bp for pt in poly])
             owner.append(cell_id(b, l - 1))
@@ -313,6 +329,22 @@ def build(topo: LayerTopo, planes: np.ndarray) -> PolyMesh:
             patches.append(Patch(name=name, type=ptype, start=start,
                                  size=size))
             start += size
+
+    # detached-plane wall pairs (appended after the original patches so
+    # patch indices of the attached topology are a prefix)
+    for l in sorted(detach):
+        for b, poly in enumerate(topo.base_faces):
+            rows.append([pt + l * n_bp for pt in poly])
+            owner.append(cell_id(b, l - 1))
+        patches.append(Patch(name=f"attach{l}Master", type="wall",
+                             start=start, size=nB))
+        start += nB
+        for b, poly in enumerate(topo.base_faces):
+            rows.append([pt + l * n_bp for pt in reversed(poly)])
+            owner.append(cell_id(b, l))
+        patches.append(Patch(name=f"attach{l}Slave", type="wall",
+                             start=start, size=nB))
+        start += nB
 
     maxp = max(len(r) for r in rows)
     face_pts = np.full((len(rows), maxp), -1, dtype=np.int64)

@@ -3886,6 +3886,116 @@ def _pimple_dym_sixdof(case, dmd, max_steps: Optional[int]) -> None:
     log.info("End\n")
 
 
+def _pimple_attach_detach(case, dmd, max_steps: Optional[int]) -> None:
+    """pimpleDyMFoam with an attachDetach topology modifier
+    (reference: src/dynamicMesh/attachDetach/ driven by
+    topoChangerFvMesh — the valve/gate pattern: a set of coincident
+    internal faces detaches into a wall pair at detachTime and
+    re-attaches at attachTime).
+
+    TPU structure (same re-trace-on-topo-event strategy as layering/
+    AMR, mesh/topo.py): the two topologies share IDENTICAL cells (only
+    the face list differs), so the field remap across an event is the
+    identity — exactly conservative; the flux is re-derived from U on
+    the new face set (zero through the detached pair by construction)
+    and the step re-traces."""
+    import numpy as _np
+
+    from ..mesh import to_device
+    from ..mesh import topo as topo_mod
+
+    coeffs = dmd.get("attachDetachCoeffs", FoamDict())
+    axis = {"x": 0, "y": 1, "z": 2}[str(coeffs.get("axis", "x"))]
+    plane_pos = float(coeffs.get("position", 0.5))
+    detach_t = float(coeffs.get("detachTime", 0.0))
+    attach_t = float(coeffs.get("attachTime", 1e30))
+
+    pm0 = case.poly_mesh
+    topo = topo_mod.analyze(pm0, axis)
+    planes = topo.planes
+    s = int(_np.argmin(_np.abs(planes[1:-1] - plane_pos))) + 1
+    log.info(f"attachDetach: plane {s} at {planes[s]:.6g} along "
+             f"{'xyz'[axis]}, detach at t={detach_t:.6g}, "
+             f"attach at t={attach_t:.6g}\n")
+
+    _, nu = dimensioned_scalar(case.transport_properties()["nu"])
+    cdict = case.pimple_controls("PIMPLE")
+
+    def build(detached):
+        pm = topo_mod.build(topo, planes,
+                            detach_planes=(s,) if detached else ())
+        mesh = to_device(pm)
+        case._poly, case._mesh = pm, mesh
+        cfg = piso_mod.PisoConfig(
+            nu=nu, n_correctors=int(cdict.get("nCorrectors", 2)),
+            n_non_orth=int(cdict.get("nNonOrthogonalCorrectors", 0)),
+            corrected=case.laplacian_corrected(),
+            div_scheme=case.div_scheme("div(phi,U)"),
+            p_ref_cell=int(cdict.get("pRefCell", 0)),
+            p_ref_value=float(cdict.get("pRefValue", 0.0)),
+            p_controls=case.solver_controls("p"),
+            u_controls=case.solver_controls("U"))
+        return pm, mesh, cfg
+
+    # initial fields in slab-major layered order (cell ids are then
+    # invariant across attach/detach events)
+    U0 = topo_mod.reorder_to_layers(topo,
+                                    _np.asarray(case.read_field("U").data))
+    p0 = topo_mod.reorder_to_layers(topo,
+                                    _np.asarray(case.read_field("p").data))
+
+    t = case.time
+    detached = t.start_time >= detach_t and t.start_time < attach_t
+    pm, mesh, cfg = build(detached)
+    U = _field_on_mesh(case, "U", mesh, jnp.asarray(U0, mesh.v.dtype))
+    p = _field_on_mesh(case, "p", mesh, jnp.asarray(p0, mesh.v.dtype))
+    state = piso_mod.initial_state(mesh, U, p)
+    step = piso_mod.make_step(mesh, cfg)
+
+    log.info(f"Starting loop: pimpleDyMFoam (attachDetach), "
+             f"{mesh.n_cells} cells, "
+             f"{'DETACHED' if detached else 'attached'}\n")
+    cumulative = 0.0
+    max_iter = max(int(round((t.end_time - t.start_time) / t.delta_t)), 1)
+    if max_steps is not None:
+        max_iter = min(max_iter, max_steps)
+    dt = jnp.asarray(t.delta_t, mesh.v.dtype)
+    diag = None
+
+    def write(state):
+        case.write_fields([state["U"], state["p"]])
+
+    while (t.index < max_iter and not t.stop_now
+           and t.value < t.end_time - 1e-12):
+        t_next = t.start_time + (t.index + 1) * t.delta_t
+        want_detached = t_next >= detach_t and t_next < attach_t
+        if want_detached != detached:
+            # topology event: identical cells, identity field remap
+            log.info(f"attachDetach event at t={t_next:.6g}: "
+                     f"{'DETACH' if want_detached else 'ATTACH'}\n")
+            detached = want_detached
+            Ud, pd = state["U"].data, state["p"].data
+            pm, mesh, cfg = build(detached)
+            U = _field_on_mesh(case, "U", mesh,
+                               jnp.asarray(_np.asarray(Ud),
+                                           mesh.v.dtype))
+            p = _field_on_mesh(case, "p", mesh,
+                               jnp.asarray(_np.asarray(pd),
+                                           mesh.v.dtype))
+            state = piso_mod.initial_state(mesh, U, p)
+            step = piso_mod.make_step(mesh, cfg)
+        state, diag = step(state, dt)
+        t.index += 1
+        t.value = t.start_time + t.index * t.delta_t
+        t.current_dt = float(dt)
+        cumulative = _log_step(case, t, diag, cumulative)
+        if t.write_time():
+            write(state)
+    write(state)
+    log.info("End\n")
+    case.final_state = state
+
+
 def pimple_dym_foam(case, max_steps: Optional[int] = None) -> None:
     """pimpleDyMFoam: transient incompressible flow on a moving mesh
     (reference: applications/solvers/incompressible/pimpleFoam/
@@ -3903,6 +4013,9 @@ def pimple_dym_foam(case, max_steps: Optional[int] = None) -> None:
     if (str(msd) == "sixDoFRigidBodyMotion"
             or "sixDoFRigidBodyMotion" in solver_nm):
         return _pimple_dym_sixdof(case, dmd, max_steps)
+    if (str(dmd.get("topoChanger", "")) == "attachDetach"
+            or "attachDetachCoeffs" in dmd):
+        return _pimple_attach_detach(case, dmd, max_steps)
     coeffs = dmd.get("solidBodyMotionFvMeshCoeffs", dmd)
     fn = str(coeffs.get("solidBodyMotionFunction", "linearMotion"))
     c = coeffs.get(fn + "Coeffs", FoamDict())
