@@ -115,6 +115,39 @@ def halo_spmv(jmesh: Mesh, deltas: Sequence[int], diag: Any, soff: Any,
     return fn(diag, soff, psi)
 
 
+def halo_apply_off(jmesh: Mesh, deltas: Sequence[int], soff: Any,
+                   psi: Any, axis: str = "space") -> Any:
+    """Off-diagonal SpMV (no diagonal term) with the explicit one-ring
+    halo — the drop-in replacement for StencilOp.apply_off inside the
+    Krylov solvers when FOAMTPU_HALO=explicit (parallel/gspmd.py
+    activates it at shard_case time). Same block-partition requirements
+    as halo_spmv; psi may be [nC] or multi-RHS [nC,C]."""
+    n_dev = jmesh.devices.size
+    H = max(max(abs(int(d)) for d in deltas), 1)
+    fwd, bwd = _neighbour_perms(n_dev)
+    vec = psi.ndim == 2
+
+    def kernel(soff_l, psi_l):
+        b = psi_l.shape[0]
+        left = lax.ppermute(psi_l[-H:], axis, perm=fwd)
+        right = lax.ppermute(psi_l[:H], axis, perm=bwd)
+        ext = jnp.concatenate([left, psi_l, right], axis=0)
+        acc = jnp.zeros_like(psi_l)
+        for m, d in enumerate(deltas):
+            seg = lax.dynamic_slice_in_dim(ext, H + int(d), b, axis=0)
+            c = soff_l[:, m]
+            acc = acc + (c[:, None] if vec else c) * seg
+        return acc
+
+    spec_psi = P(axis, None) if vec else P(axis)
+    fn = jax.shard_map(
+        kernel, mesh=jmesh,
+        in_specs=(P(axis, None), spec_psi),
+        out_specs=spec_psi,
+    )
+    return fn(soff, psi)
+
+
 def halo_exchange(jmesh: Mesh, x: Any, width: int,
                   axis: str = "space") -> Tuple[Any, Any]:
     """Raw one-ring halo pull: returns (left_halo, right_halo) for each

@@ -56,8 +56,31 @@ def shard_pytree(tree: Any, jmesh: Mesh, n_cells: int, n_faces: int,
     )
 
 
+_HALO_JMESH: Mesh | None = None
+_HALO_AXIS: str = "space"
+
+
+def active_halo_mesh():
+    """(jmesh, axis) when FOAMTPU_HALO=explicit was active at
+    shard_case time, else (None, axis) — consulted at TRACE time by
+    the Krylov solvers to swap the fine-level SpMV for the explicit
+    ppermute halo kernel (parallel/comm.py::halo_apply_off;
+    reference seam: processorFvPatchField::updateInterfaceMatrix)."""
+    return _HALO_JMESH, _HALO_AXIS
+
+
 def shard_case(mesh, state: Dict, jmesh: Mesh, axis: str = "space"):
-    """Place an FvMesh + solver state over the device mesh."""
+    """Place an FvMesh + solver state over the device mesh.
+
+    FOAMTPU_HALO=explicit additionally arms the explicit halo-exchange
+    SpMV for subsequent solver traces (the latency-optimal path on real
+    multi-chip ICI; equal results to GSPMD by construction, asserted in
+    tests/test_halo_production.py)."""
+    import os as _os
+
+    global _HALO_JMESH, _HALO_AXIS
+    if _os.environ.get("FOAMTPU_HALO", "") == "explicit":
+        _HALO_JMESH, _HALO_AXIS = jmesh, axis
     nc, nf = mesh.n_cells, mesh.n_faces
     return (
         shard_pytree(mesh, jmesh, nc, nf, axis),

@@ -113,6 +113,25 @@ def solve(mesh, mat, psi: Any, controls: Dict) -> Tuple[Any, SolverPerf]:
         row_off = row_off.at[st.fb_cells].add(st.fb_coeffs)
 
     base_off = st.apply_off
+    # FOAMTPU_HALO=explicit (armed by gspmd.shard_case): the fine-level
+    # off-diagonal SpMV runs as a shard_map ppermute halo kernel instead
+    # of GSPMD-partitioned rolls — the reference's processor-patch
+    # send/recv seam, latency-optimal on real ICI. Only the pure
+    # offset-stencil case qualifies (COO fallback/AMI keep GSPMD).
+    from ...parallel import gspmd as _gspmd
+
+    halo_jmesh, halo_axis = _gspmd.active_halo_mesh()
+    if (halo_jmesh is not None and mat.soff is not None
+            and st.fb_cells.shape[0] == 0 and st.deltas
+            and mesh.n_cells % halo_jmesh.devices.size == 0
+            and max(abs(int(d)) for d in st.deltas)
+            <= mesh.n_cells // halo_jmesh.devices.size):
+        from ...parallel import comm as _comm
+
+        def base_off(x, _st=st):  # noqa: F811
+            return _comm.halo_apply_off(halo_jmesh, _st.deltas, _st.off,
+                                        x, axis=halo_axis)
+
     if mat.ami_coef is not None and getattr(mesh, "has_ami", False):
         # coupled-interface (cyclicAMI) off-diagonal term in every
         # matvec: +ami_coef[f] * sum_j w_fj psi[cell_j] on owner rows

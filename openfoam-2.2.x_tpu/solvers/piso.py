@@ -328,20 +328,36 @@ def make_step(mesh, cfg: PisoConfig):
         (cfg.p_controls, cfg.p_controls_final, cfg.u_controls))
 
 
-def make_chunk(mesh, cfg: PisoConfig, n: int):
+def make_chunk(mesh, cfg: PisoConfig, n: int, unroll: int = None):
     """n PISO steps per device call (lax.scan), fixed dt — one host
     round-trip and one program launch per chunk instead of per step.
     Amortises the per-program dispatch cost (measured ~8-12 ms through
     the tunneled chip, r4) exactly as the SIMPLE chunk does; returns
-    the last step's diagnostics."""
+    the last step's diagnostics.
+
+    unroll (default FOAMTPU_CHUNK_UNROLL=5): scan body unrolling. The
+    scan carry forces one layout on every carried array; the step body
+    wants another for U, and XLA materialises the {0,1}<->{1,0}
+    relayout as per-iteration sliced DMA (r5 xplane trace — the single
+    largest non-solver cost at ~10% of the step). Unrolling lets XLA
+    fuse/lay out across steps: measured 32.2 -> 28.8 ms/step on the
+    tight-tol cavity 400^2 at unroll=5 (compile 59 -> 104 s, amortised
+    by the persistent cache)."""
+    import os as _os
+
     from .jitstep import jit_with_mesh
+
+    if unroll is None:
+        unroll = int(_os.environ.get("FOAMTPU_CHUNK_UNROLL", "5"))
+    unroll = max(1, min(unroll, n))
 
     def chunk(m, state, dt):
         def body(st, _):
             st, diag = piso_step(m, st, dt, cfg)
             return st, diag
 
-        state_out, diags = jax.lax.scan(body, state, None, length=n)
+        state_out, diags = jax.lax.scan(body, state, None, length=n,
+                                        unroll=unroll)
         last = jax.tree_util.tree_map(lambda x: x[-1], diags)
         return state_out, last
 
