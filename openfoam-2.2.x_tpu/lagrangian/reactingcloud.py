@@ -90,6 +90,52 @@ def evaporate(cloud: Cloud, U_cell, T_cell, dt, cfg: CloudConfig,
     return cloud, vap, heat
 
 
+def liquid_evaporate(cloud: Cloud, U_cell, T_cell, p_cell, dt,
+                     cfg: CloudConfig, liquid, n_cells: int,
+                     n_parcels=1.0):
+    """Liquid-properties phase change (reference: src/lagrangian/
+    intermediate/submodels/Reacting/PhaseChangeModel/LiquidEvaporation/
+    LiquidEvaporation.C): molar evaporation flux through the vapour
+    film,
+
+        kc  = Sh D / d                     (Ranz-Marshall Sherwood)
+        Cs  = pv(Ts) / (Ru Ts)             (surface molar concentration)
+        dm  = pi d^2 kc Cs W dt            (Cinf = 0, dry carrier)
+
+    with pv/hl from the SLGThermo liquid package (models/liquids.py).
+    Returns (cloud, vapour_mass_src [nC] kg, heat_sink [nC] W)."""
+    u_f = U_cell[cloud.cell]
+    urel = jnp.linalg.norm(u_f - cloud.u, axis=1)
+    Re = jnp.maximum(cfg.rho_f * urel * cloud.d / cfg.mu_f, 1e-10)
+    Sc = cfg.mu_f / jnp.maximum(cfg.rho_f * liquid.D, 1e-30)
+    Sh = 2.0 + 0.6 * jnp.sqrt(Re) * Sc ** (1.0 / 3.0)
+    Ts = liquid.Ts_clip(cloud.T if cloud.T is not None
+                        else T_cell[cloud.cell])
+    kc = Sh * liquid.D / jnp.maximum(cloud.d, 1e-9)
+    Cs = liquid.pv(Ts) / (R_UNIV * Ts)
+    mdot = jnp.pi * cloud.d ** 2 * kc * Cs * liquid.W   # [kg/s] per drop
+    m_p = cloud.rho * jnp.pi / 6.0 * cloud.d ** 3
+    dm1 = jnp.minimum(mdot * dt, m_p)                   # per droplet
+    d3_new = jnp.maximum(cloud.d ** 3 - 6.0 / jnp.pi * dm1
+                         / jnp.maximum(cloud.rho, 1e-3), 0.0)
+    d_new = d3_new ** (1.0 / 3.0)
+    dm = jnp.where(cloud.active, dm1 * n_parcels, 0.0)
+    alive = cloud.active & (d_new > 1e-7)
+    upd = dict(d=jnp.where(cloud.active, d_new, cloud.d), active=alive)
+    if cloud.T is not None:
+        # evaporative cooling of the droplet (reference: the -hl dm
+        # term of the parcel energy equation)
+        cp_l = liquid.cp(Ts)
+        dT = dm1 * liquid.hl(Ts) / jnp.maximum(m_p * cp_l, 1e-30)
+        upd["T"] = jnp.where(cloud.active,
+                             jnp.maximum(cloud.T - dT, 200.0), cloud.T)
+    cloud = cloud._replace(**upd)
+    vap = jax.ops.segment_sum(dm, cloud.cell, num_segments=n_cells)
+    heat = jax.ops.segment_sum(dm * liquid.hl(Ts), cloud.cell,
+                               num_segments=n_cells) / dt
+    return cloud, vap, heat
+
+
 class CoalCloud(NamedTuple):
     """Kinematic cloud + volatile mass fraction per parcel."""
     base: Cloud

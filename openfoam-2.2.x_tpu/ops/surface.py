@@ -25,6 +25,35 @@ def gather_faces(mesh, face_vals: Any) -> Any:
     return face_vals[mesh.cface]
 
 
+def scatter_add_cols(acc: Any, idx: Any, vals: Any) -> Any:
+    """Layout-neutral scatter-add: acc[idx] += vals, component-wise.
+
+    A TPU scatter whose operand is [nC,C] pins the WHOLE accumulator to
+    row-major {1,0}; the PISO scan carries vector fields in XLA's
+    preferred {0,1}, so every boundary scatter-add bought 4-way sliced
+    relayout DMAs of f32[nC,3] (~3x3.2 ms/step at 400^2, xplane r5
+    profile). Scattering each component into its own 1D [nC] slice
+    leaves XLA free to keep {0,1} everywhere: the column slice and the
+    stack are contiguous moves under that layout, and a 1D scatter has
+    no layout freedom to constrain."""
+    if acc.ndim == 1:
+        return acc.at[idx].add(vals)
+    a2 = acc.reshape(acc.shape[0], -1)
+    v2 = vals.reshape(vals.shape[0], -1)
+    cols = [a2[:, j].at[idx].add(v2[:, j]) for j in range(a2.shape[1])]
+    return jnp.stack(cols, axis=1).reshape(acc.shape)
+
+
+def scatter_set_cols(acc: Any, idx: Any, vals: Any) -> Any:
+    """Layout-neutral scatter-set twin of scatter_add_cols."""
+    if acc.ndim == 1:
+        return acc.at[idx].set(vals)
+    a2 = acc.reshape(acc.shape[0], -1)
+    v2 = vals.reshape(vals.shape[0], -1)
+    cols = [a2[:, j].at[idx].set(v2[:, j]) for j in range(a2.shape[1])]
+    return jnp.stack(cols, axis=1).reshape(acc.shape)
+
+
 def surface_sum(mesh, face_vals: Any, weight: Optional[Any] = None) -> Any:
     """sum_f sign_f * face_vals_f per cell. weight overrides the signed
     mask (e.g. mesh.cbnd to sum boundary-face contributions only)."""
@@ -43,6 +72,9 @@ def boundary_sum(mesh, bvals: Any) -> Any:
     scale (TPU scatters are index-rate bound at ~150M idx/s)."""
     shape = (mesh.n_cells,) if bvals.ndim == 1 else (mesh.n_cells, bvals.shape[1])
     out = jnp.zeros(shape, dtype=bvals.dtype)
+    import os
+    if os.environ.get("FOAMTPU_SCATTER_COLS") == "1":
+        return scatter_add_cols(out, mesh.ab_owner, bvals[mesh.ab_rel])
     return out.at[mesh.ab_owner].add(bvals[mesh.ab_rel])
 
 
@@ -54,7 +86,7 @@ def owner_to_b(mesh, x: Any) -> Any:
     this costs ~0.2 ms."""
     nBf = mesh.n_faces - mesh.n_internal_faces
     z = jnp.zeros((nBf,) + x.shape[1:], x.dtype)
-    return z.at[mesh.ab_rel].set(x[mesh.ab_owner])
+    return scatter_set_cols(z, mesh.ab_rel, x[mesh.ab_owner])
 
 
 def interpolate_internal(mesh, data: Any, weights: Optional[Any] = None) -> Any:

@@ -2011,6 +2011,20 @@ def _reacting_parcel_run(case, max_steps: Optional[int], coal=False,
     ecfg = rcloud.EvapConfig(
         K_evap=_dim_scalar_of(props, "Kevap", 1e-8),
         L_vap=_dim_scalar_of(cp, "Lvap", 2.26e6))
+    # phaseChangeModel liquidEvaporation selects the SLGThermo liquid
+    # property path (reference: subModels/Reacting/PhaseChangeModel/
+    # LiquidEvaporation + liquidProperties); the liquid is named by a
+    # `liquid` keyword or defaults to the tutorial fuels
+    pc_model = str(props.get("subModels", FoamDict()).get(
+        "phaseChangeModel", "none")).strip()
+    liquid = None
+    if pc_model.startswith("liquidEvaporation"):
+        from ..models import liquids as liquids_mod
+
+        lname = str(props.get("liquid", "C7H16" if spray else "H2O"))
+        ldict = props.get(lname + "Coeffs")
+        liquid = (liquids_mod.from_dict(lname, ldict) if ldict
+                  else liquids_mod.get(lname))
     ccfg = rcloud.CoalConfig(Yvol0=_dim_scalar_of(cp, "Yvolatile",
                                                   0.4))
     coal_state = (rcloud.CoalCloud(
@@ -2125,6 +2139,10 @@ def _reacting_parcel_run(case, max_steps: Optional[int], coal=False,
             c1 = coal_out.base
             vap = fuel
             heat = -qsrc          # combustion HEATS the carrier
+        elif liquid is not None:
+            c1, vap, heat = rcloud.liquid_evaporate(
+                c1, Udata, Tdata, st["p"].data, dt, lcfg, liquid,
+                mesh.n_cells)   # latent heat COOLS the carrier
         else:
             c1, vap, hsink = rcloud.evaporate(c1, Udata, Tdata, dt,
                                               lcfg, ecfg, mesh.n_cells)
@@ -4305,9 +4323,14 @@ def xi_foam(case, max_steps: Optional[int] = None) -> None:
     comb = case.properties("combustionProperties")
     su_e = comb.get("Su", 0.4)
     su = float(su_e[-1] if isinstance(su_e, (list, tuple)) else su_e)
+    # laminarFlameSpeedCorrelation keyword selects a Gulders/
+    # GuldersEGR/RaviPetersen Su(p,Tu) correlation (models/flamespeed)
+    from ..models.flamespeed import make_flame_speed
+
+    su_fn = make_flame_speed(comb, su_default=su)
     T = case.read_field("T")
     cfg = xi_mod.XiFoamConfig(
-        flow=flow, Su0=su,
+        flow=flow, Su0=su, su_fn=su_fn,
         SuMin=float(comb.get("SuMin", 0.01)),
         XiEqCoef=float(comb.get("XiEqCoef", comb.get("XiCoef", 0.62))),
         XiShapeCoef=float(comb.get("XiShapeCoef", 1.0)),

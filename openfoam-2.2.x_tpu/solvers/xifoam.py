@@ -28,7 +28,7 @@ converges with the PIMPLE outer loop.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -48,6 +48,10 @@ class XiFoamConfig(NamedTuple):
     q_comb: float = 2.0e6      # heat of combustion per kg mixture [J/kg]
     Tu: float = 300.0          # unburnt temperature (rho_u = p/(R Tu))
     b_controls: Dict = None
+    # laminar flame-speed correlation Su(p, Tu) (models/flamespeed.py;
+    # reference: src/thermophysicalModels/laminarFlameSpeed/). None
+    # keeps the constant Su0 path.
+    su_fn: Optional[Callable[[Any, Any], Any]] = None
 
 
 def xifoam_step(mesh, state: Dict, dt: Any, cfg: XiFoamConfig
@@ -71,6 +75,9 @@ def xifoam_step(mesh, state: Dict, dt: Any, cfg: XiFoamConfig
     # -- 2. wrinkling Xi (algebraic Gulder) ----------------------------------
     b: VolField = state["b"]
     b0 = state.get("b0", b.data)
+    # unstrained laminar flame speed: correlation field Su(p, Tu) when a
+    # laminarFlameSpeedCorrelation is configured, else the constant Su0
+    Su = cfg.su_fn(p.data, cfg.Tu) if cfg.su_fn is not None else cfg.Su0
     tstate = state.get("turb")
     if tstate and "k" in tstate:
         k = tstate["k"].data
@@ -84,7 +91,7 @@ def xifoam_step(mesh, state: Dict, dt: Any, cfg: XiFoamConfig
         reta = up / jnp.maximum(jnp.sqrt(eps * tau_eta), 1e-8)
         shape = 1.0 + 2.0 * cfg.XiShapeCoef * (0.5 - b.data)
         Xi = 1.0 + shape * cfg.XiEqCoef * jnp.sqrt(
-            up / (cfg.Su0 + cfg.SuMin)) * reta
+            up / (Su + cfg.SuMin)) * reta
         Xi = jnp.clip(Xi, 1.0, 100.0)
     else:
         Xi = jnp.ones_like(b.data)
@@ -103,7 +110,7 @@ def xifoam_step(mesh, state: Dict, dt: Any, cfg: XiFoamConfig
     # unburnt density at the CURRENT pressure (reference: rhou())
     rho_u = jnp.maximum(p.data / (th.R * cfg.Tu), cfg.flow.rho_min)
     mgb = jnp.linalg.norm(fvc.grad(mesh, b), axis=1)      # |grad b|
-    Sb = rho_u * cfg.Su0 * Xi * mgb                       # [kg/m^3/s]
+    Sb = rho_u * Su * Xi * mgb                            # [kg/m^3/s]
     bEqn = (_rho_ddt(mesh, b, rho, rho0, b0, rdt)
             + fvm.div(mesh, phi, b, phi_slot=phi_slot,
                       slot_weights=w_slot,
