@@ -262,6 +262,54 @@ class TimeActivatedFileUpdate(FunctionObject):
                           f"at t={time_name}")
 
 
+class Coded(FunctionObject):
+    """User-coded functionObject (reference: the codedFunctionObject /
+    OutputFilterFunctionObject `coded` type in
+    src/postProcessing/functionObjects + db/dynamicLibrary/codedBase —
+    there a C++ snippet compiled by wmake and dlopened; here a PYTHON
+    snippet, the same dynamicCode analogue as codedFixedValue and
+    codedSource). The `codeExecute` (or `code`) snippet runs every
+    execute() with this namespace:
+
+        np, jnp     numpy / jax.numpy
+        mesh        the device mesh
+        state       the live solver-state dict (read AND write)
+        time_name   current time as written (str), time (float or None)
+        store       a dict persisting across calls
+        output(s)   append a line to postProcessing/<name>/0/<name>.dat
+
+    Exceptions are caught by FunctionObjectList (run keeps going), as
+    the reference's FatalError-in-FO policy does not."""
+
+    def __init__(self, name, spec, case):
+        super().__init__(name, spec, case)
+        code = spec.get("codeExecute", spec.get("code", ""))
+        self.code = compile(str(code), f"<codedFunctionObject:{name}>",
+                            "exec")
+        self.store: dict = {}
+        self.path = os.path.join(self.out_dir, "0", f"{name}.dat")
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+
+    def execute(self, time_name, state):
+        import jax.numpy as jnp
+
+        def output(s):
+            with open(self.path, "a") as f:
+                f.write(str(s).rstrip("\n") + "\n")
+
+        try:
+            t = float(time_name)
+        except ValueError:
+            t = None
+        ns = {"np": np, "jnp": jnp, "mesh": self.case.mesh,
+              "state": state, "time_name": time_name, "time": t,
+              "store": self.store, "output": output,
+              "case": self.case}
+        exec(self.code, ns)  # noqa: S102 — dynamicCode analogue
+
+
+register("coded", Coded)
+register("codedFunctionObject", Coded)
 register("readFields", ReadFields)
 register("surfaceInterpolateFields", SurfaceInterpolateFields)
 register("regionSizeDistribution", RegionSizeDistribution)

@@ -17,6 +17,11 @@ option types:
 - actuationDiskSource       momentum sink of an actuator disk,
                             T = 2 rho A a (1-a) Uo^2 spread over the zone
                             (reference: sources/derived/actuationDiskSource)
+- rotorDiskSource           blade-element momentum rotor: per-cell
+                            thrust + swirl from twist/chord blade
+                            tables and cl/cd profile lookup, trimModel
+                            fixed (reference: sources/derived/
+                            rotorDiskSource)
 - MRFSource (Coriolis)      rotating-frame Coriolis force -2w x U ->
                             here the MRF zone term -(w x U) as in
                             MRFZone::addCoriolis (reference:
@@ -156,6 +161,49 @@ class Option:
             T = 2.0 * area * upstream ** 2 * a * (1.0 - a)
             f = -(T / vol_zone) * jnp.asarray(ddir, mesh.v.dtype)
             add = (mesh.v * m)[:, None] * f[None, :]
+            return eqn.replace_fields(source=eqn.source + add)
+        if k == "rotorDiskSource":
+            # blade-element momentum rotor (reference: src/fvOptions/
+            # sources/derived/rotorDiskSource/rotorDiskSource.C +
+            # bladeModel/profileModel lookup tables, trimModel fixed).
+            # Per zone cell at radius r the blade section sees the
+            # relative wind W = (u_ax, u_th - omega r) in (axis,
+            # tangent) coordinates; with inflow angle
+            #   phi = atan2(-u_ax, omega r - u_th)
+            # and effective AoA alpha = twist(r) - phi, the profile
+            # cl/cd produce a force ON THE FLUID per unit span
+            #   f_a = -(cl cos phi - cd sin phi) q c   (thrust, -axis)
+            #   f_t = +(cl sin phi + cd cos phi) q c   (swirl, +e_t)
+            # distributed over the annulus volume by nB/(2 pi r dz).
+            axis_v = jnp.asarray(d["axis"], mesh.v.dtype)
+            e_t = jnp.asarray(d["e_t"], mesh.v.dtype)
+            r = jnp.asarray(d["r_cell"], mesh.v.dtype)
+            twist = jnp.asarray(d["twist_cell"], mesh.v.dtype)
+            chord = jnp.asarray(d["chord_cell"], mesh.v.dtype)
+            aoa_t = jnp.asarray(d["aoa_tab"], mesh.v.dtype)
+            cl_t = jnp.asarray(d["cl_tab"], mesh.v.dtype)
+            cd_t = jnp.asarray(d["cd_tab"], mesh.v.dtype)
+            omega = float(d["omega"])
+            dens = jnp.asarray(d["dens"], mesh.v.dtype)  # nB/(2 pi r dz)
+            u_ax = U.data @ axis_v
+            u_th = jnp.sum(U.data * e_t, axis=1)
+            w_t = omega * r - u_th
+            phi_i = jnp.arctan2(-u_ax, jnp.where(jnp.abs(w_t) > 1e-12,
+                                                 w_t, 1e-12))
+            alpha = twist - phi_i
+            cl = jnp.interp(alpha, aoa_t, cl_t)
+            cd = jnp.interp(alpha, aoa_t, cd_t)
+            V2 = u_ax ** 2 + w_t ** 2
+            # q in kinematic units for the incompressible U equation
+            # (the reference multiplies by rhoRef and the solver
+            # divides it back out); local rho for mass-weighted rows
+            q = 0.5 * V2 * chord * (rho if rho is not None else 1.0)
+            cphi, sphi = jnp.cos(phi_i), jnp.sin(phi_i)
+            f_a = -(cl * cphi - cd * sphi) * q
+            f_t = (cl * sphi + cd * cphi) * q
+            fvec = (f_a * dens)[:, None] * axis_v[None, :] \
+                + (f_t * dens)[:, None] * e_t
+            add = (mesh.v * m)[:, None] * fvec
             return eqn.replace_fields(source=eqn.source + add)
         if k == "MRFSource":
             omega = jnp.asarray(d["omega_vec"], mesh.v.dtype)
@@ -386,6 +434,84 @@ def _parse_option(mesh, name: str, spec: FoamDict, nu: float) -> Option:
             "diskDir": ddir,
             "upstreamU": float(sub.get("upstreamU", 1.0)),
             "r_cell": r_cell, "coeffs": tuple(coeffs)})
+    if kind == "rotorDiskSource":
+        # geometry: origin/axis (geometryMode specified); blade table
+        # rows (profileName (r twist_deg chord)) or (r (twist chord));
+        # profiles { <name> { type lookup; data ((aoa_deg (cd cl))..) } }
+        origin = _vec(sub.get("origin", (0.0, 0.0, 0.0)))
+        axis = _vec(sub.get("axis", (0.0, 0.0, 1.0)))
+        axis = axis / max(np.linalg.norm(axis), 1e-30)
+        rpm = float(sub.get("rpm", 0.0))
+        omega = rpm * 2.0 * np.pi / 60.0
+        n_blades = float(sub.get("nBlades", 2))
+        tip = float(sub.get("tipEffect", 1.0))
+        blade_rows = (sub.get("blade", FoamDict()) or FoamDict()
+                      ).get("data", [])
+        rs, tws, chs = [], [], []
+        for row in blade_rows:
+            row = list(row)
+            if row and isinstance(row[0], str):   # (name (r tw ch))
+                row = list(np.asarray(row[1], float).reshape(-1))
+            else:
+                flat = []
+                for x in row:
+                    flat += list(np.asarray(x, float).reshape(-1))
+                row = flat
+            rs.append(row[0]); tws.append(row[1]); chs.append(row[2])
+        if not rs:
+            rs, tws, chs = [0.0, 1.0], [8.0, 8.0], [0.1, 0.1]
+        rs, tws, chs = (np.asarray(rs, float), np.asarray(tws, float),
+                        np.asarray(chs, float))
+        profs = sub.get("profiles", FoamDict()) or FoamDict()
+        aoa, cdt, clt = [], [], []
+        for _, pspec in profs.items():
+            if not hasattr(pspec, "get"):
+                continue
+            for prow in pspec.get("data", []):
+                prow = list(prow)
+                vals = list(np.asarray(prow[-1], float).reshape(-1)) \
+                    if isinstance(prow[-1], (list, tuple, np.ndarray)) \
+                    else prow[1:]
+                aoa.append(float(np.asarray(prow[0], float).reshape(-1)[0]))
+                cdt.append(float(vals[0])); clt.append(float(vals[1]))
+            break   # single-profile support (documented)
+        if not aoa:   # flat-plate-ish default: cl = 0.1/deg, cd = 0.02
+            aoa = [-90.0, 0.0, 90.0]
+            cdt = [0.02, 0.02, 0.02]
+            clt = [-2.0, 0.0, 2.0]
+        order = np.argsort(aoa)
+        aoa_tab = np.deg2rad(np.asarray(aoa, float)[order])
+        cd_tab = np.asarray(cdt, float)[order]
+        cl_tab = np.asarray(clt, float)[order]
+        # per-cell static geometry
+        c = np.asarray(mesh.c)
+        v = np.asarray(mesh.v)
+        rel = c - origin
+        ax_comp = rel @ axis
+        r_vec = rel - np.outer(ax_comp, axis)
+        r_cell = np.linalg.norm(r_vec, axis=1)
+        e_r = r_vec / np.maximum(r_cell, 1e-30)[:, None]
+        e_t = np.cross(np.broadcast_to(axis, e_r.shape), e_r)
+        r_min, r_max = float(rs.min()), float(rs.max())
+        mnp = np.asarray(mask) * ((r_cell >= r_min)
+                                  & (r_cell <= tip * r_max))
+        twist_cell = np.deg2rad(np.interp(r_cell, rs, tws))
+        chord_cell = np.interp(r_cell, rs, chs)
+        vol_zone = float(np.sum(v * mnp))
+        dz = max(vol_zone / max(np.pi * (r_max ** 2 - r_min ** 2),
+                                1e-30), 1e-9)
+        dens = n_blades / (2.0 * np.pi * np.maximum(r_cell, 1e-6) * dz)
+        fields = tuple(str(f) for f in sub.get("fields", ["U"]))
+        return Option(name, kind,
+                      jnp.asarray(mnp, np.asarray(mesh.v).dtype),
+                      fields or ("U",),
+                      {"axis": axis, "origin": origin, "omega": omega,
+                       "e_t": e_t, "r_cell": r_cell,
+                       "twist_cell": twist_cell,
+                       "chord_cell": chord_cell, "aoa_tab": aoa_tab,
+                       "cl_tab": cl_tab, "cd_tab": cd_tab,
+                       "dens": dens, "rhoRef": float(
+                           sub.get("rhoRef", 1.0))})
     if kind in ("MRFSource", "MRF"):
         axis = _vec(sub.get("axis", (0.0, 0.0, 1.0)))
         axis = axis / max(np.linalg.norm(axis), 1e-30)

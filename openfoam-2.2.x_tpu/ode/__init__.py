@@ -15,8 +15,9 @@ chemistry integration. TPU redesign:
   `jax.jacfwd` and dense `jnp.linalg.solve` stage solves — chemistry
   systems are small (nSpecies ~ 10-50), so the MXU-batched dense solve
   beats any sparse path.
-- "Euler"/"SIBS"/"seulex" map to the semi-implicit Euler step with
-  step-doubling error control (documented replacement).
+- "SIBS"/"seulex": real semi-implicit Bulirsch-Stoer — Bader-Deuflhard
+  semi-implicit midpoint with static Bader substep sequence and Neville
+  (h/n)^2 extrapolation, fully unrolled into one jaxpr.
 
 Reference citations: src/ODE/ODESolvers/{ODESolver,RKF45,rodas23,
 seulex}/.
@@ -30,7 +31,8 @@ from typing import Any, Callable, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["integrate", "rk45_step", "rosenbrock23_step", "ODEResult"]
+__all__ = ["integrate", "rk45_step", "rosenbrock23_step", "sibs_step",
+           "ODEResult"]
 
 
 class ODEResult(NamedTuple):
@@ -104,12 +106,52 @@ def rosenbrock23_step(f: Callable, t, y, h):
     return y2, err
 
 
+# -- SIBS (semi-implicit Bulirsch-Stoer, Bader-Deuflhard) --------------------
+
+_SIBS_SEQ = (2, 6, 10, 14, 22)     # Bader's even substep sequence
+
+
+def sibs_step(f: Callable, t, y, h, levels: int = 3):
+    """One SIBS attempt (reference: src/ODE/ODESolvers/SIBS/SIBS.C —
+    the Bader-Deuflhard semi-implicit midpoint rule driven to `levels`
+    substep counts of the Bader sequence, Neville-extrapolated in
+    (h/n)^2). Returns (y_extrap, err_vec). Substep counts are static,
+    so the whole ladder unrolls into one fused jaxpr; the Jacobian is
+    jax.jacfwd and each level LU-factors its own W = I - h_sub J."""
+    n_dim = y.shape[0]
+    J = jax.jacfwd(lambda yy: f(t, yy))(y)
+    I = jnp.eye(n_dim, dtype=y.dtype)
+    seq = _SIBS_SEQ[:levels]
+    T = []
+    for nj in seq:
+        hs = h / nj
+        lu, piv = jax.scipy.linalg.lu_factor(I - hs * J)
+        solve = partial(jax.scipy.linalg.lu_solve, (lu, piv))
+        delta = solve(hs * f(t, y))
+        yk = y + delta
+        for k in range(1, nj):
+            delta = delta + 2.0 * solve(hs * f(t + k * hs, yk) - delta)
+            yk = yk + delta
+        # Bader's smoothing step
+        T.append(yk + solve(hs * f(t + h, yk) - delta))
+    # Neville tableau in x = (1/n)^2 toward x -> 0
+    err = T[-1] - (T[-2] if levels > 1 else y)
+    for m in range(1, levels):
+        for j in range(levels - 1, m - 1, -1):
+            fac = (seq[j] / seq[j - m]) ** 2 - 1.0
+            corr = (T[j] - T[j - 1]) / fac
+            if j == levels - 1 and m == levels - 1:
+                err = corr
+            T[j] = T[j] + corr
+    return T[-1], err
+
+
 _STEPPERS = {
     "RKF45": rk45_step, "RKCK45": rk45_step, "RKDP45": rk45_step,
     "DP45": rk45_step,
     "rodas23": rosenbrock23_step, "rodas34": rosenbrock23_step,
-    "Rosenbrock": rosenbrock23_step, "seulex": rosenbrock23_step,
-    "SIBS": rosenbrock23_step,
+    "Rosenbrock": rosenbrock23_step,
+    "SIBS": sibs_step, "seulex": sibs_step,
 }
 
 
