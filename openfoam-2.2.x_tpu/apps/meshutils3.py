@@ -56,15 +56,22 @@ def create_baffles(pm: PolyMesh, face_ids: np.ndarray,
     for f in face_ids:
         new_faces.append(faces[f])
         new_owner.append(pm.owner[f])
+    # cyclic baffles (the fan/fixedJump layout) crosslink the pair
+    # through neighbourPatch (reference: createBaffles with cyclic
+    # patch pairs feeding jumpCyclic BCs)
+    nbr_m = f"{patch_name}_slave" if patch_type == "cyclic" else None
+    nbr_s = f"{patch_name}_master" if patch_type == "cyclic" else None
     patches.append(Patch(name=f"{patch_name}_master", type=patch_type,
-                         start=start, size=len(face_ids)))
+                         start=start, size=len(face_ids),
+                         neighbour_patch=nbr_m))
     start += len(face_ids)
     # slave: neighbour side, reversed so the normal points out of it
     for f in face_ids:
         new_faces.append(list(reversed(faces[f])))
         new_owner.append(pm.neighbour[f])
     patches.append(Patch(name=f"{patch_name}_slave", type=patch_type,
-                         start=start, size=len(face_ids)))
+                         start=start, size=len(face_ids),
+                         neighbour_patch=nbr_s))
     out = _build(pm.points, new_faces, new_owner, new_neigh, patches)
     if pm.cell_zones:
         out.cell_zones.update(pm.cell_zones)

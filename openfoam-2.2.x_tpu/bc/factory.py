@@ -105,6 +105,15 @@ _ALIASES = {
     "supersonicFreestream": "supersonicFreestream",
     "variableHeightFlowRate": "variableHeightFlowRate",
     "cyclicAMI": "cyclicAMI",
+    # plain cyclic on a RETAINED pair (one whose partner field carries
+    # a jump BC): continuity rides the identity-AMI coupling; fully
+    # internalised cyclic pairs never reach the factory
+    "cyclic": "cyclicAMI",
+    # jumpCyclic family on retained (createBaffles-style coincident)
+    # cyclic pairs (reference: fvPatchFields/derived/{fixedJump,fan})
+    "fixedJump": "fixedJump",
+    "fixedJumpAMI": "fixedJump",
+    "fan": "fan",
     "cylindricalInletVelocity": "cylindricalInletVelocity",
     "swirlFlowRateInletVelocity": "swirlFlowRateInletVelocity",
     "uniformFixedValue": "uniformFixedValue",
@@ -302,6 +311,30 @@ def from_dict(spec: FoamDict, patch, rank: int, dtype,
         kw["upperBound"] = float(spec.get("upperBound", 1.0))
     elif kind == "cyclicAMI":
         kw["vfrac"] = 0.0
+    elif kind in ("fixedJump", "fan"):
+        kw["vfrac"] = 0.0
+        # master side: the pair member listed first in the boundary
+        # (reference: jumpCyclic applies +jump on the owner patch)
+        master = True
+        if mesh is not None and getattr(patch, "neighbour_patch", None):
+            names = [p.name for p in mesh.patches]
+            try:
+                master = names.index(patch.name) < names.index(
+                    patch.neighbour_patch)
+            except ValueError:
+                pass
+        kw["master"] = master
+        if kind == "fixedJump":
+            jv = parse_value(spec.get("jump"), size, rank, dtype)
+            kw["ref_value"] = jv if jv is not None else 0.0
+        else:
+            # 2.2 fan curve: `f (c0 c1 ...)` polynomial in the
+            # volumetric flow rate (reference: fan::calcFanJump)
+            fco = spec.get("f", spec.get("fanCoeffs"))
+            if fco is not None:
+                kw["fanPoly"] = tuple(
+                    float(x) for x in np.asarray(fco, float).reshape(-1))
+            kw["ref_value"] = 0.0
     elif kind == "cylindricalInletVelocity":
         # U = Ua a + Ur r^ + (rpm 2pi/60)(a x r) (reference:
         # fvPatchFields/derived/cylindricalInletVelocity/) — static

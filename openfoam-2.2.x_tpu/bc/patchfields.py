@@ -233,7 +233,32 @@ def _empty_shape(patch, internal):
     return (patch.size,) + internal.shape[1:]
 
 
+_JUMP_KINDS = ("fixedJump", "fixedJumpAMI", "fan")
+
+
+def jump_signed(bc: PatchField, like) -> Any:
+    """Signed jump for jumpCyclic-family BCs: the master side sees the
+    partner value MINUS the jump, the slave sees it PLUS the jump
+    (reference: jumpCyclicFvPatchField::patchNeighbourField, owner
+    branch `pnf -= jump`), i.e. psi rises by +jump from master to
+    slave — a fan with positive curve blows master -> slave."""
+    s = -1.0 if bc.opt("master", True) else 1.0
+    return s * _bcast(bc.ref_value, like)
+
+
 def value_coeffs(bc: PatchField, mesh, patch, internal) -> Tuple[Any, Any]:
+    if bc.kind in _JUMP_KINDS:
+        # cyclic pair retained as coincident AMI faces; the coupled
+        # face value is the AMI blend with the partner's value OFFSET
+        # by the jump (reference: fvPatchFields/derived/fixedJump +
+        # fan — jumpCyclic on a createBaffles cyclic pair)
+        vb = _ami_patch_values(mesh, patch, internal)
+        nif = mesh.n_internal_faces
+        w = mesh.ami_wown[patch.start - nif:
+                          patch.start - nif + patch.size]
+        w = w[:, None] if vb.ndim == 2 else w
+        vb = vb + jump_signed(bc, vb)
+        return jnp.broadcast_to(w, vb.shape), (1.0 - w) * vb
     if bc.kind == "cyclicAMI":
         # explicit coupled face VALUE: distance-weighted blend of the
         # own cell and the AMI-interpolated neighbour cells (reference:
@@ -260,6 +285,13 @@ def grad_coeffs(bc: PatchField, mesh, patch, internal) -> Tuple[Any, Any]:
     if bc.kind == "empty":
         z = jnp.zeros(_empty_shape(patch, internal), internal.dtype)
         return z, z
+    if bc.kind in _JUMP_KINDS:
+        vi = _patch_internal(mesh, patch, internal)
+        vb = _ami_patch_values(mesh, patch, internal)
+        vb = vb + jump_signed(bc, vb)
+        dc = _col(_patch_delta(mesh, patch), vi)
+        return jnp.broadcast_to(-dc, vi.shape), \
+            jnp.broadcast_to(dc * vb, vi.shape)
     if bc.kind == "cyclicAMI":
         vi = _patch_internal(mesh, patch, internal)
         vb = _ami_patch_values(mesh, patch, internal)
@@ -274,6 +306,15 @@ def grad_coeffs(bc: PatchField, mesh, patch, internal) -> Tuple[Any, Any]:
 
 
 def evaluate(bc: PatchField, mesh, patch, internal) -> Any:
+    if bc.kind in _JUMP_KINDS:
+        vb = _ami_patch_values(mesh, patch, internal)
+        vb = vb + jump_signed(bc, vb)
+        vi = _patch_internal(mesh, patch, internal)
+        nif = mesh.n_internal_faces
+        w = mesh.ami_wown[patch.start - nif:
+                          patch.start - nif + patch.size]
+        w = w[:, None] if vb.ndim == 2 else w
+        return w * vi + (1.0 - w) * vb
     if bc.kind == "cyclicAMI":
         vb = _ami_patch_values(mesh, patch, internal)
         vi = _patch_internal(mesh, patch, internal)
@@ -353,7 +394,30 @@ def _up_freestream(bc, mesh, patch, internal, *, phi=None, **ctx):
     return _up_inlet_outlet(bc, mesh, patch, internal, phi=phi, **ctx)
 
 
+def _up_fan(bc, mesh, patch, internal, *, phi=None, **ctx):
+    """fan: pressure jump from the fan curve evaluated at the current
+    volumetric flow rate through the pair (reference: derived/fan/ —
+    jump = sum_i f_i Q^i with the 2.2 `f` polynomial coefficients).
+    Both sides carry the same curve; Q is measured through the MASTER
+    side with outflow-positive sign so the pair agrees."""
+    if phi is None:
+        return bc
+    coeffs = bc.opt("fanPoly")
+    if coeffs is None:
+        return bc
+    phib = phi[patch.slice]
+    s = 1.0 if bc.opt("master", True) else -1.0
+    Q = s * jnp.sum(phib * mesh.face_active[patch.slice])
+    jump = jnp.zeros((), phib.dtype)
+    for c in coeffs[::-1]:
+        jump = jump * Q + c
+    like = _patch_internal(mesh, patch, internal)
+    return bc.replace(ref_value=jnp.broadcast_to(
+        jnp.maximum(jump, 0.0), like.shape))
+
+
 _UPDATE: Dict[str, Callable] = {
+    "fan": _up_fan,
     "inletOutlet": _up_inlet_outlet,
     "outletInlet": _up_outlet_inlet,
     "totalPressure": _up_total_pressure,
@@ -527,7 +591,9 @@ def shift_value_bcs(bcs, delta) -> Tuple[PatchField, ...]:
     for bc in bcs:
         if bc.kind in ("zeroGradient", "fixedGradient", "empty",
                        "symmetry", "symmetryPlane", "wedge", "slip",
-                       "cyclicAMI"):
+                       "cyclicAMI",
+                       # ref_value holds a JUMP, not a level
+                       "fixedJump", "fixedJumpAMI", "fan"):
             out.append(bc)
         else:
             out.append(bc.replace(ref_value=bc.ref_value + delta))

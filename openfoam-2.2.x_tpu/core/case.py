@@ -61,10 +61,59 @@ class Case:
             self._poly = mesh_io.read(self.const_path("polyMesh"))
         return self._poly
 
+    def _retain_jump_cyclics(self, pm):
+        """Scan start-time fields for jumpCyclic-family BCs (fan /
+        fixedJump) on cyclic patches; retype those pairs to cyclicAMI
+        so they are RETAINED as coincident coupled boundary patches
+        (identity AMI) instead of being internalised — the jump then
+        enters through the fixedJump/fan patch fields (reference:
+        createBaffles cyclic pairs + fvPatchFields/derived/fan)."""
+        import dataclasses as _dc
+
+        jump_names = set()
+        tdir = os.path.join(self.dir, self.latest_time_name())
+        if not os.path.isdir(tdir):
+            return pm
+        cyc = {p.name: p for p in pm.patches if p.type == "cyclic"}
+        if not cyc:
+            return pm
+        for fn in sorted(os.listdir(tdir)):
+            path = os.path.join(tdir, fn)
+            if not os.path.isfile(path):
+                continue
+            try:
+                bf = parse_file(path).get("boundaryField")
+            except Exception:
+                continue
+            if not hasattr(bf, "items"):
+                continue
+            for pname, spec in bf.items():
+                if not hasattr(spec, "get"):
+                    continue
+                if str(spec.get("type", "")) in ("fan", "fixedJump",
+                                                 "fixedJumpAMI") \
+                        and str(pname) in cyc:
+                    p = cyc[str(pname)]
+                    jump_names.add(p.name)
+                    nbr = p.neighbour_patch
+                    if nbr is None:
+                        for q in cyc.values():
+                            if q.neighbour_patch == p.name:
+                                nbr = q.name
+                    if nbr:
+                        jump_names.add(nbr)
+        if not jump_names:
+            return pm
+        patches = tuple(
+            _dc.replace(p, type="cyclicAMI") if p.name in jump_names
+            else p for p in pm.patches)
+        return _dc.replace(pm, patches=patches)
+
     @property
     def mesh(self):
         if self._mesh is None:
-            self._mesh = to_device(self.poly_mesh)
+            self._mesh = to_device(self._retain_jump_cyclics(
+                self.poly_mesh))
         return self._mesh
 
     def request_parallel(self, n_devices: Optional[int] = None) -> None:

@@ -331,17 +331,26 @@ def laplacian(
     ics, bcs = [], []
     ami_coef = None
     for p, bc in zip(mesh.patches, field.bcs):
-        if bc.kind == "cyclicAMI":
+        if bc.kind in ("cyclicAMI",) + pf._JUMP_KINDS:
             # IMPLICIT coupled-interface diffusion: own side on the
             # diagonal here, the interpolated-neighbour off-diagonal
             # rides the matrix ami_coef through every matvec
-            # (reference: cyclicAMIFvPatchField::updateInterfaceMatrix)
+            # (reference: cyclicAMIFvPatchField::updateInterfaceMatrix).
+            # jumpCyclic kinds (fixedJump/fan) add the constant jump
+            # through the boundary source: coupled snGrad is
+            # dc*(nbr + jump - own), so gbc_jump = dc*jump
+            # (reference: jumpCyclicFvPatchField::updateInterfaceMatrix
+            # subtracting jump from the neighbour contribution).
             dcp = dc[p.slice]
             gbp = _colv(gb[p.slice], field.data)
             dcp_c = _colv(dcp, field.data)
             shape = (p.size,) + field.data.shape[1:]
             ics.append(jnp.broadcast_to(gbp * (-dcp_c), shape))
-            bcs.append(jnp.zeros(shape, diag.dtype))
+            if bc.kind in pf._JUMP_KINDS:
+                j = pf.jump_signed(bc, jnp.zeros(shape, diag.dtype))
+                bcs.append(-gbp * dcp_c * j)
+            else:
+                bcs.append(jnp.zeros(shape, diag.dtype))
             if ami_coef is None:
                 ami_coef = jnp.zeros(mesh.n_faces - nif, diag.dtype)
             rel = p.start - nif

@@ -89,8 +89,16 @@ def pimple_step(mesh, state: Dict, dt: Any, cfg: PimpleConfig
         phi_slot = slot_mod.from_flat(mesh, phi)
     use_corr = cfg.corrected and not getattr(mesh, "orthogonal", False)
 
+    # fan jump pairs re-evaluate their curve at the current flow rate
+    # before the pressure assembly sees the BCs (reference: fan
+    # updateCoeffs from phip) — trace-time no-op without fan BCs
+    has_fan = any(bc.kind == "fan" for bc in p.bcs)
+
     for outer in range(cfg.n_outer):
         final_outer = outer == cfg.n_outer - 1
+        if has_fan:
+            p = p.correct_boundary_conditions(
+                mesh, phi=slot_mod.to_flat(mesh, phi_slot))
 
         # -- momentum predictor (rebuilt each outer iteration) -------------
         w_slot = (None if cfg.div_scheme == "linear" else

@@ -155,6 +155,11 @@ def piso_step(mesh, state: Dict, dt: Any, cfg: PisoConfig) -> Tuple[Dict, Dict]:
     else:
         phi_slot = slot_mod.from_flat(mesh, phi)
 
+    # fan jump pairs re-evaluate their curve at the current flow rate
+    # (reference: fan updateCoeffs) — trace-time no-op without fan BCs
+    if any(bc.kind == "fan" for bc in p.bcs):
+        p = p.correct_boundary_conditions(mesh, phi=phi)
+
     # -- momentum equation (laminar diffusion or turbulence divDevReff) -------
     w_slot = (None if cfg.div_scheme == "linear" else
               schemes_mod.weights_slot(mesh, phi_slot, cfg.div_scheme, U))
