@@ -70,7 +70,7 @@ def mixture(cfg: InterConfig, alpha: Any) -> Tuple[Any, Any]:
 
 
 def alpha_step(mesh, alpha: VolField, phi: Any, dt: Any,
-               cfg: InterConfig) -> Tuple[VolField, Any]:
+               cfg: InterConfig, U=None) -> Tuple[VolField, Any]:
     """One MULES-bounded alpha advection step; returns (alpha, rhoPhi)."""
     a = alpha.data
     nif = mesh.n_internal_faces
@@ -78,7 +78,8 @@ def alpha_step(mesh, alpha: VolField, phi: Any, dt: Any,
     rho_phi_sum = jnp.zeros_like(phi)
 
     for _ in range(cfg.n_alpha_subcycles):
-        phir = iface.compression_flux(mesh, phi, alpha.with_data(a), cfg.c_alpha)
+        phir = iface.compression_flux(mesh, phi, alpha.with_data(a),
+                                      cfg.c_alpha, U=U)
         # bounded (upwind) flux of alpha by phi
         w_up = jnp.where(phi[:nif] >= 0, 1.0, 0.0).astype(a.dtype)
         af_up_i = surface.interpolate_internal(mesh, a, w_up)
@@ -122,7 +123,7 @@ def interfoam_step(mesh, state: Dict, dt: Any, cfg: InterConfig
     ghf = mesh.cf @ g          # [nF]
 
     # ---- alpha advection (MULES) -------------------------------------------
-    alpha, rho_phi = alpha_step(mesh, alpha, phi, dt, cfg)
+    alpha, rho_phi = alpha_step(mesh, alpha, phi, dt, cfg, U=U)
     rho, mu = mixture(cfg, alpha.data)
     diag["alpha_min"] = jnp.min(alpha.data)
     diag["alpha_max"] = jnp.max(alpha.data)
@@ -154,7 +155,7 @@ def interfoam_step(mesh, state: Dict, dt: Any, cfg: InterConfig
                                      fvopt_state=state.get("fvopt"),
                                      rho=rho, mu=mu)
     # surface tension + buoyancy face fluxes (reference: UEqn.H rhs)
-    st_flux = iface.surface_tension_flux(mesh, alpha, cfg.sigma)
+    st_flux = iface.surface_tension_flux(mesh, alpha, cfg.sigma, U=U)
     from ..bc.patchfields import default_bcs
 
     sng_rho = fvc.sn_grad(mesh, VolField(

@@ -218,3 +218,48 @@ def test_parse_batch4_kinds():
         P(), 0, np.float32)
     assert bc.kind == "fixedValue"
     assert float(np.max(np.abs(np.asarray(bc.ref_value)))) == 0.0
+
+
+def test_dynamic_contact_angle_velocity_dependence():
+    """theta = theta0 + (thetaA-thetaR)*tanh(uwall/uTheta): a wall
+    moving against the interface direction advances the apparent
+    angle, reversing it recedes; zero speed reproduces theta0
+    (reference: dynamicAlphaContactAngleFvPatchScalarField::theta)."""
+    from foamtpu.core.fields import vol_scalar, vol_vector
+    from foamtpu.models.interface import _correct_contact_angle
+
+    mesh = _mesh2d()
+    p = _patch(mesh, "movingWall")
+    i = list(m.name for m in mesh.patches).index("movingWall")
+    theta0, thetaA, thetaR, uTheta = (np.radians(90.0),
+                                      np.radians(120.0),
+                                      np.radians(60.0), 0.5)
+    alpha = vol_scalar(mesh, 0.5, name="alpha")
+    bcs = list(alpha.bcs)
+    bcs[i] = pf.make("alphaContactAngle", ref_grad=0.0, vfrac=0.0,
+                     theta0=float(theta0), thetaA=float(thetaA),
+                     thetaR=float(thetaR), uTheta=float(uTheta))
+    alpha = alpha.replace(bcs=tuple(bcs))
+    nhat0 = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]),
+                             (mesh.n_faces, 3))
+
+    def wall_dots(uwall_x):
+        U = vol_vector(mesh, [0.0, 0.0, 0.0], name="U")
+        ub = list(U.bcs)
+        ub[i] = pf.make("fixedValue",
+                        ref_value=jnp.asarray([uwall_x, 0.0, 0.0]))
+        U = U.replace(bcs=tuple(ub))
+        out = _correct_contact_angle(mesh, alpha, jnp.array(nhat0),
+                                     U=U)
+        sl = p.slice
+        nf = np.asarray(mesh.sf[sl]) / np.asarray(
+            mesh.mag_sf[sl])[:, None]
+        return np.einsum("fd,fd->f", np.asarray(out[sl]), nf)
+
+    # movingWall normal is +y (top); nWall (wall-projected interface
+    # normal) is +x. U_rel = U_cell - U_wall = (-uwall_x, ...), so
+    # uwall = -uwall_x and a wall moving +x gives theta < theta0.
+    for ux in (0.0, 0.8, -0.8):
+        uw = -ux
+        th = theta0 + (thetaA - thetaR) * np.tanh(uw / uTheta)
+        assert np.allclose(wall_dots(ux), np.cos(th), atol=2e-5), ux
