@@ -117,6 +117,11 @@ class SolidConfig(NamedTuple):
     kappa: float
     steady: bool = False
     t_controls: Dict = None
+    # optional solidThermo model (models/solidthermo.SolidThermo): when
+    # set, solid_step runs the variable-property conservative form
+    # rho(T) Cp(T) dT/dt = div(kappa(T) grad T) with face-interpolated
+    # (or anisotropic n.K.n) conductivity instead of the constant path
+    thermo: Any = None
 
 
 def parse_regions(rp) -> Tuple[List[str], List[str]]:
@@ -140,20 +145,42 @@ def parse_regions(rp) -> Tuple[List[str], List[str]]:
 
 
 def solid_step(mesh, T: VolField, T0, dt, cfg: SolidConfig):
-    """rho Cp dT/dt = div(kappa grad T)."""
+    """rho Cp dT/dt = div(kappa grad T) (reference:
+    chtMultiRegionFoam/solid/solveSolid.H). With cfg.thermo set the
+    properties are evaluated per cell from the solidThermo model at the
+    current T (explicit property lagging, as the reference's
+    heSolidThermo correct() before the solve)."""
     ctl = cfg.t_controls or {"solver": "PCG",
                              "preconditioner": "polynomial",
                              "tolerance": 1e-9, "relTol": 0.01,
                              "maxIter": 2000}
-    lap = fvm.laplacian(mesh, jnp.asarray(cfg.kappa / (cfg.rho * cfg.cp),
-                                          mesh.v.dtype),
-                        T, corrected=False,
-                        gamma_dims=DimensionSet.of(0, 2, -1))
-    if cfg.steady:
-        eqn = -lap
+    if cfg.thermo is not None:
+        st = cfg.thermo
+        kf = st.kappa_face(mesh, T.data).astype(mesh.v.dtype)
+        lap = fvm.laplacian(
+            mesh, kf, T, corrected=False,
+            gamma_dims=DimensionSet.of(1, 1, -3, -1))   # W/m/K
+        if cfg.steady:
+            eqn = -lap
+        else:
+            rc = st.rho_cp(T.data).astype(mesh.v.dtype)  # J/m^3/K
+            rdt = 1.0 / dt
+            m = fvm.ddt(mesh, T, T0, rdt)
+            m = m.replace_fields(
+                diag=m.diag * rc, source=m.source * rc,
+                dims=m.dims * DimensionSet.of(1, -1, -2, -1))
+            eqn = m - lap
     else:
-        rdt = 1.0 / dt
-        eqn = fvm.ddt(mesh, T, T0, rdt) - lap
+        lap = fvm.laplacian(
+            mesh, jnp.asarray(cfg.kappa / (cfg.rho * cfg.cp),
+                              mesh.v.dtype),
+            T, corrected=False,
+            gamma_dims=DimensionSet.of(0, 2, -1))
+        if cfg.steady:
+            eqn = -lap
+        else:
+            rdt = 1.0 / dt
+            eqn = fvm.ddt(mesh, T, T0, rdt) - lap
     data, perf = linear.solve(mesh, eqn, T.data, ctl)
     return T.with_data(data), perf
 
@@ -174,7 +201,7 @@ def cht_multi_region_foam(case, max_steps: Optional[int] = None) -> None:
     from ..models import thermo as thermo_mod
     from ..utils import logging as log
     from . import buoyantrho as br_mod
-    from .apps import _read_gravity, _dim_scalar_of
+    from .apps import _read_gravity
 
     rp = case.properties("regionProperties")
     fluids, solids = parse_regions(rp)
@@ -185,18 +212,19 @@ def cht_multi_region_foam(case, max_steps: Optional[int] = None) -> None:
     for name in solids:
         rc = Case(case.dir, region=name)
         tp = rc.properties("thermophysicalProperties")
-        rho = _dim_scalar_of(tp, "rho", _dim_scalar_of(tp, "rho0", 8000.0))
-        cp = _dim_scalar_of(tp, "Cp", _dim_scalar_of(tp, "cp0", 450.0))
-        kap = _dim_scalar_of(tp, "kappa",
-                             _dim_scalar_of(tp, "K",
-                                            _dim_scalar_of(tp, "k0", 80.0)))
+        from ..models import solidthermo as sth_mod
+        st = sth_mod.from_dict(tp)
         T = rc.read_field("T")
+        const_props = (st.transport == "constIso"
+                       and st.thermo == "hConst")
+        cfg = SolidConfig(
+            rho=st.rho0, cp=float(st.cp_c[0]),
+            kappa=float(st.kappa_c[0]), steady=steady,
+            thermo=None if const_props else st)
         regions[name] = dict(kind="solid", case=rc, mesh=rc.mesh, T=T,
-                             T0=T.data,
-                             cfg=SolidConfig(rho=rho, cp=cp, kappa=kap,
-                                             steady=steady),
-                             kappa_cells=jnp.full(rc.mesh.n_cells, kap,
-                                                  rc.mesh.v.dtype))
+                             T0=T.data, cfg=cfg, sthermo=st,
+                             kappa_cells=st.kappa(T.data).astype(
+                                 rc.mesh.v.dtype))
     for name in fluids:
         rc = Case(case.dir, region=name)
         th = thermo_mod.from_dict(
@@ -295,6 +323,11 @@ def cht_multi_region_foam(case, max_steps: Optional[int] = None) -> None:
                 r["T"] = Tn.correct_boundary_conditions(r["mesh"])
                 if not steady:
                     r["T0"] = r["T"].data
+                st = r.get("sthermo")
+                if st is not None and st.transport in ("exponential",
+                                                      "polynomial"):
+                    r["kappa_cells"] = st.kappa(r["T"].data).astype(
+                        r["mesh"].v.dtype)
                 last_perf = perf
             else:
                 r["state"], diag = steps[name](r["state"], dt)
