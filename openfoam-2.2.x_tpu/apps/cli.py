@@ -1638,6 +1638,16 @@ def main(argv=None) -> int:
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         return 0
+    # honour JAX_PLATFORMS=cpu robustly: the axon environment's
+    # sitecustomize force-registers its TPU plugin, and merely setting
+    # the env var does not stop lazy backend init from grabbing the
+    # (single-client) tunnel — which deadlocks any concurrent TPU user.
+    # The explicit config update outranks it (same belt-and-braces as
+    # tests/conftest.py).
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     cmd = argv[0]
     # allow `python -m foamtpu icoFoam -case ...` style too
     if cmd not in COMMANDS:

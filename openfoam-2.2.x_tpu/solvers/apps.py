@@ -912,8 +912,10 @@ def magnetic_foam(case, max_steps: Optional[int] = None) -> None:
     M = np.zeros((mesh.n_cells, 3))
     c = np.asarray(mesh.c)
     mags = tp.get("magnets", [])
+    # list form `( magnet1 { ... } ... )` parses as alternating
+    # name-Word / body-dict items — keep only the bodies
     entries = (list(mags.values()) if isinstance(mags, FoamDict)
-               else list(mags))
+               else [e for e in list(mags) if hasattr(e, "get")])
     for spec in entries:
         box = np.asarray(spec.get("box")).reshape(2, 3)
         inside = np.all((c >= box[0]) & (c <= box[1]), axis=1)
